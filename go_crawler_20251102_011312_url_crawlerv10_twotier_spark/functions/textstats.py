@@ -1,0 +1,93 @@
+"""Text analysis for a training-data pipeline: language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure Catalyst column expressions (regexp/length/CASE — whole-stage
+codegen, no UDFs), deliberately kept within the SQL dialect subset the
+DuckDB oracle shares, so every one of these is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language (tiny n-gram-free heuristic; the point
+# is the *operator shape* — a real model swaps in via the same column)
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+LANG_PREFERENCE = ("en", "de", "fr", "es")  # deterministic tie-break order
+
+
+def lang_marker_counts(text) -> list[Column]:
+    text = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(F.lower(text), F.lit(pat)).alias(f"n_{lang}")
+        for lang, pat in LANG_MARKERS.items()
+    ]
+
+
+def lang_id(text) -> Column:
+    """argmax over marker counts; 'und' when all zero; ties resolved
+    by LANG_PREFERENCE order via first-match CASE semantics:
+    lang L wins if its count > 0 and >= every count checked after it."""
+    text = F.col(text) if isinstance(text, str) else text
+    low = F.lower(text)
+    counts = {
+        lang: F.regexp_count(low, F.lit(pat)) for lang, pat in LANG_MARKERS.items()
+    }
+    best = None
+    prefs = list(LANG_PREFERENCE)
+    for i, lang in enumerate(prefs):
+        cond = counts[lang] > 0
+        for other in prefs[i + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def token_count_ws(text) -> Column:
+    """Whitespace tokenization count (0 for empty/blank strings)."""
+    text = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(text) -> Column:
+    """BPE-ish regex token count: letter runs, single digits, single
+    punctuation marks — the pre-tokenization GPT-2-style splitters use."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_score(text) -> Column:
+    """Composite quality in [0,1]-ish: length signal, punctuation
+    density, English-stopword density, mean word length sanity.
+    Deterministic, rounded to 6 for oracle hashing."""
+    text = F.col(text) if isinstance(text, str) else text
+    n = F.length(text)
+    words = token_count_ws(text)
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?]"))
+    stop = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS["en"]))
+    len_sig = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_sig = F.least(punct * F.lit(10.0) / F.greatest(words, F.lit(1)), F.lit(1.0))
+    stop_sig = F.least(stop * F.lit(5.0) / F.greatest(words, F.lit(1)), F.lit(1.0))
+    mean_wl = n / F.greatest(words, F.lit(1))
+    wl_sig = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * len_sig + F.lit(0.2) * punct_sig + F.lit(0.2) * stop_sig + F.lit(0.2) * wl_sig,
+        6,
+    )
+
+
+def fingerprint(text) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed lowercased
+    text — the exact-dedup key robust to spacing differences."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))

@@ -1,0 +1,348 @@
+"""Link/document extraction — the two tokenizer tiers (E1, E2).
+
+* Fast path (tokenizer/fastpath.go:33-96): a byte-level scan for
+  case-insensitive ``href=`` ANYWHERE in the bytes (including inside
+  scripts and text — that imprecision is part of the contract), with
+  optional ``"``/``'`` quoting; unquoted values terminate at a space
+  or ``>``; the scan loop stops 6 bytes before the end
+  (fastpath.go:41). Reimplemented here over ``bytes`` with C-speed
+  ``find`` calls — NOT an HTML parser — so the quirks (e.g. hrefs in
+  the final 6 bytes are never seen) are preserved bit-for-bit.
+
+* Slow path (tokenizer/slowpath.go:57-132): full DOM parse (goquery in
+  the reference), page metadata (title / meta-description / nav), per
+  ``a[href]`` RFC 3986 resolution, and DocumentInfo rows for ``.pdf``
+  links. Implemented over a small deterministic DOM built with
+  ``html.parser`` — the fixture HTML (sources/pages.py) stays within
+  the subset where Go's x/net/html and this parser agree, which is the
+  per-row byte-identical-text contract's domain (SURVEY.md §7 risk 1).
+
+Both are exposed as Arrow-batched pandas UDFs (never row-at-a-time
+Python UDFs). The scalar cores are shared with the test oracle.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.predicates import href_ok_fast_py, href_ok_slow_py
+from ..functions.urlnorm import (
+    get_extension_py,
+    host_of_py,
+    is_document_slow_py,
+    make_absolute_fast_py,
+    resolve_rfc3986_py,
+)
+
+# ---------------------------------------------------------------------------
+# E1 fast path — byte scan (tokenizer/fastpath.go:33-96)
+# ---------------------------------------------------------------------------
+
+_QUOTES = (0x22, 0x27)  # '"' and "'"
+
+
+def extract_links_fast_py(html: bytes, base_url: str) -> list[str]:
+    """Verbatim reimplementation of ExtractLinks (fastpath.go:33-96).
+
+    Pointer semantics preserved exactly:
+    - outer loop condition ``i < len-6`` (fastpath.go:41): matches in
+      the final 6 bytes are never attempted;
+    - after a value is consumed the scan resumes at terminator+1, so
+      ``href=`` occurrences inside a consumed value are skipped;
+    - unquoted values end at '' ''/'>' only (not tabs/newlines)
+      (fastpath.go:60);
+    - skip rules: leading '#', ``javascript:``, ``mailto:``
+      (fastpath.go:70-72);
+    - resolution via the non-RFC makeAbsolute (urlnorm.make_absolute_fast_py).
+    """
+    if not html:
+        return []
+    b = html.encode("utf-8") if isinstance(html, str) else html
+    low = b.lower()  # one C pass; positions align with b
+    n = len(b)
+    p = host_of_py(base_url)
+    base_scheme = base_url.split("://", 1)[0] if "://" in base_url else ""
+    base_host = p or ""
+    urls: list[str] = []
+    i = 0
+    limit = n - 6
+    while i < limit:
+        j = low.find(b"href=", i)
+        if j == -1 or j >= limit:
+            break
+        i = j + 5
+        quote = 0
+        if i < n and b[i] in _QUOTES:
+            quote = b[i]
+            i += 1
+        url_start = i
+        if quote:
+            end = b.find(bytes([quote]), i)
+            i = end if end != -1 else n
+        else:
+            e1 = b.find(b" ", i)
+            e2 = b.find(b">", i)
+            if e1 == -1:
+                i = e2 if e2 != -1 else n
+            elif e2 == -1:
+                i = e1
+            else:
+                i = min(e1, e2)
+        if i > url_start:
+            raw = b[url_start:i].decode("utf-8", errors="replace")
+            if href_ok_fast_py(raw):
+                abs_url = make_absolute_fast_py(raw, base_url, base_scheme, base_host)
+                if abs_url:
+                    urls.append(abs_url)
+        i += 1  # fastpath.go:82
+    return urls
+
+
+# ---------------------------------------------------------------------------
+# E2 slow path — mini-DOM (tokenizer/slowpath.go:57-132)
+# ---------------------------------------------------------------------------
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs, parent):
+        self.tag = tag
+        self.attrs = dict(attrs) if attrs else {}
+        self.children: list = []  # _Node or str
+        self.parent = parent
+
+    def text(self) -> str:
+        """goquery Selection.Text(): concatenated descendant text nodes
+        in document order, no normalization."""
+        out: list[str] = []
+
+        def walk(node: "_Node") -> None:
+            for ch in node.children:
+                if isinstance(ch, str):
+                    out.append(ch)
+                else:
+                    walk(ch)
+
+        walk(self)
+        return "".join(out)
+
+    def iter_nodes(self):
+        yield self
+        for ch in self.children:
+            if not isinstance(ch, str):
+                yield from ch.iter_nodes()
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", None, None)
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, attrs, self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, attrs, self.stack[-1]))
+
+    def handle_endtag(self, tag):
+        # tag-soup tolerance: pop to the nearest matching open tag
+        for k in range(len(self.stack) - 1, 0, -1):
+            if self.stack[k].tag == tag:
+                del self.stack[k:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _parse_dom(html: bytes | str) -> _Node | None:
+    try:
+        p = _DomBuilder()
+        p.feed(html if isinstance(html, str) else html.decode("utf-8", errors="replace"))
+        p.close()
+        return p.root
+    except Exception:
+        return None
+
+
+def _get_context(anchor: _Node) -> str:
+    """getContext (slowpath.go:160-171): parent element's text,
+    byte-truncated at 200 + '...', then whitespace-trimmed."""
+    parent = anchor.parent
+    if parent is None:
+        return ""
+    text = parent.text()
+    raw = text.encode("utf-8")
+    if len(raw) > 200:
+        text = raw[:200].decode("utf-8", errors="ignore") + "..."
+    return text.strip()
+
+
+def analyze_slow_py(
+    html: bytes, base_url: str, doc_extensions: tuple[str, ...] = (".pdf",)
+) -> dict:
+    """AnalyzeDocument (slowpath.go:57-132) scalar core.
+
+    Returns dict(urls, docs, title, description, has_nav, link_count)
+    where docs is a list of {url, ext, title, context} dicts —
+    DocumentInfo at slowpath.go:35-40.
+    """
+    empty = {
+        "urls": [],
+        "docs": [],
+        "title": "",
+        "description": "",
+        "has_nav": False,
+        "link_count": 0,
+    }
+    root = _parse_dom(html) if html else None
+    if root is None:
+        return empty  # parse-error fallback, slowpath.go:68-74
+
+    title = ""
+    description = ""
+    has_nav = False
+    urls: list[str] = []
+    docs: list[dict] = []
+    seen_title = False
+    seen_desc = False
+
+    for node in root.iter_nodes():
+        if node.tag == "title" and not seen_title:
+            title = node.text()  # doc.Find("title").First().Text(), :77
+            seen_title = True
+        elif node.tag == "meta" and not seen_desc and node.attrs.get("name") == "description":
+            description = node.attrs.get("content", "")  # :78
+            seen_desc = True
+        elif node.tag == "nav":
+            has_nav = True  # :79
+        elif node.tag == "a" and "href" in node.attrs:
+            href = node.attrs["href"] or ""
+            if not href_ok_slow_py(href):  # :84-91
+                continue
+            abs_url = resolve_rfc3986_py(href, base_url)  # :94-97
+            if abs_url is None:
+                continue
+            urls.append(abs_url)
+            if is_document_slow_py(abs_url, doc_extensions):  # :104
+                docs.append(
+                    {
+                        "url": abs_url,
+                        "ext": get_extension_py(abs_url),
+                        "title": node.text(),  # link text, :108
+                        "context": _get_context(node),  # :109
+                    }
+                )
+    return {
+        "urls": urls,
+        "docs": docs,
+        "title": title,
+        "description": description,
+        "has_nav": has_nav,
+        "link_count": len(urls),
+    }
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs + DataFrame-level operators
+# ---------------------------------------------------------------------------
+
+SLOW_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("urls", T.ArrayType(T.StringType())),
+        T.StructField(
+            "docs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("url", T.StringType()),
+                        T.StructField("ext", T.StringType()),
+                        T.StructField("title", T.StringType()),
+                        T.StructField("context", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("has_nav", T.BooleanType()),
+        T.StructField("link_count", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_fast(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_links_fast_py(h, u) if h is not None and u is not None else []
+            for h, u in zip(html, base_url)
+        ],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(SLOW_RESULT_TYPE)
+def extract_slow(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    rows = [
+        analyze_slow_py(h, u)
+        if h is not None and u is not None
+        else analyze_slow_py(b"", "")
+        for h, u in zip(html, base_url)
+    ]
+    return pd.DataFrame(rows)
+
+
+def link_density_col(link_count, html):
+    """P10 (slowpath.go:117-120): links per KB of HTML."""
+    link_count = F.col(link_count) if isinstance(link_count, str) else link_count
+    html = F.col(html) if isinstance(html, str) else html
+    kb = F.length(html) / F.lit(1024.0)
+    return F.when(kb > 0, link_count / kb).otherwise(F.lit(0.0))
+
+
+def extract_stage(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """One pass of the two-tier extract stage over routed pages.
+
+    Input must carry a ``path`` column ('fast'|'slow') from
+    routing.route_decision_col. Output: one row per page with
+    ``links array<string>``, ``docs``, page metadata columns. The
+    fast/slow split is two filtered branches unioned back (keeps the
+    Arrow batches homogeneous per UDF — no wasted UDF evaluation under
+    a CASE) and Catalyst still reads the source once per branch with
+    the route predicate pushed down.
+    """
+    fast = (
+        pages.filter(F.col("path") == "fast")
+        .withColumn("links", extract_links_fast(F.col(html_col), F.col(url_col)))
+        .withColumn("docs", F.lit(None).cast(SLOW_RESULT_TYPE["docs"].dataType))
+        .withColumn("page_title", F.lit(None).cast("string"))
+        .withColumn("page_description", F.lit(None).cast("string"))
+        .withColumn("has_nav", F.lit(None).cast("boolean"))
+    )
+    slow = (
+        pages.filter(F.col("path") == "slow")
+        .withColumn("r", extract_slow(F.col(html_col), F.col(url_col)))
+        .withColumn("links", F.col("r.urls"))
+        .withColumn("docs", F.col("r.docs"))
+        .withColumn("page_title", F.col("r.title"))
+        .withColumn("page_description", F.col("r.description"))
+        .withColumn("has_nav", F.col("r.has_nav"))
+        .drop("r")
+    )
+    return fast.unionByName(slow)

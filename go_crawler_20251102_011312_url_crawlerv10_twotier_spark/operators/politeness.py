@@ -1,0 +1,84 @@
+"""Per-host politeness scheduling (C1/O8 + O-1 priority ordering).
+
+The reference throttles with a 30 ms per-domain delay over 20 workers
+(crawler_twotier.go:64-69, config.go:13,15) and gives retried tasks a
+2-level priority queue (downloader.go:33,123-145). In a batch frontier
+engine both become *data*: each iteration schedules at most
+``budget_per_host`` URLs per host, ordered by
+``(priority DESC, depth ASC, url_norm ASC)`` — crawl-depth + host-rank
+ordering per the north_rule; unscheduled rows stay in the frontier
+backlog (no drops — unlike the reference's 50-attempt
+PersistentEnqueue fallback, downloader.go:253-277).
+
+Skew: mega-domains (~1/3 of all URLs on one host in the fixture) make
+a naive ``row_number() OVER (PARTITION BY host)`` a single-task
+hotspot at 10^10 scale. ``schedule`` therefore runs a salted two-phase
+top-K: phase 1 ranks within ``(host, salt)`` — parallel across salts —
+and keeps at most ``budget`` rows per salted group; phase 2 re-ranks
+the survivors (≤ budget × n_salts rows per host, tiny) to pick the
+exact global top-``budget`` per host. Result is identical to the
+naive window, but the heavy sort never sees a whole mega-host in one
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def _order_cols(df_priority: bool):
+    cols = []
+    if df_priority:
+        cols.append(F.col("priority").desc())
+    cols += [F.col("depth").asc(), F.col("url_norm").asc()]
+    return cols
+
+
+def schedule(
+    frontier: DataFrame,
+    budget_per_host: int | None,
+    n_salts: int = DEFAULT_SALTS,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``frontier`` into (scheduled, deferred) under the per-host
+    budget. ``frontier`` needs columns: host, url_norm, depth, and
+    optionally priority (boolean). budget None => everything scheduled.
+    """
+    if budget_per_host is None:
+        return frontier, frontier.limit(0)
+
+    has_priority = "priority" in frontier.columns
+    order = _order_cols(has_priority)
+
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64("url_norm"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    phase1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= budget_per_host)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = phase1.withColumn("_r2", F.row_number().over(w2)).drop("_salt")
+    scheduled = ranked.filter(F.col("_r2") <= budget_per_host).drop("_r2")
+
+    # deferred = frontier minus scheduled (anti-join on the dedup key;
+    # url_norm is unique within a frontier by construction)
+    deferred = frontier.join(
+        scheduled.select("url_norm"), "url_norm", "left_anti"
+    )
+    return scheduled, deferred
+
+
+def priority_order(frontier: DataFrame) -> DataFrame:
+    """O-1 global scheduling order (downloader.go:123-145 two-level
+    priority, FIFO ≈ deterministic tiebreak): priority DESC, depth,
+    url_norm. Sorted *within partitions* after repartitioning by host —
+    a total sort is never needed for scheduling, so no global shuffle."""
+    has_priority = "priority" in frontier.columns
+    return frontier.repartition("host").sortWithinPartitions(
+        *_order_cols(has_priority)
+    )

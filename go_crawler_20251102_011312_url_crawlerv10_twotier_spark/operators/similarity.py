@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring the engine's two-tier philosophy:
+
+* ``cosine_topk`` — brute-force exact top-k against a query vector.
+  The dot product is a JVM-side ``zip_with`` + ``aggregate`` fold (no
+  Python in the loop); one full scan, one ``ORDER BY LIMIT k`` which
+  Spark executes as a per-partition TakeOrdered + driver merge — no
+  global sort shuffle.
+* ``signbit_buckets`` / ``ann_topk_bucketed`` — LSH-style bucketing on
+  the sign pattern of the first ``n_bits`` dimensions. At 100 TB the
+  bucket column becomes the table's partition key so a query probes
+  one partition instead of scanning the corpus. Deterministic (no
+  random hyperplanes), hence oracle-reproducible in SQL.
+
+Cosines are rounded to 6 decimals so the float32->double pipeline
+hashes identically across Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``."""
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine_sim(v, q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def signbit_buckets(
+    emb: DataFrame, n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic LSH bucket: bit i set iff embedding[i] > 0."""
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(F.col(vec_col), i + 1) > 0, F.lit(2**i)
+        ).otherwise(0)
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_topk_bucketed(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's
+    sign-bit bucket (the scale path: bucket = partition key)."""
+    qbucket = 0
+    for i in range(n_bits):
+        if float(query_vec[i]) > 0:
+            qbucket += 2**i
+    bucketed = signbit_buckets(emb, n_bits, id_col, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == qbucket), query_vec, k, id_col, vec_col
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, blocked by sign-bit
+    bucket (pairs crossing buckets are missed — the documented LSH
+    trade-off; raise n_bits for recall at scale)."""
+    b = signbit_buckets(emb, n_bits, id_col, vec_col)
+    a_ = b.alias("a")
+    b_ = b.alias("b")
+    va = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
+    vb = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    return (
+        a_.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_sim(va, vb), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,358 @@
+"""The batch frontier-scheduler loop (SURVEY.md §3.2 — the engine core).
+
+One iteration = one superstep of the crawl BFS; this replaces the
+reference's entire goroutine topology (colly async queue + per-NIC
+channels + worker pools, crawler_twotier.go / downloader.go) with a
+declarative plan per iteration:
+
+    frontier --politeness--> scheduled --join pages--> fetched
+      --route (O1)--> fast|slow --extract (E1/E2)--> links + docs
+      --normalize (P1)--> candidates --dedup + anti-join seen (J1)-->
+      new frontier; docs --anti-join downloads (J2) + retry (C5)-->
+      download state
+
+Semantics vs the reference (SURVEY.md §5.2, §7):
+* seen is keyed on the COMPAT-normalized URL (utils/utils.go:14-18)
+  while fetch/routing use the RAW discovered URL — the reference's
+  deliberate asymmetry (crawler_twotier.go:192-200).
+* the reference's discovery order is racy (async goroutines); the
+  engine's contract is per-depth set equality with min-depth
+  semantics and a deterministic raw-URL tiebreak
+  (min(child_depth, url) per url_norm) — "first writer wins" made
+  deterministic.
+* a page at depth d spawns children iff d < MAX_DEPTH (F1,
+  crawler_twotier.go:194); children get depth d+1.
+* the body cap truncates (colly MaxBodySize reads at most 5 MB —
+  crawler_twotier.go:57); extraction sees the truncated bytes.
+* seeds are recorded in seen at depth 0 (the reference tracks the
+  seed only inside colly's internal dedup — documented deviation,
+  strict superset).
+
+Scale notes (100 TB / 10^10 frontier):
+* the per-iteration fetch join keeps the frontier on the probe side;
+  AQE broadcasts it while it fits, and flips to shuffled-hash with
+  skew splitting otherwise. On a real cluster the pages table is
+  bucketed by url_norm so the join prunes buckets instead of
+  rescanning; in the sandbox the synthesized corpus is persisted once
+  (the reference's response cache, O11) and rescanned per iteration.
+* seen grows monotonically and never reaches the driver: candidate
+  dedup is a shuffle on url_norm, the seen probe is a left-anti join
+  (Spark's runtime Bloom-filter join pruning is enabled in
+  session.py; explicit per-shard blooms live in operators/dedup.py).
+* lineage is truncated every iteration (localCheckpoint) or committed
+  durably through plans/checkpoint.SnapshotStore for resume.
+* per-partition metrics rows (north_rule lineage) are collected per
+  iteration from spark_partition_id() of the extract stage.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.predicates import MAX_BODY_SIZE, MAX_DEPTH, MAX_RETRIES, host_present
+from ..functions.routing import route_decision_col
+from ..functions.urlnorm import host_of_col, normalize_url_compat_col
+from ..operators.extract import extract_stage
+from ..operators.politeness import schedule
+from .checkpoint import SnapshotStore
+
+# P1 normalization and host extraction in the loop are pure Catalyst
+# expressions (whole-stage codegen, zero Python): for absolute http(s)
+# URLs — which is all a resolver can emit — they are byte-equivalent to
+# the urllib-based pandas UDFs (asserted in tests/test_urlnorm.py on
+# every URL shape both corpora produce). The pandas UDFs remain the
+# API for arbitrary external URL tables.
+_norm = normalize_url_compat_col
+_host = host_of_col
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = MAX_DEPTH  # config/config.go:7
+    max_iterations: int = 100
+    budget_per_host: int | None = None  # politeness (None = unbounded)
+    max_body_bytes: int = MAX_BODY_SIZE  # crawler_twotier.go:57
+    max_retries: int = MAX_RETRIES  # config/config.go:34
+    checkpoint_dir: str | None = None
+    politeness_salts: int = 16
+
+
+@dataclass
+class CrawlResult:
+    seen: DataFrame  # url_norm, url, host, depth, iter
+    downloads: DataFrame  # url, status, retry, iter
+    metrics: list[dict] = field(default_factory=list)
+    iterations: int = 0
+
+
+def _prepare_pages(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """Key the corpus by the compat-normalized URL and pre-truncate
+    bodies to the 5 MB cap (a scan-side projection, done once)."""
+    return pages.select(
+        _norm(F.col(url_col)).alias("url_norm"),
+        F.substring(F.col(html_col), 1, MAX_BODY_SIZE).alias("html"),
+    ).dropDuplicates(["url_norm"])
+
+
+def _seed_frontier(seeds: DataFrame) -> DataFrame:
+    """seeds(url, depth) -> frontier rows with norm/host, deduped."""
+    s = seeds.select(
+        F.col("url"),
+        _norm(F.col("url")).alias("url_norm"),
+        _host(F.col("url")).alias("host"),
+        F.col("depth").cast("int").alias("depth"),
+        F.lit(False).alias("priority"),
+        F.lit(0).alias("retry"),
+    ).filter(host_present(F.col("host")))
+    return (
+        s.groupBy("url_norm")
+        .agg(F.min(F.struct("depth", "url", "host", "priority", "retry")).alias("m"))
+        .select("url_norm", "m.url", "m.host", "m.depth", "m.priority", "m.retry")
+    )
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    cfg: CrawlConfig | None = None,
+    url_col: str = "url",
+    html_col: str = "html",
+    initial_seen: DataFrame | None = None,
+    start_iter: int = 0,
+) -> CrawlResult:
+    cfg = cfg or CrawlConfig()
+    store = SnapshotStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+
+    corpus = _prepare_pages(pages, url_col, html_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    frontier = _seed_frontier(seeds).localCheckpoint(eager=True)
+    if initial_seen is not None:
+        seen = initial_seen.select(
+            "url_norm", "url", "host", "depth", "iter"
+        ).localCheckpoint(eager=True)
+    else:
+        seen = frontier.select(
+            "url_norm", "url", "host", "depth", F.lit(0).alias("iter")
+        ).localCheckpoint(eager=True)
+    dl_pending = spark.createDataFrame([], "url string, retry int")
+    dl_log = spark.createDataFrame([], "url string, status string, retry int, iter int")
+    metrics: list[dict] = []
+
+    if store and start_iter == 0:
+        store.write_iter(0, seen, frontier, dl_log)
+
+    it = start_iter
+    n_frontier = frontier.count()
+    n_pending_dl = 0
+    ncoal = max(4, spark.sparkContext.defaultParallelism)
+    while it < cfg.max_iterations:
+        t0 = time.time()
+        if cfg.budget_per_host is None:
+            # no politeness budget: everything schedules, nothing defers —
+            # skip the window entirely (and its count action)
+            scheduled, deferred = frontier, None
+            n_sched = n_frontier
+        else:
+            scheduled, deferred = schedule(
+                frontier, cfg.budget_per_host, cfg.politeness_salts
+            )
+            n_sched = scheduled.count()
+        if n_sched == 0:
+            break
+        it += 1
+
+        # S2: the fetch is a lookup join against the corpus
+        fetched = scheduled.join(corpus, "url_norm", "left")
+        hits = fetched.filter(F.col("html").isNotNull())
+
+        # O1 route + E1/E2 extract, one pass, per-partition metrics
+        routed = hits.withColumn(
+            "path", route_decision_col(F.col("url"), F.length("html"))
+        )
+        ext = (
+            extract_stage(routed, url_col="url", html_col="html")
+            .withColumn("partition_id", F.spark_partition_id())
+            .drop("html")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        part_stats = (
+            ext.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("pages"),
+                F.sum(F.size(F.coalesce("links", F.array()))).alias("links"),
+                F.sum(F.size(F.coalesce("docs", F.array()))).alias("docs"),
+                F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("fast_cnt"),
+                F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("slow_cnt"),
+            )
+            .withColumn("iter", F.lit(it))
+        )
+        stats_rows = part_stats.collect()
+        tot = {
+            k: int(sum(r[k] or 0 for r in stats_rows))
+            for k in ("pages", "links", "docs", "fast_cnt", "slow_cnt")
+        }
+
+        # F1 (parent depth) -> explode -> P1 normalize -> F2 -> batch dedup
+        cand = (
+            ext.filter(F.col("depth") < cfg.max_depth)
+            .select(
+                F.explode("links").alias("href"),
+                (F.col("depth") + 1).alias("cdepth"),
+            )
+            .withColumn("c_norm", _norm(F.col("href")))
+            .withColumn("c_host", _host(F.col("href")))
+            .filter(host_present(F.col("c_host")))
+        )
+        deduped = (
+            cand.groupBy("c_norm")
+            .agg(F.min(F.struct("cdepth", "href", "c_host")).alias("m"))
+            .select(
+                F.col("c_norm").alias("url_norm"),
+                F.col("m.href").alias("url"),
+                F.col("m.c_host").alias("host"),
+                F.col("m.cdepth").alias("depth"),
+            )
+        )
+        # J1: the crawl-seen anti-join (crawler_twotier.go:195,224-245)
+        new = (
+            deduped.join(seen.select("url_norm"), "url_norm", "left_anti")
+            .withColumn("priority", F.lit(False))
+            .withColumn("retry", F.lit(0))
+            .coalesce(ncoal)
+            .localCheckpoint(eager=True)
+        )
+        n_new = new.count()
+
+        # J2 + C5: download-state machine, retries as data.
+        # Skipped entirely when this iteration produced no docs and no
+        # retries are pending — the common case on link-only strata.
+        dl_delta = None
+        if tot["docs"] > 0 or n_pending_dl > 0:
+            new_docs = (
+                ext.select(F.explode("docs").alias("d"))
+                .select(F.col("d.url").alias("url"))
+                .dropDuplicates(["url"])  # raw-URL key (downloader.go:280-286)
+                .join(dl_log.select("url"), "url", "left_anti")
+                .join(dl_pending.select("url"), "url", "left_anti")
+                .withColumn("retry", F.lit(0))
+            )
+            attempts = dl_pending.unionByName(new_docs)
+            dl_fetched = attempts.join(
+                corpus.withColumnRenamed("url_norm", "dl_norm"),
+                _norm(F.col("url")) == F.col("dl_norm"),
+                "left",
+            )
+            done = dl_fetched.filter(F.col("html").isNotNull()).select(
+                "url", F.lit("done").alias("status"), "retry", F.lit(it).alias("iter")
+            )
+            missed = dl_fetched.filter(F.col("html").isNull()).select(
+                "url", (F.col("retry") + 1).alias("retry")
+            )
+            failed = missed.filter(F.col("retry") > cfg.max_retries).select(
+                "url", F.lit("failed").alias("status"), "retry", F.lit(it).alias("iter")
+            )
+            dl_pending = (
+                missed.filter(F.col("retry") <= cfg.max_retries)
+                .coalesce(ncoal)
+                .localCheckpoint(eager=True)
+            )
+            n_pending_dl = dl_pending.count()
+            dl_delta = done.unionByName(failed).coalesce(ncoal).localCheckpoint(eager=True)
+            dl_log = dl_log.unionByName(dl_delta).coalesce(ncoal).localCheckpoint(eager=True)
+
+        seen_delta = new.select("url_norm", "url", "host", "depth", F.lit(it).alias("iter"))
+        seen = seen.unionByName(seen_delta).coalesce(ncoal).localCheckpoint(eager=True)
+        if deferred is None:
+            frontier = new
+            n_frontier = n_new
+        else:
+            frontier = deferred.unionByName(new).coalesce(ncoal).localCheckpoint(eager=True)
+            n_frontier = frontier.count()
+        ext.unpersist()
+
+        metrics.append(
+            {
+                "iter": it,
+                "scheduled": n_sched,
+                "fetched": tot["pages"],
+                "fetch_miss": n_sched - tot["pages"],
+                "fast_cnt": tot["fast_cnt"],
+                "slow_cnt": tot["slow_cnt"],
+                "links": tot["links"],
+                "docs": tot["docs"],
+                "new_urls": n_new,
+                "wall_s": round(time.time() - t0, 3),
+            }
+        )
+        if store:
+            met_df = spark.createDataFrame(
+                [
+                    (
+                        it,
+                        int(r["partition_id"]),
+                        int(r["pages"]),
+                        int(r["links"] or 0),
+                        int(r["docs"] or 0),
+                        int(r["fast_cnt"]),
+                        int(r["slow_cnt"]),
+                    )
+                    for r in stats_rows
+                ],
+                "iter int, partition_id int, pages long, links long, docs long,"
+                " fast_cnt long, slow_cnt long",
+            )
+            store.write_iter(it, seen_delta, frontier, dl_delta, met_df)
+
+        if n_new == 0 and cfg.budget_per_host is None:
+            break  # frontier exhausted (deferred is empty without budgets)
+
+    # mark still-pending downloads (queue drain state, C6)
+    pending_final = dl_pending.select(
+        "url", F.lit("pending").alias("status"), "retry", F.lit(it).alias("iter")
+    )
+    downloads = dl_log.unionByName(pending_final)
+
+    corpus.unpersist()
+    return CrawlResult(seen=seen, downloads=downloads, metrics=metrics, iterations=it)
+
+
+def resume(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> CrawlResult:
+    """Resume a checkpointed crawl from its latest committed snapshot."""
+    assert cfg.checkpoint_dir, "resume requires cfg.checkpoint_dir"
+    store = SnapshotStore(cfg.checkpoint_dir)
+    last = store.latest_iter()
+    if last is None:
+        raise FileNotFoundError(f"no snapshot in {cfg.checkpoint_dir}")
+
+    seen0 = store.read_seen(spark, last)
+    frontier0 = store.read_frontier(spark, last)
+
+    # re-enter the loop with the snapshot's seen set + frontier injected:
+    # the continuation anti-joins against everything already visited, so
+    # the final state is identical to an uninterrupted run (tested in
+    # tests/test_frontier.py::test_resume).
+    return crawl(
+        spark,
+        pages,
+        frontier0.select("url", "depth"),
+        cfg,
+        url_col=url_col,
+        html_col=html_col,
+        initial_seen=seen0,
+        start_iter=last,
+    )

@@ -1,0 +1,48 @@
+"""Structured-Streaming surface (supplementary).
+
+The reference is an unbounded crawl loop with NO event time, windows,
+or late data (SURVEY.md §2.9) — the engine core is therefore
+batch-iterative, not streaming. This module exists for the live
+deployment shape: a discovered-URL feed streaming into the frontier
+tables, with per-host windowed rate metrics (the monitor/monitor.go
+dashboards as a streaming agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_host_rates(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "url string, host string, depth int, discovered_ts timestamp",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming per-host discovery rates over a file-source frontier
+    feed: the streaming analogue of monitor.go:186-196 per-interface
+    queue stats. Watermark bounds state for late arrivals."""
+    feed = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        feed.withWatermark("discovered_ts", watermark)
+        .groupBy(F.window("discovered_ts", window), F.col("host"))
+        .agg(
+            F.count("*").alias("discovered"),
+            F.min("depth").alias("min_depth"),
+        )
+    )
+
+
+def run_to_memory_sink(agg: DataFrame, name: str = "host_rates"):
+    """Drive a bounded file-backed stream to completion synchronously
+    (test/smoke harness); returns the started query."""
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
