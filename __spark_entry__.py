@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frontier crawl at sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each (omitted only for genuinely
+non-SQL-expressible ops, which fall back to the rows-only check).
+
+Synthetic inputs are derived deterministically from the driver's
+``documents``/``embeddings``/``events`` tables; where Spark and the
+oracle must agree on *generated* data, ONE SQL string (shared dialect
+subset) produces it on both engines — see
+go_crawler_..._spark/sources/pages.py.
 """
 
 from __future__ import annotations
@@ -12,27 +18,581 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions import (
+    textstats,
+)
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.routing import (
+    route_decision_col,
+)
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm import (
+    canonicalize_rfc3986,
+    get_extension_col,
+    is_document_slow_col,
+    is_document_url_col,
+    normalize_url_compat,
+)
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+    dedup,
+    multimodal,
+    politeness,
+    similarity,
+)
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+    CrawlConfig,
+    crawl,
+)
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import pages as pagesrc
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.tables import load
+
+MAX_DEPTH = 13
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic inputs (ONE SQL text, runs on Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+# URL variants exercising normalization: query, fragment, full-uppercase
+URL_SYNTH_SQL = f"""
+SELECT d.doc_id AS id,
+  CASE WHEN d.doc_id % 4 = 0 THEN {pagesrc._url('d.doc_id')} || '?b=2&a=1'
+       WHEN d.doc_id % 4 = 1 THEN {pagesrc._url('d.doc_id')} || '#frag'
+       WHEN d.doc_id % 4 = 2 THEN upper({pagesrc._url('d.doc_id')})
+       ELSE {pagesrc._url('d.doc_id')} END AS url
+FROM documents d
+""".strip()
+
+# routing-coverage URLs: every coordinator keyword, shallow/deep paths,
+# query strings, and body sizes straddling the 100 KB / 500 KB limits
+ROUTE_SYNTH_SQL = """
+SELECT d.doc_id AS id,
+  'https://host' || (d.doc_id % 20) || '.example'
+  || (CASE d.doc_id % 13
+        WHEN 0 THEN '/document' WHEN 1 THEN '/paper' WHEN 2 THEN '/publication'
+        WHEN 3 THEN '/research' WHEN 4 THEN '/library' WHEN 5 THEN '/sitemap'
+        WHEN 6 THEN '/archive' WHEN 7 THEN '/category' WHEN 8 THEN '/tag'
+        WHEN 9 THEN '/index' WHEN 10 THEN '/list' WHEN 11 THEN '/plain'
+        ELSE '' END)
+  || (CASE d.doc_id % 5 WHEN 0 THEN '/a/b/c' WHEN 1 THEN '' ELSE '/x' END)
+  || (CASE WHEN d.doc_id % 9 = 0 THEN '?q=1' ELSE '' END) AS url,
+  (d.n_chars * 997) % 800000 AS body_size
+FROM documents d
+""".strip()
+
+# document-URL variants for the P5/P6 divergence
+DOCURL_SYNTH_SQL = f"""
+SELECT d.doc_id AS id,
+  {pagesrc._url('d.doc_id')}
+  || (CASE d.doc_id % 5 WHEN 0 THEN '/files/r.pdf' WHEN 1 THEN '/files/R.PDF'
+        WHEN 2 THEN '/files/r.pdf?x=1' WHEN 3 THEN '/files/r.txt'
+        ELSE '' END) AS url
+FROM documents d
+""".strip()
+
+# frontier rows for the politeness/scheduling operators
+FRONTIER_SYNTH_SQL = f"""
+SELECT {pagesrc._url('d.doc_id')} AS url_norm,
+  'host' || {pagesrc._h('d.doc_id')} || '.example' AS host,
+  d.doc_id % 14 AS depth,
+  (d.doc_id % 13 = 0) AS priority
+FROM documents d
+""".strip()
+
+
+def _docs_view(spark: SparkSession, sf_dir: str) -> None:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+def _synth(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    _docs_view(spark, sf_dir)
+    return spark.sql(sql)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    )
+    return list(row["embedding"])
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_url_normalize_compat(spark, sf_dir):
+    """P1 NormalizeParsedURL (utils/utils.go:14-18) via the pandas UDF."""
+    return _synth(spark, sf_dir, URL_SYNTH_SQL).select(
+        "id", normalize_url_compat("url").alias("url_norm")
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Engine-native RFC 3986 canonicalizer (north_rule)."""
+    return _synth(spark, sf_dir, URL_SYNTH_SQL).select(
+        "id", canonicalize_rfc3986("url").alias("url_canon")
+    )
+
+
+def q_route_decision(spark, sf_dir):
+    """O1 two-tier coordinator (tokenizer/coordinator.go:42-99)."""
+    return _synth(spark, sf_dir, ROUTE_SYNTH_SQL).select(
+        "id", route_decision_col("url", "body_size").alias("path")
+    )
+
+
+def q_extract_links_fast(spark, sf_dir):
+    """E1 fast-path byte scan (tokenizer/fastpath.go:33-96) over the
+    clean corpus (double-quoted absolute hrefs: scan == href regex)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        extract_links_fast,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return pages.select(
+        "id", F.explode(extract_links_fast(F.col("html"), F.col("url"))).alias("link")
+    )
+
+
+def q_extract_docs_slow(spark, sf_dir):
+    """P6 isDocument + P7 getExtension (tokenizer/slowpath.go:135-157)."""
+    s = _synth(spark, sf_dir, DOCURL_SYNTH_SQL)
+    return s.filter(is_document_slow_col(F.col("url"))).select(
+        "id", "url", get_extension_col(F.col("url")).alias("ext")
+    )
+
+
+def q_is_document_url(spark, sf_dir):
+    """P5 IsDocumentURL (utils/utils.go:21-31) — the laxer variant."""
+    s = _synth(spark, sf_dir, DOCURL_SYNTH_SQL)
+    return s.select("id", "url", is_document_url_col(F.col("url")).alias("is_doc"))
+
+
+def q_crawl_frontier_bfs(spark, sf_dir):
+    """Flagship: full frontier loop (fetch-join + route + extract +
+    normalize + seen anti-join, SURVEY.md §3.2) on the clean corpus."""
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    seeds = spark.sql(pagesrc.seeds_sql())
+    res = crawl(spark, pages, seeds, CrawlConfig())
+    return res.seen.select("url_norm", "depth")
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """J1 membership probe as a left-anti join (crawler_twotier.go:195)."""
+    s = _synth(spark, sf_dir, URL_SYNTH_SQL).select(
+        "id", normalize_url_compat("url").alias("url_norm")
+    )
+    cands = s.filter(F.col("id") % 2 == 0).select("url_norm")
+    seen = s.filter((F.col("id") % 3 == 0) | (F.col("id") % 7 == 0)).select("url_norm")
+    return dedup.seen_anti_join(cands, seen)
+
+
+def q_politeness_budget(spark, sf_dir):
+    """C1/O8 per-host budget via salted two-phase top-K."""
+    frontier = _synth(spark, sf_dir, FRONTIER_SYNTH_SQL)
+    scheduled, _ = politeness.schedule(frontier, budget_per_host=5)
+    return scheduled.select("url_norm", "host", "depth")
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """A1/A2 routing-split metrics over the clean corpus."""
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    routed = pages.withColumn("path", route_decision_col("url", F.length("html")))
+    return routed.groupBy("host").agg(
+        F.count("*").alias("pages"),
+        F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("n_fast"),
+        F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("n_slow"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", k=8)
+
+
+def q_lsh_dup_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
+    return dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4)
+
+
+def q_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "lbucket", F.floor(F.col("n_chars") / F.lit(64)).cast("int")
+    )
+    return dedup.jaccard_pairs(docs, "doc_id", "text", ["source", "lbucket"], 0.5)
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_topk_bucketed(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_bucketed(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.90, n_bits=8)
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.lang_id("text").alias("lang_pred"))
+
+
+def q_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws("text").alias("n_ws"),
+        textstats.token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.quality_score("text").alias("score"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint("text").alias("fp"))
+
+
+def q_events_rollup(spark, sf_dir):
+    """Metrics-table rollup shape (A3-A5) over the events stream table.
+    Value sum uses milli-units summed as integers (order-independent)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    )
+
+
+def q_multimodal_probe(spark, sf_dir):
+    """Binary-payload plumbing (mapInPandas probe; decode stubbed —
+    no SQL oracle, rows-only check)."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.probe_media(payloads, "doc_id", "payload")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_crawl_frontier_bfs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_normalize_compat": q_url_normalize_compat,
+        "url_canonicalize": q_url_canonicalize,
+        "route_decision": q_route_decision,
+        "extract_links_fast": q_extract_links_fast,
+        "extract_docs_slow": q_extract_docs_slow,
+        "is_document_url": q_is_document_url,
+        "crawl_frontier_bfs": q_crawl_frontier_bfs,
+        "seen_anti_join": q_seen_anti_join,
+        "politeness_budget": q_politeness_budget,
+        "metrics_rollup": q_metrics_rollup,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_dup_pairs": q_lsh_dup_pairs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_topk": q_embedding_topk,
+        "ann_topk_bucketed": q_ann_topk_bucketed,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "events_rollup": q_events_rollup,
+        "multimodal_probe": q_multimodal_probe,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_URL_PATH = r"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)'"
+_URL_QUERY = r"'\?([^#]*)'"
+
+
+def _route_case(url: str, size: str) -> str:
+    """The 7-rule coordinator CASE in ANSI/DuckDB SQL (order preserved)."""
+    low = f"lower({url})"
+    kw_slow = " OR ".join(f"{low} LIKE '%{k}%'" for k in
+                          ("/document", "/paper", "/publication", "/research", "/library"))
+    kw_fast = " OR ".join(f"{low} LIKE '%{k}%'" for k in
+                          ("/sitemap", "/archive", "/category", "/tag", "/index", "/list"))
+    path = f"regexp_extract({url}, {_URL_PATH}, 1)"
+    return f"""CASE
+      WHEN {size} > 512000 THEN 'slow'
+      WHEN {kw_slow} THEN 'slow'
+      WHEN regexp_extract({url}, {_URL_QUERY}, 1) <> '' THEN 'slow'
+      WHEN {size} < 102400 THEN 'fast'
+      WHEN {kw_fast} THEN 'fast'
+      WHEN len(string_split({path}, '/')) <= 3 THEN 'fast'
+      ELSE 'slow' END"""
+
+
+def _minhash_select(k: int = 8) -> str:
+    aggs = ",\n    ".join(
+        f"min(md5(w || ':s{i}')) AS h{i}" for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+)
+SELECT id, {aggs} FROM toks WHERE w <> '' GROUP BY id
+""".strip()
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks WHERE w <> ''
+),
+sums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
+SELECT id, {fp} AS simhash FROM sums
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_case = """CASE
+      WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+      WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+      WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+      WHEN n_es > 0 THEN 'es'
+      ELSE 'und' END"""
+    lang_counts = ",\n      ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS n_{lang}"
+        for lang, pat in textstats.LANG_MARKERS.items()
+    ).replace("\\b", "\\b")
+    ws_count = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    return {
+        "url_normalize_compat": f"""
+WITH synth AS ({URL_SYNTH_SQL})
+SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth
+""",
+        "url_canonicalize": f"""
+WITH synth AS ({URL_SYNTH_SQL})
+SELECT id,
+  lower(regexp_extract(url, '^([^:/]+://[^/?#]*)', 1))
+  || regexp_extract(url, '^[^:/]+://[^/?#]*([^?#]*)', 1)
+  || CASE WHEN regexp_extract(url, {_URL_QUERY}, 1) <> ''
+       THEN '?' || array_to_string(list_sort(string_split(regexp_extract(url, {_URL_QUERY}, 1), '&')), '&')
+       ELSE '' END AS url_canon
+FROM synth
+""",
+        "route_decision": f"""
+WITH synth AS ({ROUTE_SYNTH_SQL})
+SELECT id, {_route_case('url', 'body_size')} AS path FROM synth
+""",
+        "extract_links_fast": f"""
+WITH p AS ({pagesrc.clean_pages_sql()})
+SELECT id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link FROM p
+""",
+        "extract_docs_slow": f"""
+WITH synth AS ({DOCURL_SYNTH_SQL})
+SELECT id, url,
+  '.' || regexp_replace(list_extract(string_split(url, '.'), len(string_split(url, '.'))), '\\?.*$', '') AS ext
+FROM synth WHERE lower(url) LIKE '%.pdf'
+""",
+        "is_document_url": f"""
+WITH synth AS ({DOCURL_SYNTH_SQL})
+SELECT id, url,
+  (lower(url) LIKE '%.pdf' OR contains(lower(url), '.pdf?') OR contains(lower(url), '.pdf&')) AS is_doc
+FROM synth
+""",
+        "crawl_frontier_bfs": f"""
+WITH RECURSIVE
+edges AS ({pagesrc.edges_sql()}),
+bfs(id, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {pagesrc.SEED_MOD} = 0
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.id
+  WHERE b.depth < {MAX_DEPTH}
+)
+SELECT 'https://host' || (CASE WHEN id % {pagesrc.MEGA_HOST_MOD} = 0 THEN 0 ELSE id % {pagesrc.N_HOSTS} END)
+       || '.example/page/' || id AS url_norm,
+       min(depth) AS depth
+FROM bfs GROUP BY id
+""",
+        "seen_anti_join": f"""
+WITH synth AS ({URL_SYNTH_SQL}),
+norm AS (SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth)
+SELECT url_norm FROM norm WHERE id % 2 = 0
+  AND url_norm NOT IN (SELECT url_norm FROM norm WHERE id % 3 = 0 OR id % 7 = 0)
+""",
+        "politeness_budget": f"""
+WITH f AS ({FRONTIER_SYNTH_SQL}),
+r AS (SELECT url_norm, host, depth,
+        row_number() OVER (PARTITION BY host ORDER BY priority DESC, depth, url_norm) AS rn
+      FROM f)
+SELECT url_norm, host, depth FROM r WHERE rn <= 5
+""",
+        "metrics_rollup": f"""
+WITH p AS ({pagesrc.clean_pages_sql()})
+SELECT host, count(*) AS pages,
+  sum(CASE WHEN {_route_case('url', 'length(html)')} = 'fast' THEN 1 ELSE 0 END) AS n_fast,
+  sum(CASE WHEN {_route_case('url', 'length(html)')} = 'slow' THEN 1 ELSE 0 END) AS n_slow
+FROM p GROUP BY host
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+        "minhash_signatures": _minhash_select(8),
+        "lsh_dup_pairs": f"""
+WITH sig AS ({_minhash_select(8)}),
+banded AS (
+  SELECT id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS bkey FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS bkey FROM sig
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+GROUP BY a.id, b.id
+""",
+        "simhash": _simhash_sql(60),
+        "jaccard_pairs": """
+WITH base AS (
+  SELECT doc_id AS id, text, source, CAST(floor(n_chars / 64.0) AS INT) AS lbucket FROM documents
+),
+toks AS (
+  SELECT DISTINCT id, source, lbucket,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM base
+),
+toks2 AS (SELECT * FROM toks WHERE w <> ''),
+sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks2 a JOIN toks2 b
+    ON a.w = b.w AND a.source = b.source AND a.lbucket = b.lbucket AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+""",
+        "embedding_topk": """
+SELECT e.vec_id,
+  round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                               list_transform(q.embedding, x -> x::DOUBLE)), 6) AS cosine
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        "ann_topk_bucketed": """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+    AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0)
+SELECT e.vec_id,
+  round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                               list_transform(q.embedding, x -> x::DOUBLE)), 6) AS cosine
+FROM b e, q WHERE e.bucket = q.bucket
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        "embedding_neardup": """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+    AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+  round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE),
+                               list_transform(b2.embedding, x -> x::DOUBLE)), 6) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE),
+                                   list_transform(b2.embedding, x -> x::DOUBLE)), 6) >= 0.90
+""",
+        "lang_id": f"""
+WITH c AS (
+  SELECT doc_id,
+      {lang_counts}
+  FROM documents
+)
+SELECT doc_id, {lang_case} AS lang_pred FROM c
+""",
+        "token_counts": f"""
+SELECT doc_id,
+  {ws_count} AS n_ws,
+  len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}')) AS n_bpe
+FROM documents
+""",
+        "quality_score": f"""
+WITH c AS (
+  SELECT doc_id,
+    length(text) AS n,
+    {ws_count} AS words,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+    len(regexp_extract_all(lower(text), '{textstats.LANG_MARKERS["en"]}')) AS stop
+  FROM documents
+)
+SELECT doc_id,
+  round(0.4 * least(n / 500.0, 1.0)
+      + 0.2 * least(punct * 10.0 / greatest(words, 1), 1.0)
+      + 0.2 * least(stop * 5.0 / greatest(words, 1), 1.0)
+      + 0.2 * (CASE WHEN n / greatest(words, 1) >= 3 AND n / greatest(words, 1) <= 12
+               THEN 1.0 ELSE 0.0 END), 6) AS score
+FROM c
+""",
+        "fingerprint": """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+        "events_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n,
+  sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+        # multimodal_probe: intentionally omitted (mapInPandas binary
+        # plumbing with a stubbed decoder — rows-only check)
+    }
