@@ -184,23 +184,6 @@ def crawl(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-        part_stats = (
-            ext.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("pages"),
-                F.sum(F.size(F.coalesce("links", F.array()))).alias("links"),
-                F.sum(F.size(F.coalesce("docs", F.array()))).alias("docs"),
-                F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("fast_cnt"),
-                F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("slow_cnt"),
-            )
-            .withColumn("iter", F.lit(it))
-        )
-        stats_rows = part_stats.collect()
-        tot = {
-            k: int(sum(r[k] or 0 for r in stats_rows))
-            for k in ("pages", "links", "docs", "fast_cnt", "slow_cnt")
-        }
-
         # F1 (parent depth) -> explode -> P1 normalize -> F2 -> batch dedup
         cand = (
             ext.filter(F.col("depth") < cfg.max_depth)
@@ -231,6 +214,26 @@ def crawl(
             .localCheckpoint(eager=True)
         )
         n_new = new.count()
+
+        # per-partition metrics (north_rule lineage) — ext is already
+        # materialized in the cache by the checkpoint above, so this
+        # aggregation is a cheap cache scan, not a re-extraction
+        part_stats = (
+            ext.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("pages"),
+                F.sum(F.size(F.coalesce("links", F.array()))).alias("links"),
+                F.sum(F.size(F.coalesce("docs", F.array()))).alias("docs"),
+                F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("fast_cnt"),
+                F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("slow_cnt"),
+            )
+            .withColumn("iter", F.lit(it))
+        )
+        stats_rows = part_stats.collect()
+        tot = {
+            k: int(sum(r[k] or 0 for r in stats_rows))
+            for k in ("pages", "links", "docs", "fast_cnt", "slow_cnt")
+        }
 
         # J2 + C5: download-state machine, retries as data.
         # Skipped entirely when this iteration produced no docs and no

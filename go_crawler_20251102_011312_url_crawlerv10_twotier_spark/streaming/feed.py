@@ -37,9 +37,14 @@ def stream_host_rates(
 
 def run_to_memory_sink(agg: DataFrame, name: str = "host_rates"):
     """Drive a bounded file-backed stream to completion synchronously
-    (test/smoke harness); returns the started query."""
+    (test/smoke harness); returns the started query.
+
+    complete mode: with availableNow the whole backlog can land in one
+    micro-batch, so the watermark never advances past the last window
+    and append mode would emit nothing — a known bounded-replay pitfall.
+    """
     q = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

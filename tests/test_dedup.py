@@ -1,0 +1,77 @@
+"""Dedup operators: exact, minhash+LSH, simhash, jaccard, seen-set."""
+
+from pyspark.sql import functions as F
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import dedup
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "the quick brown fox jumps"),  # exact dup of 0
+        (2, "the quick brown fox leaps"),  # near dup
+        (3, "completely different words here entirely"),
+        (4, "the quick brown fox jumps"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r.keep_id: r.dup_count for r in dedup.exact_dedup(_docs(spark), "doc_id", "text").collect()}
+    assert out[0] == 3  # 0,1,4 collapse, min id kept
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_identical_sigs_for_dups(spark):
+    sig = dedup.minhash_signatures(_docs(spark), "doc_id", "text", k=4)
+    rows = {r.id: tuple(r[f"h{i}"] for i in range(4)) for r in sig.collect()}
+    assert rows[0] == rows[1] == rows[4]
+    assert rows[0] != rows[3]
+    # near-dup shares most hash mins (4/5 token overlap)
+    shared = sum(a == b for a, b in zip(rows[0], rows[2]))
+    assert shared >= 1
+
+
+def test_lsh_pairs_catch_dups(spark):
+    sig = dedup.minhash_signatures(_docs(spark), "doc_id", "text", k=4)
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_dup_pairs(sig, k=4, rows_per_band=2).collect()}
+    assert {(0, 1), (0, 4), (1, 4)} <= pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_properties(spark):
+    fp = {r.id: r.simhash for r in dedup.simhash(_docs(spark), "doc_id", "text").collect()}
+    assert fp[0] == fp[1] == fp[4]
+    assert all(v >= 0 for v in fp.values())  # 60-bit, fits signed long
+
+    # hamming distance: near-dup closer than unrelated
+    import pandas as pd
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+
+
+def test_jaccard_pairs(spark):
+    docs = _docs(spark).withColumn("blk", F.lit(1))
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.jaccard_pairs(docs, "doc_id", "text", ["blk"], 0.5).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == round(4 / 6, 6)  # 4 shared of 6 distinct tokens
+    assert (0, 3) not in out
+
+
+def test_seen_anti_join(spark):
+    cand = spark.createDataFrame([("a",), ("b",), ("c",)], "url_norm string")
+    seen = spark.createDataFrame([("b",)], "url_norm string")
+    got = {r.url_norm for r in dedup.seen_anti_join(cand, seen).collect()}
+    assert got == {"a", "c"}
+
+
+def test_bloom_prefilter_exactness(spark):
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url_norm string")
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(0, 100, 2)], "url_norm string")
+    new = dedup.dedup_new_candidates(cand, seen, use_bloom=True)
+    got = {r.url_norm for r in new.collect()}
+    assert got == {f"u{i}" for i in range(1, 100, 2)}

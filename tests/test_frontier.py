@@ -1,0 +1,97 @@
+"""Crawl-equivalence and resume tests (SURVEY.md §5.2/§5.4).
+
+The quirks corpus exercises every extraction/normalization edge; the
+oracle is the single-threaded reference-semantics loop in oracle.py.
+Crawls are expensive (14 BFS supersteps), so they run once per module
+via fixtures and every assertion shares the results.
+"""
+
+import tempfile
+
+import pytest
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+    CrawlConfig,
+    crawl,
+    resume,
+)
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.pages import (
+    quirk_pages,
+    quirk_pages_rows,
+)
+
+from oracle import reference_crawl
+
+SEED = "https://quirk.example/"
+
+
+def run_engine(spark, cfg=None):
+    pages = quirk_pages(spark)
+    seeds = spark.createDataFrame([(SEED, 0)], "url string, depth int")
+    return crawl(spark, pages, seeds, cfg or CrawlConfig())
+
+
+@pytest.fixture(scope="module")
+def full(spark):
+    res = run_engine(spark)
+    return {
+        "seen": {(r.url_norm, r.depth) for r in res.seen.collect()},
+        "downloads": [(r.url, r.status, r.retry) for r in res.downloads.collect()],
+        "metrics": res.metrics,
+        "iterations": res.iterations,
+        "n_seen": res.seen.count(),
+    }
+
+
+@pytest.fixture(scope="module")
+def budgeted(spark):
+    res = run_engine(spark, CrawlConfig(budget_per_host=3, max_iterations=60))
+    return {
+        "seen": {(r.url_norm, r.depth) for r in res.seen.collect()},
+        "metrics": res.metrics,
+    }
+
+
+def test_quirks_crawl_matches_oracle(full):
+    oracle_seen, oracle_docs, oracle_dl = reference_crawl(
+        dict(quirk_pages_rows()), [SEED]
+    )
+    assert full["seen"] == set(oracle_seen.items())
+    # download attempts keyed on RAW doc url (downloader.go:280-286)
+    assert {u for u, _, _ in full["downloads"]} == oracle_dl
+    # every attempted URL is a dangling .pdf here -> all failed at retry>3
+    assert {(s, r) for _, s, r in full["downloads"]} == {("failed", 4)}
+
+
+def test_depth_cutoff(full):
+    depths = dict(full["seen"])
+    assert depths["https://quirk.example/chain/11"] == 13
+    assert "https://quirk.example/chain/12" not in depths  # F1 at MaxDepth=13
+    assert max(depths.values()) == 13
+
+
+def test_politeness_same_set(full, budgeted):
+    a = {u for u, _ in full["seen"]}
+    b = {u for u, _ in budgeted["seen"]}
+    assert a == b  # deferral reorders discovery but never loses URLs
+
+
+def test_budget_enforced_per_iteration(budgeted):
+    assert all(m["scheduled"] <= 3 for m in budgeted["metrics"])  # single host
+
+
+def test_resume_identical(spark, full):
+    with tempfile.TemporaryDirectory() as ck:
+        partial = run_engine(spark, CrawlConfig(max_iterations=2, checkpoint_dir=ck))
+        assert partial.iterations == 2
+        res = resume(spark, quirk_pages(spark), CrawlConfig(checkpoint_dir=ck))
+        got = {(r.url_norm, r.depth) for r in res.seen.collect()}
+    assert got == full["seen"]
+
+
+def test_metrics_shape(full):
+    m1 = full["metrics"][0]
+    assert m1["scheduled"] == 1 and m1["fetched"] == 1
+    assert m1["fast_cnt"] + m1["slow_cnt"] == m1["fetched"]
+    total_new = sum(m["new_urls"] for m in full["metrics"])
+    assert total_new == full["n_seen"] - 1  # all but the seed

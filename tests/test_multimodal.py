@@ -1,0 +1,50 @@
+"""Multimodal binary-column plumbing (decode kernel stubbed)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import multimodal as M
+
+
+def _payloads(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\nrest"),
+        (1, b"\xff\xd8\xff\xe0jpegdata"),
+        (2, b"RIFFxxxxWAVE"),
+        (3, b"plain bytes"),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_probe_media(spark):
+    out = {r.doc_id: r for r in M.probe_media(_payloads(spark)).collect()}
+    assert out[0].mime == "image/png"
+    assert out[1].mime == "image/jpeg"
+    assert out[2].mime == "audio/wav"
+    assert out[3].mime == "application/octet-stream"
+    assert out[4].mime == "application/octet-stream" and out[4].n_bytes == 0
+    assert out[0].sha1 == hashlib.sha1(b"\x89PNG\r\n\x1a\nrest").hexdigest()
+
+
+def test_decode_features_stub_deterministic(spark):
+    a = M.decode_features(_payloads(spark)).collect()
+    b = M.decode_features(_payloads(spark)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    row0 = next(r for r in a if r.doc_id == 0)
+    assert len(row0.features) == M.FEATURE_DIM
+    assert abs(sum(row0.features) - 1.0) < 1e-3
+
+
+def test_decode_features_strict_raises(spark):
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        M.decode_features(_payloads(spark), strict=True).collect()
+
+
+def test_attach_fake_payload(spark):
+    docs = spark.createDataFrame([(0, "hello"), (1, "x"), (2, "y")], "doc_id long, text string")
+    probed = M.probe_media(M.attach_fake_payload(docs)).collect()
+    mimes = {r.doc_id: r.mime for r in probed}
+    assert mimes == {0: "image/png", 1: "image/jpeg", 2: "audio/wav"}

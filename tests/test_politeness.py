@@ -1,0 +1,72 @@
+"""Per-host budget scheduling: exactness of the salted two-phase
+top-K vs the naive window, and ordering semantics."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.politeness import (
+    priority_order,
+    schedule,
+)
+
+
+def _frontier(spark, n=200, hosts=3):
+    rows = [
+        (f"https://h{i % hosts}.x/p{i}", f"h{i % hosts}.x", i % 7, i % 11 == 0, 0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url_norm string, host string, depth int, priority boolean, retry int"
+    )
+
+
+def test_budget_counts(spark):
+    f = _frontier(spark)
+    sched, deferred = schedule(f, budget_per_host=5)
+    per_host = {r.host: r["cnt"] for r in sched.groupBy("host").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v == 5 for v in per_host.values())
+    assert sched.count() + deferred.count() == f.count()
+    # scheduled ∩ deferred = ∅
+    assert sched.join(deferred, "url_norm", "inner").count() == 0
+
+
+def test_salted_topk_equals_naive_window(spark):
+    f = _frontier(spark, n=500, hosts=2)  # skewed: 250/host
+    sched, _ = schedule(f, budget_per_host=17, n_salts=8)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(), F.col("url_norm").asc()
+    )
+    naive = (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 17)
+        .drop("rn")
+    )
+    got = {tuple(r) for r in sched.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
+
+
+def test_priority_first(spark):
+    f = _frontier(spark)
+    sched, _ = schedule(f, budget_per_host=3)
+    # every scheduled slot must be filled by priority rows before
+    # non-priority ones of the same host (priority DESC first)
+    rows = sched.collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    full = {r.url_norm: r for r in f.collect()}
+    for host, scheduled_rows in by_host.items():
+        host_all = [r for r in full.values() if r.host == host]
+        n_prio = sum(r.priority for r in host_all)
+        got_prio = sum(r.priority for r in scheduled_rows)
+        assert got_prio == min(n_prio, 3)
+
+
+def test_priority_order_sorts_within_partitions(spark):
+    f = _frontier(spark, n=50, hosts=2)
+    out = priority_order(f)
+    pdf = out.withColumn("pid", F.spark_partition_id()).toPandas()
+    for _, grp in pdf.groupby("pid"):
+        keys = [(-int(p), d, u) for p, d, u in zip(grp.priority, grp.depth, grp.url_norm)]
+        assert keys == sorted(keys)

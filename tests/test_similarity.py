@@ -1,0 +1,43 @@
+"""Similarity search: exact cosine top-k, sign-bucket ANN, near-dup."""
+
+import math
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import similarity
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [1.0, 0.01, 0.0, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    out = similarity.cosine_topk(_emb(spark), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [0, 4, 1]
+    assert out[0].cosine == 1.0
+    expect1 = round(0.9 / math.hypot(0.9, 0.1), 6)
+    assert abs(out[2].cosine - expect1) < 1e-6
+
+
+def test_ann_bucketed_filters_bucket(spark):
+    # query bucket = sign bits of first 4 dims: only dim0>0 -> bucket 1
+    out = similarity.ann_topk_bucketed(
+        _emb(spark), [1.0, 0.0, 0.0, 0.0], k=10, n_bits=4
+    ).collect()
+    ids = {r.vec_id for r in out}
+    assert 3 not in ids and 2 not in ids  # other buckets
+    assert 0 in ids
+    # 1 and 4 have dim1>0 -> bucket 3, excluded: documented LSH trade-off
+    assert ids == {0}
+
+
+def test_neardup_pairs(spark):
+    out = similarity.embedding_neardup_pairs(_emb(spark), threshold=0.99, n_bits=2)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 4) in pairs  # same bucket (dim0>0, dim1>0), cosine ~0.9995
+    assert all(a < b for a, b in pairs)

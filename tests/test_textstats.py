@@ -1,0 +1,45 @@
+"""Text analysis operators."""
+
+from pyspark.sql import functions as F
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions import textstats as T
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+
+def test_lang_id(spark):
+    texts = [
+        "the cat and the dog of the house is big",
+        "der Hund und die Katze ist hier",
+        "le chat et la maison est grande les arbres",
+        "el perro y los gatos es grande las casas",
+        "xyz qqq zzz",
+    ]
+    out = [r.lang for r in _df(spark, texts).select(T.lang_id("text").alias("lang")).collect()]
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_token_counts(spark):
+    df = _df(spark, ["a b  c", "", "   ", "don't stop, won't stop!"])
+    rows = df.select(
+        T.token_count_ws("text").alias("ws"), T.token_count_bpe("text").alias("bpe")
+    ).collect()
+    assert [r.ws for r in rows] == [3, 0, 0, 4]
+    # bpe-ish: don ' t stop , won ' t stop ! = 10
+    assert rows[3].bpe == 10
+
+
+def test_quality_score_bounds(spark):
+    df = _df(spark, ["", "the and of to is. " * 30, "zz"])
+    rows = df.select(T.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    assert rows[1].q > rows[2].q
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = _df(spark, ["a  b\tc", "a b c", "a b  d"])
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
