@@ -35,6 +35,7 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm i
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
     dedup,
+    fetch,
     multimodal,
     politeness,
     similarity,
@@ -178,6 +179,61 @@ def q_crawl_frontier_bfs(spark, sf_dir):
     return res.seen.select("url_norm", "depth")
 
 
+def q_tier2_extract_text(spark, sf_dir):
+    """M7 tier-2 fetch-and-extract (downloader.go:110-222 + the
+    tokenize-stage text contract): salted-host repartition +
+    mapInPandas; text md5'd for compact comparison. A sprinkling of
+    dangling URLs exercises the 404 path (downloader.go:200-202)."""
+    corpus = pagesrc.synth_clean_pages(spark, sf_dir)
+    queue = corpus.select("url", "host").unionByName(
+        corpus.filter(F.col("id") % 100 == 0).select(
+            F.concat(F.lit("https://host0.example/missing/"), F.col("id")).alias("url"),
+            F.lit("host0.example").alias("host"),
+        )
+    )
+    keyed = corpus.select(F.col("url").alias("url_norm"), "html")
+    out = fetch.fetch_and_extract(queue, keyed)
+    return out.select(
+        "url",
+        "status",
+        F.md5("text").alias("text_md5"),
+        "n_bytes",
+    )
+
+
+def q_link_density(spark, sf_dir):
+    """P10 link density (slowpath.go:117-120) over the clean corpus:
+    fast-path link count per KB of HTML."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        extract_links_fast,
+        link_density_col,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return pages.select(
+        "id",
+        F.round(
+            link_density_col(
+                F.size(extract_links_fast(F.col("html"), F.col("url"))), F.col("html")
+            ),
+            6,
+        ).alias("link_density"),
+    )
+
+
+def q_seen_anti_join_bloom(spark, sf_dir):
+    """J1 with the sharded-Bloom prefilter (O4 / north_rule): bloom
+    probe skims definitely-new rows past the shuffle; false positives
+    fall through to the exact anti-join — same answer as
+    seen_anti_join, cheaper at 10^10 seen keys."""
+    s = _synth(spark, sf_dir, URL_SYNTH_SQL).select(
+        "id", normalize_url_compat("url").alias("url_norm")
+    )
+    cands = s.filter(F.col("id") % 2 == 0).select("url_norm")
+    seen = s.filter((F.col("id") % 3 == 0) | (F.col("id") % 7 == 0)).select("url_norm")
+    return dedup.dedup_new_candidates(cands, seen, use_bloom=True)
+
+
 def q_seen_anti_join(spark, sf_dir):
     """J1 membership probe as a left-anti join (crawler_twotier.go:195)."""
     s = _synth(spark, sf_dir, URL_SYNTH_SQL).select(
@@ -307,7 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docs_slow": q_extract_docs_slow,
         "is_document_url": q_is_document_url,
         "crawl_frontier_bfs": q_crawl_frontier_bfs,
+        "tier2_extract_text": q_tier2_extract_text,
+        "link_density": q_link_density,
         "seen_anti_join": q_seen_anti_join,
+        "seen_anti_join_bloom": q_seen_anti_join_bloom,
         "politeness_budget": q_politeness_budget,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
@@ -458,6 +517,33 @@ WITH synth AS ({URL_SYNTH_SQL}),
 norm AS (SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth)
 SELECT url_norm FROM norm WHERE id % 2 = 0
   AND url_norm NOT IN (SELECT url_norm FROM norm WHERE id % 3 = 0 OR id % 7 = 0)
+""",
+        "seen_anti_join_bloom": f"""
+WITH synth AS ({URL_SYNTH_SQL}),
+norm AS (SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth)
+SELECT url_norm FROM norm WHERE id % 2 = 0
+  AND url_norm NOT IN (SELECT url_norm FROM norm WHERE id % 3 = 0 OR id % 7 = 0)
+""",
+        # tier-2 text: independent derivation — the engine DOM-parses;
+        # the oracle strips tags textually (exact: fixture text has no
+        # markup chars). Byte-identity checked via md5.
+        "tier2_extract_text": f"""
+WITH p AS ({pagesrc.clean_pages_sql()})
+SELECT url, 200 AS status,
+  md5(regexp_replace(html, '<[^>]*>', '', 'g')) AS text_md5,
+  length(html)::BIGINT AS n_bytes
+FROM p
+UNION ALL
+SELECT 'https://host0.example/missing/' || id AS url, 404 AS status,
+  NULL AS text_md5, 0::BIGINT AS n_bytes
+FROM p WHERE id % 100 = 0
+""",
+        "link_density": f"""
+WITH p AS ({pagesrc.clean_pages_sql()})
+SELECT id,
+  round(len(regexp_extract_all(html, 'href="'))
+        / (length(html) / 1024.0), 6) AS link_density
+FROM p
 """,
         "politeness_budget": f"""
 WITH f AS ({FRONTIER_SYNTH_SQL}),
