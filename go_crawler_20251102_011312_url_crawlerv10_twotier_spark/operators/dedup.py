@@ -16,6 +16,8 @@ bit-for-bit (Spark's xxhash64 has no DuckDB twin).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,40 +31,118 @@ def seen_anti_join(candidates: DataFrame, seen: DataFrame, key: str = "url_norm"
     return candidates.join(seen.select(key), key, "left_anti")
 
 
+def _bloom_positions(h, m: int, n_hashes: int):
+    """Double-hashing bit positions for a vector of 64-bit hashes.
+
+    pos_i = (h1 + i*h2) mod m with h1/h2 the two 32-bit halves —
+    Kirsch-Mitzenmacher: k independent-enough probes from one hash.
+    Vectorized numpy; works on uint64 arrays.
+    """
+    h = h.astype(np.uint64)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = (h >> np.uint64(32)).astype(np.int64) | 1  # odd => full-period
+    return [((h1 + i * h2) % m).astype(np.int64) for i in range(n_hashes)]
+
+
+def build_bloom_shards(
+    seen: DataFrame,
+    key: str = "url_norm",
+    n_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Sharded Bloom state over the seen set (north_rule: partitioned
+    Bloom/cuckoo URL-seen keyed by xxhash64(url)).
+
+    One shuffle: keys hash JVM-side (xxhash64), shard = h mod
+    n_shards, then a grouped Arrow pass packs each shard's bitset with
+    numpy. Output: (shard int, bloom binary) — n_shards small rows
+    that broadcast to the probe side. At 10^10 keys the state is
+    n_shards x bits/8 bytes and each shard builds independently; scale
+    by raising n_shards, never by growing a single filter.
+    """
+    m = bits_per_shard
+    k = n_hashes
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m, dtype=bool)
+        for pos in _bloom_positions(pdf["h"].to_numpy(), m, k):
+            bits[pos] = True
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bloom": [np.packbits(bits).tobytes()]}
+        )
+
+    hashed = seen.select(F.xxhash64(key).alias("h")).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
+    )
+    return hashed.groupBy("shard").applyInPandas(pack, "shard int, bloom binary")
+
+
+def bloom_probe_col(h_col, bloom_col, bits_per_shard: int = 1 << 20, n_hashes: int = 5):
+    """might_contain as an Arrow-batched pandas UDF over (hash, bloom)."""
+    m = bits_per_shard
+    k = n_hashes
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series, bloom: pd.Series) -> pd.Series:
+        out = np.zeros(len(h), dtype=bool)
+        if len(h) == 0:
+            return pd.Series(out)
+        hv = h.to_numpy(dtype=np.int64, na_value=0)
+        blooms = bloom.to_numpy(dtype=object)
+        # group rows by identical bloom blob (one per shard) and probe
+        # each group vectorized
+        ids = pd.Series([id(b) if b is not None else 0 for b in blooms])
+        for _, idx in ids.groupby(ids).groups.items():
+            idx = np.asarray(idx)
+            b = blooms[idx[0]]
+            if b is None:
+                continue  # no shard state => might_contain = False
+            bits = np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+            hit = np.ones(len(idx), dtype=bool)
+            for pos in _bloom_positions(hv[idx], m, k):
+                hit &= bits[pos].astype(bool)
+            out[idx] = hit
+        return pd.Series(out)
+
+    return probe(h_col, bloom_col)
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     seen: DataFrame,
     key: str = "url_norm",
-    expected: int = 1_000_000,
-    fpp_bits: int = 8_388_608,
+    n_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    n_hashes: int = 5,
 ):
     """Sharded-Bloom pre-probe in front of the exact anti-join (O4).
 
-    Builds one Bloom filter over ``seen`` via ``bloom_filter_agg`` and
-    keeps only candidates that might NOT be present... inverted: rows
-    where might_contain is true still go through the exact anti-join;
-    rows where it is false are definitely-new and skip the shuffle.
+    Builds the shard table over ``seen`` (build_bloom_shards),
+    broadcast-joins it to the candidates on shard id, and probes.
+    Rows where the probe is False are DEFINITELY new and skip the
+    exact-join shuffle; rows where it is True (incl. false positives)
+    fall through to the authoritative anti-join — results stay exact.
 
-    Returns (definitely_new, maybe_seen). Caller unions
-    ``definitely_new`` with ``seen_anti_join(maybe_seen, seen)``.
-    Falls back to (empty, candidates) if bloom_filter_agg is not
-    available in this Spark build.
+    Returns (definitely_new, maybe_seen).
     """
-    try:
-        bloom_row = seen.select(
-            F.expr(
-                f"bloom_filter_agg(xxhash64({key}), "
-                f"cast({expected} as long), cast({fpp_bits} as long)) as bf"
-            )
-        ).collect()[0]
-    except Exception:
-        return candidates.limit(0), candidates
-    bf = bloom_row["bf"]
-    if bf is None:  # empty seen set
-        return candidates, candidates.limit(0)
-    probe = F.expr(f"might_contain(X'{bytes(bf).hex()}', xxhash64({key}))")
-    definitely_new = candidates.filter(~probe)
-    maybe_seen = candidates.filter(probe)
+    shards = build_bloom_shards(seen, key, n_shards, bits_per_shard, n_hashes)
+    probed = (
+        candidates.withColumn("_h", F.xxhash64(key))
+        .withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .join(F.broadcast(shards), F.col("_shard") == F.col("shard"), "left")
+        .withColumn(
+            "_maybe",
+            F.coalesce(
+                bloom_probe_col(F.col("_h"), F.col("bloom"), bits_per_shard, n_hashes),
+                F.lit(False),
+            ),
+        )
+        .drop("shard", "bloom")
+    )
+    aux = ("_h", "_shard", "_maybe")
+    definitely_new = probed.filter(~F.col("_maybe")).drop(*aux)
+    maybe_seen = probed.filter(F.col("_maybe")).drop(*aux)
     return definitely_new, maybe_seen
 
 
@@ -131,21 +211,30 @@ def lsh_dup_pairs(sig: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFra
     """Band the k-hash signature and emit candidate pairs sharing any
     band — the classic banding scheme: shuffle on the band key, then a
     per-bucket self-join (buckets are tiny, never a cross join).
-    Output: (id_a, id_b, n_bands) with id_a < id_b, distinct."""
+    Output: (id_a, id_b, n_bands) with id_a < id_b, distinct.
+
+    The bands come from ONE explode over the signature (not a
+    per-band union — that would re-run the whole minhash lineage once
+    per band per join side), and the banded frame is persisted so the
+    self-join's two sides read one materialization instead of
+    recomputing the signatures twice more.
+    """
     n_bands = k // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bands.append(
-            sig.select(
-                F.col("id"),
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("bkey"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("bkey"),
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(n_bands)
+    ]
+    banded = (
+        sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", "bb.band", "bb.bkey")
+        .persist()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

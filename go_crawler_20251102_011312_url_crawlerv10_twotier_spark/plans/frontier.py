@@ -50,7 +50,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -92,11 +92,24 @@ class CrawlResult:
 
 def _prepare_pages(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
     """Key the corpus by the compat-normalized URL and pre-truncate
-    bodies to the 5 MB cap (a scan-side projection, done once)."""
-    return pages.select(
-        _norm(F.col(url_col)).alias("url_norm"),
-        F.substring(F.col(html_col), 1, MAX_BODY_SIZE).alias("html"),
-    ).dropDuplicates(["url_norm"])
+    bodies to the 5 MB cap (a scan-side projection, done once).
+
+    The dedup shuffle hash-partitions the corpus on url_norm, and the
+    cached frame keeps that outputPartitioning — so every per-
+    iteration fetch join reuses it and only exchanges the (small)
+    frontier side. The heavy html bytes are shuffled exactly once per
+    crawl, not once per iteration. (Bucketing the pages table by
+    url_norm gives the same effect durably on a real cluster.)
+    """
+    n = pages.sparkSession.sparkContext.defaultParallelism
+    return (
+        pages.select(
+            _norm(F.col(url_col)).alias("url_norm"),
+            F.substring(F.col(html_col), 1, MAX_BODY_SIZE).alias("html"),
+        )
+        .repartition(n, "url_norm")
+        .dropDuplicates(["url_norm"])
+    )
 
 
 def _seed_frontier(seeds: DataFrame) -> DataFrame:
@@ -168,10 +181,15 @@ def crawl(
         if n_sched == 0:
             break
         it += 1
+        t_sched = time.time()
 
-        # S2: the fetch is a lookup join against the corpus
-        fetched = scheduled.join(corpus, "url_norm", "left")
-        hits = fetched.filter(F.col("html").isNotNull())
+        # S2: the fetch is a lookup join against the corpus. Inner join
+        # (misses are counted as n_sched - fetched, never materialized):
+        # AQE broadcasts the frontier side while it fits, and the cached
+        # corpus is already hash-partitioned on url_norm, so a fallback
+        # SMJ exchanges only the frontier — the html column never
+        # re-shuffles.
+        hits = scheduled.join(corpus, "url_norm", "inner")
 
         # O1 route + E1/E2 extract, one pass, per-partition metrics
         routed = hits.withColumn(
@@ -181,8 +199,22 @@ def crawl(
             extract_stage(routed, url_col="url", html_col="html")
             .withColumn("partition_id", F.spark_partition_id())
             .drop("html")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # without a snapshot store, totals ride along the extract action
+        # via observe() — no separate metrics job per iteration; with a
+        # store, the per-partition lineage rows need a real aggregation
+        obs = None
+        if store is None:
+            obs = Observation(f"iter{it}")
+            ext = ext.observe(
+                obs,
+                F.count(F.lit(1)).alias("pages"),
+                F.sum(F.size(F.coalesce("links", F.array()))).alias("links"),
+                F.sum(F.size(F.coalesce("docs", F.array()))).alias("docs"),
+                F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("fast_cnt"),
+                F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("slow_cnt"),
+            )
+        ext = ext.persist(StorageLevel.MEMORY_AND_DISK)
 
         # F1 (parent depth) -> explode -> P1 normalize -> F2 -> batch dedup
         cand = (
@@ -214,26 +246,34 @@ def crawl(
             .localCheckpoint(eager=True)
         )
         n_new = new.count()
+        t_extract = time.time()
 
-        # per-partition metrics (north_rule lineage) — ext is already
-        # materialized in the cache by the checkpoint above, so this
-        # aggregation is a cheap cache scan, not a re-extraction
-        part_stats = (
-            ext.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("pages"),
-                F.sum(F.size(F.coalesce("links", F.array()))).alias("links"),
-                F.sum(F.size(F.coalesce("docs", F.array()))).alias("docs"),
-                F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("fast_cnt"),
-                F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("slow_cnt"),
+        keys = ("pages", "links", "docs", "fast_cnt", "slow_cnt")
+        if obs is not None:
+            got = obs.get  # filled by the checkpoint action above
+            stats_rows = []
+            tot = {k: int(got[k] or 0) for k in keys}
+        else:
+            # per-partition metrics (north_rule lineage) — ext is already
+            # materialized in the cache by the checkpoint above, so this
+            # aggregation is a cheap cache scan, not a re-extraction
+            part_stats = (
+                ext.groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("pages"),
+                    F.sum(F.size(F.coalesce("links", F.array()))).alias("links"),
+                    F.sum(F.size(F.coalesce("docs", F.array()))).alias("docs"),
+                    F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("fast_cnt"),
+                    F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("slow_cnt"),
+                )
+                .withColumn("iter", F.lit(it))
             )
-            .withColumn("iter", F.lit(it))
-        )
-        stats_rows = part_stats.collect()
-        tot = {
-            k: int(sum(r[k] or 0 for r in stats_rows))
-            for k in ("pages", "links", "docs", "fast_cnt", "slow_cnt")
-        }
+            stats_rows = part_stats.collect()
+            tot = {
+                k: int(sum(r[k] or 0 for r in stats_rows))
+                for k in keys
+            }
+        t_stats = time.time()
 
         # J2 + C5: download-state machine, retries as data.
         # Skipped entirely when this iteration produced no docs and no
@@ -249,15 +289,19 @@ def crawl(
                 .withColumn("retry", F.lit(0))
             )
             attempts = dl_pending.unionByName(new_docs)
+            # fetch-success test needs only key existence — probe a
+            # keys-only projection of the cache, never the html bytes
             dl_fetched = attempts.join(
-                corpus.withColumnRenamed("url_norm", "dl_norm"),
+                corpus.select(
+                    F.col("url_norm").alias("dl_norm"), F.lit(True).alias("dl_hit")
+                ),
                 _norm(F.col("url")) == F.col("dl_norm"),
                 "left",
             )
-            done = dl_fetched.filter(F.col("html").isNotNull()).select(
+            done = dl_fetched.filter(F.col("dl_hit").isNotNull()).select(
                 "url", F.lit("done").alias("status"), "retry", F.lit(it).alias("iter")
             )
-            missed = dl_fetched.filter(F.col("html").isNull()).select(
+            missed = dl_fetched.filter(F.col("dl_hit").isNull()).select(
                 "url", (F.col("retry") + 1).alias("retry")
             )
             failed = missed.filter(F.col("retry") > cfg.max_retries).select(
@@ -294,6 +338,10 @@ def crawl(
                 "docs": tot["docs"],
                 "new_urls": n_new,
                 "wall_s": round(time.time() - t0, 3),
+                "t_sched": round(t_sched - t0, 3),
+                "t_extract": round(t_extract - t_sched, 3),
+                "t_stats": round(t_stats - t_extract, 3),
+                "t_state": round(time.time() - t_stats, 3),
             }
         )
         if store:

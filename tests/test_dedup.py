@@ -75,3 +75,27 @@ def test_bloom_prefilter_exactness(spark):
     new = dedup.dedup_new_candidates(cand, seen, use_bloom=True)
     got = {r.url_norm for r in new.collect()}
     assert got == {f"u{i}" for i in range(1, 100, 2)}
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every seen key must probe True (the Bloom guarantee); unseen
+    keys mostly probe False at this sizing (fp rate << 1)."""
+    seen = spark.createDataFrame([(f"k{i}",) for i in range(500)], "url_norm string")
+    cand = spark.createDataFrame(
+        [(f"k{i}",) for i in range(1000)], "url_norm string"
+    )
+    new, maybe = dedup.bloom_prefilter(cand, seen, n_shards=8, bits_per_shard=1 << 16)
+    maybe_set = {r.url_norm for r in maybe.collect()}
+    assert {f"k{i}" for i in range(500)} <= maybe_set  # no false negatives
+    new_set = {r.url_norm for r in new.collect()}
+    assert new_set.isdisjoint({f"k{i}" for i in range(500)})
+    # definitely-new must skip most unseen keys past the exact join
+    assert len(new_set) > 400
+
+
+def test_bloom_empty_seen(spark):
+    seen = spark.createDataFrame([], "url_norm string")
+    cand = spark.createDataFrame([("a",), ("b",)], "url_norm string")
+    new, maybe = dedup.bloom_prefilter(cand, seen)
+    assert {r.url_norm for r in new.collect()} == {"a", "b"}
+    assert maybe.count() == 0
