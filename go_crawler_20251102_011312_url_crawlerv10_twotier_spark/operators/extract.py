@@ -308,6 +308,40 @@ def extract_slow(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+_EMPTY_SLOW = {
+    "urls": None,
+    "docs": None,
+    "title": None,
+    "description": None,
+    "has_nav": None,
+    "link_count": None,
+}
+
+
+def extract_routed_py(html, base_url: str, path: str) -> dict:
+    """Per-row dispatch of the two tokenizer tiers (coordinator.go:29-33
+    routes, then crawler_twotier.go:121-167 calls the chosen tier).
+    Fast rows fill only ``urls``/``link_count``; slow rows fill all."""
+    if path == "slow":
+        return analyze_slow_py(html, base_url)
+    out = dict(_EMPTY_SLOW)
+    urls = extract_links_fast_py(html, base_url)
+    out["urls"] = urls
+    out["link_count"] = len(urls)
+    return out
+
+
+@F.pandas_udf(SLOW_RESULT_TYPE)
+def extract_routed(html: pd.Series, base_url: pd.Series, path: pd.Series) -> pd.DataFrame:
+    rows = [
+        extract_routed_py(h, u, p)
+        if h is not None and u is not None
+        else dict(_EMPTY_SLOW)
+        for h, u, p in zip(html, base_url, path)
+    ]
+    return pd.DataFrame(rows)
+
+
 def link_density_col(link_count, html):
     """P10 (slowpath.go:117-120): links per KB of HTML."""
     link_count = F.col(link_count) if isinstance(link_count, str) else link_count
@@ -321,23 +355,19 @@ def extract_stage(pages: DataFrame, url_col: str = "url", html_col: str = "html"
 
     Input must carry a ``path`` column ('fast'|'slow') from
     routing.route_decision_col. Output: one row per page with
-    ``links array<string>``, ``docs``, page metadata columns. The
-    fast/slow split is two filtered branches unioned back (keeps the
-    Arrow batches homogeneous per UDF — no wasted UDF evaluation under
-    a CASE) and Catalyst still reads the source once per branch with
-    the route predicate pushed down.
+    ``links array<string>``, ``docs``, page metadata columns.
+
+    SINGLE source pass: one Arrow UDF receives (html, url, path) and
+    dispatches per row. The earlier design — two filtered branches
+    unioned back — planned every upstream operator (the fetch join and
+    the corpus scan with its multi-MB html bodies) TWICE per
+    iteration; at 10^10 pages the duplicated scan dwarfs the benefit
+    of per-tier Arrow batch homogeneity. Row-level dispatch inside one
+    pass costs one string compare per row.
     """
-    fast = (
-        pages.filter(F.col("path") == "fast")
-        .withColumn("links", extract_links_fast(F.col(html_col), F.col(url_col)))
-        .withColumn("docs", F.lit(None).cast(SLOW_RESULT_TYPE["docs"].dataType))
-        .withColumn("page_title", F.lit(None).cast("string"))
-        .withColumn("page_description", F.lit(None).cast("string"))
-        .withColumn("has_nav", F.lit(None).cast("boolean"))
-    )
-    slow = (
-        pages.filter(F.col("path") == "slow")
-        .withColumn("r", extract_slow(F.col(html_col), F.col(url_col)))
+    r = extract_routed(F.col(html_col), F.col(url_col), F.col("path"))
+    return (
+        pages.withColumn("r", r)
         .withColumn("links", F.col("r.urls"))
         .withColumn("docs", F.col("r.docs"))
         .withColumn("page_title", F.col("r.title"))
@@ -345,4 +375,3 @@ def extract_stage(pages: DataFrame, url_col: str = "url", html_col: str = "html"
         .withColumn("has_nav", F.col("r.has_nav"))
         .drop("r")
     )
-    return fast.unionByName(slow)

@@ -80,6 +80,27 @@ class CrawlConfig:
     max_retries: int = MAX_RETRIES  # config/config.go:34
     checkpoint_dir: str | None = None
     politeness_salts: int = 16
+    # broadcast the per-iteration frontier into the fetch join. True is
+    # right whenever one iteration's scheduled batch fits in memory
+    # (politeness-budgeted crawls always do); set False at 10^10-URL
+    # iteration sizes and let AQE pick SMJ against the bucketed corpus.
+    broadcast_frontier: bool = True
+    # override the O1 coordinator: 'fast' | 'slow' routes every page
+    # through one tier (the reference exposes the same knob via its
+    # configurable thresholds, coordinator.go:135-142). None = O1 rules.
+    force_path: str | None = None
+    # cache the prepared corpus across iterations (the reference's
+    # response cache, O11). Right for iterative crawls; set False for
+    # single-superstep runs where each page is read exactly once and
+    # the cache build/spill is pure overhead.
+    cache_corpus: bool = True
+    # hash-repartition + dropDuplicates the corpus on url_norm during
+    # prep. Needed when the input may carry duplicate URLs; set False
+    # when the pages table is already unique per url (an ingest-time
+    # invariant any production Iceberg pages table should hold) — the
+    # full-corpus shuffle it saves is the single largest data movement
+    # in the job.
+    dedupe_corpus: bool = True
 
 
 @dataclass
@@ -90,26 +111,29 @@ class CrawlResult:
     iterations: int = 0
 
 
-def _prepare_pages(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
+def _prepare_pages(
+    pages: DataFrame, url_col: str, html_col: str, dedupe: bool = True
+) -> DataFrame:
     """Key the corpus by the compat-normalized URL and pre-truncate
     bodies to the 5 MB cap (a scan-side projection, done once).
 
-    The dedup shuffle hash-partitions the corpus on url_norm, and the
-    cached frame keeps that outputPartitioning — so every per-
-    iteration fetch join reuses it and only exchanges the (small)
-    frontier side. The heavy html bytes are shuffled exactly once per
-    crawl, not once per iteration. (Bucketing the pages table by
-    url_norm gives the same effect durably on a real cluster.)
+    With ``dedupe``, the shuffle hash-partitions the corpus on
+    url_norm, and the cached frame keeps that outputPartitioning — so
+    every per-iteration fetch join reuses it and only exchanges the
+    (small) frontier side; the heavy html bytes are shuffled exactly
+    once per crawl, not once per iteration. Without it (pre-unique
+    input), the corpus is never shuffled at all — pair with
+    broadcast_frontier or a bucketed table so the join needs no
+    corpus-side exchange.
     """
-    n = pages.sparkSession.sparkContext.defaultParallelism
-    return (
-        pages.select(
-            _norm(F.col(url_col)).alias("url_norm"),
-            F.substring(F.col(html_col), 1, MAX_BODY_SIZE).alias("html"),
-        )
-        .repartition(n, "url_norm")
-        .dropDuplicates(["url_norm"])
+    proj = pages.select(
+        _norm(F.col(url_col)).alias("url_norm"),
+        F.substring(F.col(html_col), 1, MAX_BODY_SIZE).alias("html"),
     )
+    if not dedupe:
+        return proj
+    n = pages.sparkSession.sparkContext.defaultParallelism
+    return proj.repartition(n, "url_norm").dropDuplicates(["url_norm"])
 
 
 def _seed_frontier(seeds: DataFrame) -> DataFrame:
@@ -142,9 +166,14 @@ def crawl(
     cfg = cfg or CrawlConfig()
     store = SnapshotStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
-    corpus = _prepare_pages(pages, url_col, html_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    corpus = _prepare_pages(pages, url_col, html_col, dedupe=cfg.dedupe_corpus)
+    if cfg.cache_corpus:
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the cache NOW, in one deterministic job — otherwise
+        # the first iteration's join (or worse, an AQE broadcast-stage
+        # building a plan below the cache node) re-runs the corpus prep
+        # per branch
+        corpus.count()
 
     frontier = _seed_frontier(seeds).localCheckpoint(eager=True)
     if initial_seen is not None:
@@ -184,17 +213,24 @@ def crawl(
         t_sched = time.time()
 
         # S2: the fetch is a lookup join against the corpus. Inner join
-        # (misses are counted as n_sched - fetched, never materialized):
-        # AQE broadcasts the frontier side while it fits, and the cached
-        # corpus is already hash-partitioned on url_norm, so a fallback
-        # SMJ exchanges only the frontier — the html column never
-        # re-shuffles.
-        hits = scheduled.join(corpus, "url_norm", "inner")
+        # (misses are counted as n_sched - fetched, never materialized).
+        # The frontier side is broadcast explicitly: a planner-chosen
+        # build side can flip onto the corpus (its ExistingRDD stats are
+        # unknown), which would rebuild a hashed relation of every page
+        # body each iteration. With the hint, the corpus cache is only
+        # ever streamed. At 10^10 frontier sizes set
+        # cfg.broadcast_frontier=False: the cached/bucketed corpus
+        # partitioning then makes it a frontier-side-only exchange SMJ.
+        sched_side = F.broadcast(scheduled) if cfg.broadcast_frontier else scheduled
+        hits = sched_side.join(corpus, "url_norm", "inner")
 
         # O1 route + E1/E2 extract, one pass, per-partition metrics
-        routed = hits.withColumn(
-            "path", route_decision_col(F.col("url"), F.length("html"))
+        path_col = (
+            F.lit(cfg.force_path)
+            if cfg.force_path
+            else route_decision_col(F.col("url"), F.length("html"))
         )
+        routed = hits.withColumn("path", path_col)
         ext = (
             extract_stage(routed, url_col="url", html_col="html")
             .withColumn("partition_id", F.spark_partition_id())
@@ -202,7 +238,11 @@ def crawl(
         )
         # without a snapshot store, totals ride along the extract action
         # via observe() — no separate metrics job per iteration; with a
-        # store, the per-partition lineage rows need a real aggregation
+        # store, the per-partition lineage rows need a real aggregation.
+        # ext is deliberately NOT persisted: building the columnar cache
+        # for its nested output (array<struct> docs) costs ~10x more
+        # than recomputing the whole extract lineage on the rare second
+        # consumer (the docs branch / store metrics), so recompute wins.
         obs = None
         if store is None:
             obs = Observation(f"iter{it}")
@@ -214,7 +254,6 @@ def crawl(
                 F.sum(F.when(F.col("path") == "fast", 1).otherwise(0)).alias("fast_cnt"),
                 F.sum(F.when(F.col("path") == "slow", 1).otherwise(0)).alias("slow_cnt"),
             )
-        ext = ext.persist(StorageLevel.MEMORY_AND_DISK)
 
         # F1 (parent depth) -> explode -> P1 normalize -> F2 -> batch dedup
         cand = (
@@ -254,9 +293,8 @@ def crawl(
             stats_rows = []
             tot = {k: int(got[k] or 0) for k in keys}
         else:
-            # per-partition metrics (north_rule lineage) — ext is already
-            # materialized in the cache by the checkpoint above, so this
-            # aggregation is a cheap cache scan, not a re-extraction
+            # per-partition metrics (north_rule lineage): one extra
+            # aggregation that recomputes the (cheap) extract lineage
             part_stats = (
                 ext.groupBy("partition_id")
                 .agg(
@@ -324,7 +362,6 @@ def crawl(
         else:
             frontier = deferred.unionByName(new).coalesce(ncoal).localCheckpoint(eager=True)
             n_frontier = frontier.count()
-        ext.unpersist()
 
         metrics.append(
             {
@@ -372,7 +409,8 @@ def crawl(
     )
     downloads = dl_log.unionByName(pending_final)
 
-    corpus.unpersist()
+    if cfg.cache_corpus:
+        corpus.unpersist()
     return CrawlResult(seen=seen, downloads=downloads, metrics=metrics, iterations=it)
 
 

@@ -44,11 +44,31 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "10000"),
+        )
         # runtime bloom-filter join pruning (O4 analogue, SURVEY.md §4)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        # deliberately small heap + throughput collector: the corpus scan
+        # allocates large short-lived strings (multi-MB page bodies) every
+        # iteration, and a big G1 heap turns that into multi-second GC
+        # stalls (measured 4-5x slowdown at 48g G1 vs 8g ParallelGC on
+        # the 50K-page crawl). MaxDirectMemorySize must be raised well
+        # above the heap: Arrow/netty per-task arenas grow with thread
+        # count, and when direct memory (default = heap size) runs out,
+        # netty forces System.gc() storms — measured as 2-5x ANTI-scaling
+        # beyond ~8 threads until the cap was lifted. On a real cluster
+        # the same reasoning sizes EXECUTOR heap/offheap and scales out.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:MaxDirectMemorySize=24g",
+            ),
+        )
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI","false"))
         .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()

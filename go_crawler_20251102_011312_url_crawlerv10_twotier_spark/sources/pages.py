@@ -71,17 +71,32 @@ def _href(dst: str, src: str) -> str:
     )
 
 
-def clean_pages_sql() -> str:
+def clean_pages_sql(body_repeat: int = 1) -> str:
     """SELECT producing the clean pages corpus FROM ``documents``.
 
     Runs verbatim on Spark SQL and DuckDB (shared dialect subset:
     ||, CASE, %, substr, replace, repeat). Columns:
     (id, url, host, warc_ts, html, text, lang).
+
+    ``body_repeat`` scales the in-page content volume (real tokenizable
+    words in real paragraph markup, not filler): 1 for the correctness
+    fixtures; ~20-50 gives Common-Crawl-realistic multi-KB tag-dense
+    bodies for throughput/scaling runs (each repetition is its own
+    ``<p>`` element, so DOM work scales with the byte count — a single
+    giant text node would parse in one C-level skip).
     """
     h = _h("b.id")
     url1 = _href("b.d1", "b.id")
     url2 = _href("b.d2", "b.id")
     url3 = _href("b.d3", "b.id")
+    body = (
+        "replace(substr(d.text, 1, 400), 'href', 'link')"
+        if body_repeat <= 1
+        else (
+            "repeat('<p>' || replace(substr(d.text, 1, 400), 'href', 'link')"
+            f" || '</p>', {body_repeat})"
+        )
+    )
     return f"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 b AS (
@@ -90,7 +105,7 @@ b AS (
     (d.doc_id + 1) % nn.n AS d1,
     (d.doc_id + (d.doc_id * 7) % 50 + 2) % nn.n AS d2,
     (d.doc_id * 13 + 7) % nn.n AS d3,
-    replace(substr(d.text, 1, 400), 'href', 'link') AS body_text,
+    {body} AS body_text,
     d.text AS text,
     d.lang AS lang
   FROM documents d, nn
@@ -137,11 +152,20 @@ SELECT d.doc_id, 0 FROM documents d WHERE d.doc_id % {NAV_MOD} = 0
 """.strip()
 
 
-def synth_clean_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_clean_pages(
+    spark: SparkSession, sf_dir: str, body_repeat: int = 1
+) -> DataFrame:
     """Clean corpus as a DataFrame (lazy; html synthesized JVM-side by
-    whole-stage-codegen'd string exprs — no Python in this path)."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    return spark.sql(clean_pages_sql())
+    whole-stage-codegen'd string exprs — no Python in this path).
+
+    The documents fixture is a single small parquet file = ONE input
+    split, which would serialize the whole (fan-out) synthesis into a
+    single task; spread it across the cluster first.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(clean_pages_sql(body_repeat))
 
 
 def seeds_sql() -> str:
