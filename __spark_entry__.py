@@ -91,6 +91,18 @@ SELECT d.doc_id AS id,
 FROM documents d
 """.strip()
 
+# frontier rows for the robots filter: hosts 0..19, three path shapes;
+# even hosts get a robots.txt (Disallow /private, Allow /private/ok)
+ROBOTS_FRONTIER_SQL = """
+SELECT 'https://host' || (d.doc_id % 20) || '.example'
+  || (CASE d.doc_id % 3 WHEN 0 THEN '/pub/x' WHEN 1 THEN '/private/x'
+      ELSE '/private/ok/x' END) || d.doc_id AS url_norm,
+  'host' || (d.doc_id % 20) || '.example' AS host,
+  (d.doc_id % 20) AS h,
+  (d.doc_id % 3) AS shape
+FROM documents d
+""".strip()
+
 # frontier rows for the politeness/scheduling operators
 FRONTIER_SYNTH_SQL = f"""
 SELECT {pagesrc._url('d.doc_id')} AS url_norm,
@@ -244,6 +256,91 @@ def q_seen_anti_join(spark, sf_dir):
     return dedup.seen_anti_join(cands, seen)
 
 
+def q_robots_filter(spark, sf_dir):
+    """north_rule robots enforcement (operators/robots.py): rules
+    table broadcast onto the frontier + longest-match verdict UDF.
+    The reference ignores robots (crawler_twotier.go:56) — this is
+    engine-native. The oracle re-derives verdicts from the KNOWN rule
+    structure with pure SQL prefix logic (independent path)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        filter_allowed,
+        robots_rules,
+    )
+
+    frontier = _synth(spark, sf_dir, ROBOTS_FRONTIER_SQL)
+    robots_corpus = spark.sql(
+        """
+        SELECT 'https://host' || h || '.example/robots.txt' AS url_norm,
+               'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+               || 'Allow: /private/ok' || chr(10) AS html
+        FROM (SELECT DISTINCT doc_id % 20 AS h FROM documents) WHERE h % 2 = 0
+        """
+    )
+    rules = robots_rules(robots_corpus)
+    return filter_allowed(frontier, rules).select("url_norm")
+
+
+def q_stream_host_rates(spark, sf_dir):
+    """Structured Streaming surface (streaming/feed.py): tumbling
+    10 s windows + watermark over a bounded file feed, driven with
+    availableNow to completion; equals the batch windowed agg, which
+    is the DuckDB oracle."""
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        run_to_memory_sink,
+        stream_host_rates,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="feed_")
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        F.concat(F.col("event_type"), F.lit("/"), F.col("event_id")).alias("url"),
+        F.col("event_type").alias("host"),
+        (F.round(F.col("value") * 1000).cast("int") % 14).alias("depth"),
+        F.col("ts").alias("discovered_ts"),
+    ).write.mode("overwrite").parquet(feed_dir)
+
+    agg = stream_host_rates(spark, feed_dir)
+    q = run_to_memory_sink(agg, name="host_rates_gate")
+    q.awaitTermination()
+    return spark.sql(
+        """
+        SELECT window.start AS win_start, host,
+               discovered, min_depth
+        FROM host_rates_gate
+        """
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 6 inside
+    (source, length-bucket) blocks — JVM-only bit ops, blocked
+    self-join (never a cross join)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "lbucket", F.floor(F.col("n_chars") / F.lit(64)).cast("int")
+    )
+    sig = dedup.simhash(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "source", "lbucket"), "id"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = dedup.hamming64(F.col("a.simhash"), F.col("b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lbucket") == F.col("b.lbucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= 6)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
 def q_politeness_budget(spark, sf_dir):
     """C1/O8 per-host budget via salted two-phase top-K."""
     frontier = _synth(spark, sf_dir, FRONTIER_SYNTH_SQL)
@@ -367,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_density": q_link_density,
         "seen_anti_join": q_seen_anti_join,
         "seen_anti_join_bloom": q_seen_anti_join_bloom,
+        "robots_filter": q_robots_filter,
+        "stream_host_rates": q_stream_host_rates,
+        "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
@@ -544,6 +644,35 @@ SELECT id,
   round(len(regexp_extract_all(html, 'href="'))
         / (length(html) / 1024.0), 6) AS link_density
 FROM p
+""",
+        # robots: oracle knows the synthesized rule structure (even
+        # hosts: Disallow /private, Allow /private/ok) and re-derives
+        # verdicts with prefix CASE logic — no robots parsing involved
+        "robots_filter": f"""
+WITH f AS ({ROBOTS_FRONTIER_SQL})
+SELECT url_norm FROM f
+WHERE h % 2 = 1 OR shape = 0 OR shape = 2
+""",
+        "stream_host_rates": """
+SELECT to_timestamp(floor(epoch(ts) / 10) * 10) AS win_start,
+       event_type AS host,
+       count(*) AS discovered,
+       min(CAST(round(value * 1000) AS INT) % 14) AS min_depth
+FROM events
+GROUP BY 1, 2
+""",
+        "simhash_neardup": f"""
+WITH sig AS ({_simhash_sql(60)}),
+meta AS (
+  SELECT doc_id AS id, source, CAST(floor(n_chars / 64.0) AS INT) AS lbucket
+  FROM documents
+),
+s AS (SELECT sig.id, simhash, source, lbucket FROM sig JOIN meta ON sig.id = meta.id)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM s a JOIN s b
+  ON a.source = b.source AND a.lbucket = b.lbucket AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,
         "politeness_budget": f"""
 WITH f AS ({FRONTIER_SYNTH_SQL}),

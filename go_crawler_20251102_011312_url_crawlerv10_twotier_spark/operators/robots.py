@@ -1,0 +1,172 @@
+"""robots.txt rules (north_rule requirement; engine-native addition).
+
+The reference deliberately DISABLES robots handling
+(colly.IgnoreRobotsTxt(), crawler/crawler.go:53 and
+crawler_twotier.go:56), so reference-equivalence runs keep
+``CrawlConfig.respect_robots=False``. The north_rule nevertheless
+mandates robots enforcement in the new engine; this module provides it
+Spark-first:
+
+* robots documents live IN the corpus (url ``https://host/robots.txt``
+  — the synthetic corpus is the web, SURVEY.md §2.1 S2);
+* rule extraction is a scan + projection over those rows;
+* enforcement is a broadcast join of the (tiny) per-host rule table
+  onto the frontier plus one vectorized verdict UDF — no shuffle of
+  the frontier, usable inside every scheduling iteration.
+
+Semantics: the RFC 9309 longest-match subset for ``User-agent: *``
+groups — ``Allow:``/``Disallow:`` prefix rules with ``*`` wildcards
+and ``$`` end-anchor, longest-pattern-wins, Allow wins ties, empty
+Disallow means allow-all, hosts without robots.txt allow everything.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# scalar core (shared with tests/oracle)
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_py(text: str | bytes | None) -> list[tuple[bool, str]]:
+    """Parse robots.txt into [(allow, pattern)] for the ``*`` agent.
+
+    Groups: consecutive ``User-agent:`` lines open a group; rules apply
+    to every agent named above them. Only ``*`` groups are kept (the
+    engine crawls as a generic agent). Unknown directives ignored.
+    """
+    if text is None:
+        return []
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="replace")
+    rules: list[tuple[bool, str]] = []
+    in_star_group = False
+    seen_agent_line = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_agent_line:
+                # consecutive user-agent lines extend the same group
+                in_star_group = in_star_group or val == "*"
+            else:
+                in_star_group = val == "*"
+            seen_agent_line = True
+        elif key in ("allow", "disallow"):
+            seen_agent_line = False
+            if in_star_group and val:
+                rules.append((key == "allow", val))
+            elif in_star_group and key == "disallow" and not val:
+                pass  # empty Disallow = allow all (no rule needed)
+        else:
+            seen_agent_line = False
+    return rules
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 pattern -> anchored regex: '*' = any run, '$' = end."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in core)
+    return "^" + rx + ("$" if anchored else "")
+
+
+def robots_allowed_py(path: str, rules: list[tuple[bool, str]]) -> bool:
+    """Longest-match verdict: the rule with the longest pattern that
+    matches the path wins; Allow wins length ties; no match => allow."""
+    if not rules:
+        return True
+    best_len = -1
+    best_allow = True
+    for allow, pattern in rules:
+        if re.match(_pattern_to_regex(pattern), path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow and not best_allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+RULES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("allow", T.BooleanType()),
+            T.StructField("pattern", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(RULES_TYPE)
+def parse_robots(body: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [{"allow": a, "pattern": p} for a, p in parse_robots_py(b)]
+            if b is not None
+            else []
+            for b in body
+        ],
+        dtype=object,
+    )
+
+
+def robots_rules(
+    corpus: DataFrame, url_col: str = "url_norm", body_col: str = "html"
+) -> DataFrame:
+    """Per-host rule table from the corpus' /robots.txt rows.
+
+    Output: (host, rules). Tiny (one row per host) — broadcast it.
+    """
+    robots = corpus.filter(F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$"))
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    return robots.select(
+        host.alias("host"),
+        parse_robots(F.col(body_col).cast("string")).alias("rules"),
+    )
+
+
+def filter_allowed(
+    frontier: DataFrame, rules: DataFrame, host_col: str = "host", url_col: str = "url_norm"
+) -> DataFrame:
+    """Drop frontier rows a host's robots rules disallow.
+
+    Broadcast join on host (rule table is one row per host), then one
+    Arrow-batched verdict over (path, rules). Hosts without rules pass.
+    """
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)?$", 1)
+
+    @F.pandas_udf("boolean")
+    def verdict(paths: pd.Series, rule_lists: pd.Series) -> pd.Series:
+        out = []
+        for p, rl in zip(paths, rule_lists):
+            if rl is None or len(rl) == 0:
+                out.append(True)
+            else:
+                rules_py = [(r["allow"], r["pattern"]) for r in rl]
+                out.append(robots_allowed_py(p if p else "/", rules_py))
+        return pd.Series(out)
+
+    joined = frontier.join(
+        F.broadcast(rules.withColumnRenamed("host", "_rhost")),
+        frontier[host_col] == F.col("_rhost"),
+        "left",
+    )
+    return (
+        joined.withColumn("_path", path)
+        .filter(verdict(F.col("_path"), F.col("rules")))
+        .drop("_rhost", "rules", "_path")
+    )

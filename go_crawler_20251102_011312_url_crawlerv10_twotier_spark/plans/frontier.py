@@ -101,6 +101,11 @@ class CrawlConfig:
     # full-corpus shuffle it saves is the single largest data movement
     # in the job.
     dedupe_corpus: bool = True
+    # enforce robots.txt rules found in the corpus (operators/robots).
+    # Default False: the REFERENCE ignores robots (IgnoreRobotsTxt,
+    # crawler_twotier.go:56), so equivalence runs must too; the
+    # north_rule requires the capability, so production runs set True.
+    respect_robots: bool = False
 
 
 @dataclass
@@ -175,7 +180,16 @@ def crawl(
         # per branch
         corpus.count()
 
-    frontier = _seed_frontier(seeds).localCheckpoint(eager=True)
+    robots_df = None
+    if cfg.respect_robots:
+        from ..operators.robots import filter_allowed, robots_rules
+
+        robots_df = robots_rules(corpus).localCheckpoint(eager=True)
+
+    frontier = _seed_frontier(seeds)
+    if robots_df is not None:
+        frontier = filter_allowed(frontier, robots_df)
+    frontier = frontier.localCheckpoint(eager=True)
     if initial_seen is not None:
         seen = initial_seen.select(
             "url_norm", "url", "host", "depth", "iter"
@@ -277,9 +291,13 @@ def crawl(
             )
         )
         # J1: the crawl-seen anti-join (crawler_twotier.go:195,224-245)
+        new = deduped.join(seen.select("url_norm"), "url_norm", "left_anti")
+        if robots_df is not None:
+            from ..operators.robots import filter_allowed
+
+            new = filter_allowed(new, robots_df)
         new = (
-            deduped.join(seen.select("url_norm"), "url_norm", "left_anti")
-            .withColumn("priority", F.lit(False))
+            new.withColumn("priority", F.lit(False))
             .withColumn("retry", F.lit(0))
             .coalesce(ncoal)
             .localCheckpoint(eager=True)
