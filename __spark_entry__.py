@@ -256,6 +256,25 @@ def q_seen_anti_join(spark, sf_dir):
     return dedup.seen_anti_join(cands, seen)
 
 
+def q_extract_filename(spark, sf_dir):
+    """P8 ExtractFilename + P9 SanitizeFilename (utils/utils.go:34-69):
+    Content-Disposition wins, else last path segment sans query, else a
+    deterministic download_<id> fallback (the reference uses wall-clock
+    nanos there — documented deviation for reproducibility)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.files import (
+        extract_filename,
+    )
+
+    s = _synth(spark, sf_dir, DOCURL_SYNTH_SQL)
+    cd = F.when(
+        F.col("id") % 7 == 0, F.lit('attachment; filename="r pt:1.pdf"')
+    ).otherwise(F.lit(None).cast("string"))
+    return s.select(
+        "id",
+        extract_filename(F.col("url"), cd, F.col("id").cast("string")).alias("filename"),
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """north_rule robots enforcement (operators/robots.py): rules
     table broadcast onto the frontier + longest-match verdict UDF.
@@ -446,6 +465,15 @@ def q_multimodal_probe(spark, sf_dir):
     return multimodal.probe_media(payloads, "doc_id", "payload")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Decode/featurize stage plumbing (mapInPandas, decode kernel
+    stubbed with a deterministic byte-histogram — no SQL oracle,
+    rows-only check)."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.decode_features(payloads, "doc_id", "payload")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_frontier_bfs(spark, "/root/testdata/sf0.001")
@@ -464,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_density": q_link_density,
         "seen_anti_join": q_seen_anti_join,
         "seen_anti_join_bloom": q_seen_anti_join_bloom,
+        "extract_filename": q_extract_filename,
         "robots_filter": q_robots_filter,
         "stream_host_rates": q_stream_host_rates,
         "simhash_neardup": q_simhash_neardup,
@@ -483,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -644,6 +674,19 @@ SELECT id,
   round(len(regexp_extract_all(html, 'href="'))
         / (length(html) / 1024.0), 6) AS link_density
 FROM p
+""",
+        "extract_filename": f"""
+WITH synth AS ({DOCURL_SYNTH_SQL}),
+seg AS (
+  SELECT id, url,
+    regexp_replace(list_extract(string_split(url, '/'), -1), '\\?.*$', '') AS last_seg
+  FROM synth
+)
+SELECT id,
+  CASE WHEN id % 7 = 0 THEN 'r pt_1.pdf'
+       WHEN last_seg <> '' AND contains(last_seg, '.') THEN last_seg
+       ELSE 'download_' || id END AS filename
+FROM seg
 """,
         # robots: oracle knows the synthesized rule structure (even
         # hosts: Disallow /private, Allow /private/ok) and re-derives
