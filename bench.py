@@ -145,19 +145,11 @@ def run_bench(sf_dir: str) -> dict:
 
 
 def run_wave(spark, sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
-    """One frontier superstep over the whole corpus — the scaling unit.
-
-    BASELINE's metric is URLs/sec and *frontier-iteration wall-time*;
-    at 10^10-frontier scale one superstep processes millions of pages
-    and per-superstep coordination (~2 s of Spark job round-trips) is
-    noise. The sandbox can't make 8 BFS supersteps compute-bound at
-    testable sizes, so scaling is evidenced on one big superstep:
-    every page scheduled at once, the thorough (DOM) tier forced on,
-    tag-dense realistic bodies. Corpus synthesis is excluded from the
-    timed window (it is input generation, not the job).
+    """The scaling job: the full frontier BFS over a corpus with
+    Common-Crawl-realistic tag-dense bodies (~20 KB at body_repeat=50),
+    thorough (DOM) tier forced — the tier-2-heavy workload whose
+    per-page compute dominates at production page sizes.
     """
-    from pyspark.sql import functions as F
-
     from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
         CrawlConfig,
         crawl,
@@ -168,30 +160,18 @@ def run_wave(spark, sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
 
     base = pagesrc.synth_clean_pages(spark, sf_dir, body_repeat=body_repeat)
     pages = _replicate(base, ["url", "html"], scale_mult)
-    seeds = pages.select("url", F.lit(0).alias("depth"))
-    # input synthesis is NOT cached or pre-materialized: it is JVM
-    # codegen'd string generation that parallelizes like a parquet scan
-    # would, and single-pass reads make any cache pure overhead
+    seeds = _replicate(spark.sql(pagesrc.seeds_sql()), ["url"], scale_mult)
     t0 = time.time()
-    res = crawl(
-        spark,
-        pages,
-        seeds,
-        CrawlConfig(
-            max_iterations=1,
-            broadcast_frontier=True,
-            force_path="slow",
-            cache_corpus=False,
-            dedupe_corpus=False,
-        ),
-    )
-    m = res.metrics[0]
+    res = crawl(spark, pages, seeds, CrawlConfig(force_path="slow"))
     wall = time.time() - t0
+    fetched = sum(m["fetched"] for m in res.metrics)
+    links = sum(m["links"] for m in res.metrics)
     return {
         "wall_s": round(wall, 3),
-        "pages": m["fetched"],
-        "links": m["links"],
-        "pages_per_sec": round(m["fetched"] / wall, 1),
+        "pages": fetched,
+        "links": links,
+        "iterations": res.iterations,
+        "pages_per_sec": round(fetched / wall, 1),
     }
 
 

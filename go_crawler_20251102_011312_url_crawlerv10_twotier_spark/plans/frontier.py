@@ -137,7 +137,12 @@ def _prepare_pages(
     )
     if not dedupe:
         return proj
-    n = pages.sparkSession.sparkContext.defaultParallelism
+    # 4x parallelism keeps partitions modest when bodies are large (a
+    # 10 GB corpus at 16 slots would otherwise mean 600 MB partitions —
+    # GC death with several concurrently materialized); AQE coalesces
+    # small ones back. On a cluster, files.maxPartitionBytes plays this
+    # role at the scan and bucketing at the join.
+    n = 4 * pages.sparkSession.sparkContext.defaultParallelism
     return proj.repartition(n, "url_norm").dropDuplicates(["url_norm"])
 
 
