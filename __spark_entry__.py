@@ -2,9 +2,10 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives
-the DuckDB-equivalent SQL for each (omitted only for genuinely
-non-SQL-expressible ops, which fall back to the rows-only check).
+SURVEY.md §2 (+ the training-data operators) — 32 entries, 30 with
+DuckDB oracles; ``oracle_sql()`` gives the equivalent SQL (omitted
+only for the two stub-decode multimodal plumbing checks, which fall
+back to the rows-only check). Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
 ``documents``/``embeddings``/``events`` tables; where Spark and the
