@@ -419,7 +419,7 @@ def q_ann_topk_bucketed(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.90, n_bits=8)
+    return similarity.embedding_neardup_pairs(emb, threshold=0.30, n_bits=8)
 
 
 def q_lang_id(spark, sf_dir):
@@ -809,7 +809,7 @@ SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                                list_transform(b2.embedding, x -> x::DOUBLE)), 6) AS cosine
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE),
-                                   list_transform(b2.embedding, x -> x::DOUBLE)), 6) >= 0.90
+                                   list_transform(b2.embedding, x -> x::DOUBLE)), 6) >= 0.30
 """,
         "lang_id": f"""
 WITH c AS (
