@@ -324,9 +324,12 @@ def q_stream_host_rates(spark, sf_dir):
     agg = stream_host_rates(spark, feed_dir)
     q = run_to_memory_sink(agg, name="host_rates_gate")
     q.awaitTermination()
+    # the window key crosses the gate as epoch seconds (BIGINT): raw
+    # timestamps can NEVER hash-match the oracle — DuckDB hands pandas
+    # datetime64[us] (tz-aware from to_timestamp), Spark datetime64[ns]
     return spark.sql(
         """
-        SELECT window.start AS win_start, host,
+        SELECT CAST(window.start AS LONG) AS win_start, host,
                discovered, min_depth
         FROM host_rates_gate
         """
@@ -431,8 +434,8 @@ def q_token_counts(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        textstats.token_count_ws("text").alias("n_ws"),
-        textstats.token_count_bpe("text").alias("n_bpe"),
+        textstats.token_count_ws("text").cast("long").alias("n_ws"),
+        textstats.token_count_bpe("text").cast("long").alias("n_bpe"),
     )
 
 
@@ -448,10 +451,12 @@ def q_fingerprint(spark, sf_dir):
 
 def q_events_rollup(spark, sf_dir):
     """Metrics-table rollup shape (A3-A5) over the events stream table.
-    Value sum uses milli-units summed as integers (order-independent)."""
+    Value sum uses milli-units summed as integers (order-independent);
+    the hour bucket crosses the gate as epoch seconds (BIGINT, see
+    q_stream_host_rates on why timestamps can't)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        F.date_trunc("hour", "ts").cast("long").alias("hour_epoch"), "event_type"
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
@@ -459,20 +464,30 @@ def q_events_rollup(spark, sf_dir):
 
 
 def q_multimodal_probe(spark, sf_dir):
-    """Binary-payload plumbing (mapInPandas probe; decode stubbed —
-    no SQL oracle, rows-only check)."""
+    """Binary-payload plumbing (mapInPandas probe). Fully oracle-
+    checked: the DuckDB twin re-synthesizes the payload blob (magic ||
+    utf8(text)) and independently derives mime/n_bytes/hex_md5. sha1
+    is dropped from the gate projection only because DuckDB's digest
+    functions are VARCHAR-only (hex_md5 commits to the same bytes)."""
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
-    return multimodal.probe_media(payloads, "doc_id", "payload")
+    return multimodal.probe_media(payloads, "doc_id", "payload").select(
+        "doc_id", "mime", "n_bytes", "hex_md5"
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
     """Decode/featurize stage plumbing (mapInPandas, decode kernel
-    stubbed with a deterministic byte-histogram — no SQL oracle,
-    rows-only check)."""
+    stubbed with a deterministic byte-histogram). Gate projection is
+    features_digest (scalar md5 over the integer counts) — the raw
+    array<float> column is unhashable for a row canonicalizer; the
+    oracle recomputes the histogram from the known payload structure
+    (ASCII text bytes via unicode(), magic-byte bins hardcoded)."""
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
-    return multimodal.decode_features(payloads, "doc_id", "payload")
+    return multimodal.features_digest(
+        multimodal.decode_features(payloads, "doc_id", "payload")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -698,7 +713,7 @@ SELECT url_norm FROM f
 WHERE h % 2 = 1 OR shape = 0 OR shape = 2
 """,
         "stream_host_rates": """
-SELECT to_timestamp(floor(epoch(ts) / 10) * 10) AS win_start,
+SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS win_start,
        event_type AS host,
        count(*) AS discovered,
        min(CAST(round(value * 1000) AS INT) % 14) AS min_depth
@@ -728,8 +743,8 @@ SELECT url_norm, host, depth FROM r WHERE rn <= 5
         "metrics_rollup": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})
 SELECT host, count(*) AS pages,
-  sum(CASE WHEN {_route_case('url', 'length(html)')} = 'fast' THEN 1 ELSE 0 END) AS n_fast,
-  sum(CASE WHEN {_route_case('url', 'length(html)')} = 'slow' THEN 1 ELSE 0 END) AS n_slow
+  CAST(sum(CASE WHEN {_route_case('url', 'length(html)')} = 'fast' THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+  CAST(sum(CASE WHEN {_route_case('url', 'length(html)')} = 'slow' THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
 FROM p GROUP BY host
 """,
         "dedup_exact": """
@@ -847,11 +862,74 @@ SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
 FROM documents
 """,
         "events_rollup": """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
   count(*) AS n,
-  sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
-FROM events GROUP BY date_trunc('hour', ts), event_type
+  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events GROUP BY 1, 2
 """,
-        # multimodal_probe: intentionally omitted (mapInPandas binary
-        # plumbing with a stubbed decoder — rows-only check)
+        # multimodal oracles: the payload is re-synthesized as a BLOB
+        # (magic bytes by doc_id % 3 || utf8 text — attach_fake_payload's
+        # structure, robots-oracle style) and every output column derived
+        # independently. DuckDB digests are VARCHAR-only, so content
+        # equality goes through md5(hex(payload)) — uppercase hex on both
+        # engines, injective over bytes.
+        "multimodal_probe": """
+WITH pay AS (
+  SELECT d.doc_id,
+    (CASE WHEN d.doc_id % 3 = 0 THEN '\\x89\\x50\\x4E\\x47\\x0D\\x0A\\x1A\\x0A'::BLOB
+          WHEN d.doc_id % 3 = 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+          ELSE 'RIFF'::BLOB END) || encode(d.text) AS payload
+  FROM documents d
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+       ELSE 'audio/wav' END AS mime,
+  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+  md5(hex(payload)) AS hex_md5
+FROM pay
+""",
+        # features: 16-bin histogram of byte % 16 over the first 4096
+        # payload bytes. documents.text is ASCII (1 byte per char), so
+        # the text contribution is unicode(char) % 16; the magic-byte
+        # bins are constants of the synthesis.
+        "multimodal_features": """
+WITH magic_bins AS (
+  SELECT d.doc_id, unnest(
+    CASE WHEN d.doc_id % 3 = 0 THEN [9, 0, 14, 7, 13, 10, 10, 10]
+         WHEN d.doc_id % 3 = 1 THEN [15, 8, 15, 0]
+         ELSE [2, 9, 6, 6] END) AS bin
+  FROM documents d
+),
+text_bins AS (
+  SELECT doc_id, unicode(c) % 16 AS bin
+  FROM (
+    SELECT d.doc_id,
+      unnest(string_split(substr(d.text, 1,
+        4096 - CASE WHEN d.doc_id % 3 = 0 THEN 8 ELSE 4 END), '')) AS c
+    FROM documents d
+  )
+),
+cnt AS (
+  SELECT doc_id, bin, count(*) AS c
+  FROM (SELECT * FROM magic_bins UNION ALL SELECT * FROM text_bins)
+  GROUP BY doc_id, bin
+),
+grid AS (
+  SELECT d.doc_id, g.bin
+  FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS bin) g
+),
+hist AS (
+  SELECT grid.doc_id, grid.bin, coalesce(cnt.c, 0) AS c
+  FROM grid LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.bin = cnt.bin
+),
+vec AS (SELECT doc_id, list(c ORDER BY bin) AS l FROM hist GROUP BY doc_id)
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+       ELSE 'audio/wav' END AS mime,
+  16 AS n_features,
+  md5(array_to_string(l, ',')) AS features_md5
+FROM vec
+""",
     }

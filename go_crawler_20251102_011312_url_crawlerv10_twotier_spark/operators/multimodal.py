@@ -46,13 +46,22 @@ def sniff_mime_py(payload: bytes | None) -> str:
 
 
 PROBE_SCHEMA = (
-    "doc_id long, mime string, n_bytes long, sha1 string"
+    "doc_id long, mime string, n_bytes long, sha1 string, hex_md5 string"
 )
 
 
 def probe_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Partition-parallel media probe: magic-byte mime sniff + size +
-    content hash. Entirely real (no codec needed)."""
+    content hashes. Entirely real (no codec needed).
+
+    Two digests: ``sha1`` over the raw bytes (the production content
+    key), and ``hex_md5`` = md5 over the UPPERCASE hex encoding of the
+    bytes. The latter exists for independent verification: the DuckDB
+    oracle's ``md5()`` only accepts VARCHAR, and uppercase hex is the
+    canonical injective blob->varchar map both engines share
+    (``hex()``), so ``md5(hex(payload))`` commits to every byte and is
+    reproducible on both sides.
+    """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,6 +75,12 @@ def probe_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
                         hashlib.sha1(p).hexdigest() if p is not None else None
                         for p in payloads
                     ],
+                    "hex_md5": [
+                        hashlib.md5(p.hex().upper().encode()).hexdigest()
+                        if p is not None
+                        else None
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -73,7 +88,7 @@ def probe_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
 
 
 FEATURE_DIM = 16
-FEATURES_SCHEMA = f"doc_id long, mime string, features array<float>"
+FEATURES_SCHEMA = "doc_id long, mime string, features array<float>"
 
 
 def decode_features(
@@ -81,6 +96,7 @@ def decode_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     strict: bool = False,
+    normalize: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract stage.
 
@@ -90,6 +106,13 @@ def decode_features(
     so tests can assert on it); strict=True raises where the codec
     call would happen, making the stub impossible to mistake for a
     real decoder.
+
+    With ``normalize=False`` (default) the features are the RAW bin
+    counts (whole numbers, exactly representable in float32) so the
+    correctness gate can hash them bit-for-bit against a SQL oracle;
+    ``normalize=True`` emits the L1-normalized histogram a real
+    featurizer shape would have (floats — not exactly comparable
+    cross-engine, covered by pytest instead).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,19 +128,34 @@ def decode_features(
                         "in this container (PIL/ffmpeg); plumbing is real, "
                         "kernel is stubbed"
                     )
-                # deterministic fake: 16-bin byte histogram, normalized
+                # deterministic fake: 16-bin byte histogram
                 hist = [0.0] * FEATURE_DIM
                 if p:
                     for byte in p[:4096]:
                         hist[byte % FEATURE_DIM] += 1.0
-                    s = sum(hist) or 1.0
-                    hist = [round(v / s, 6) for v in hist]
+                    if normalize:
+                        s = sum(hist) or 1.0
+                        hist = [round(v / s, 6) for v in hist]
                 feats.append(hist)
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "mime": mimes, "features": feats}
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, FEATURES_SCHEMA)
+
+
+def features_digest(features_df: DataFrame) -> DataFrame:
+    """Gate-comparable projection of ``decode_features`` output: the
+    array<float> column is unhashable for a row-canonicalizing
+    comparator, so collapse it to scalars — its length and the md5 of
+    the comma-joined integer counts (exact: counts are whole numbers)."""
+    counts_str = F.col("features").cast("array<int>").cast("array<string>")
+    return features_df.select(
+        "doc_id",
+        "mime",
+        F.size("features").alias("n_features"),
+        F.md5(F.concat_ws(",", counts_str)).alias("features_md5"),
+    )
 
 
 def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

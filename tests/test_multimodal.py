@@ -35,7 +35,28 @@ def test_decode_features_stub_deterministic(spark):
     assert sorted(map(str, a)) == sorted(map(str, b))
     row0 = next(r for r in a if r.doc_id == 0)
     assert len(row0.features) == M.FEATURE_DIM
-    assert abs(sum(row0.features) - 1.0) < 1e-3
+    # default mode: raw bin counts, sum == payload length (first 4 KB)
+    assert sum(row0.features) == len(b"\x89PNG\r\n\x1a\nrest")
+    norm0 = next(
+        r
+        for r in M.decode_features(_payloads(spark), normalize=True).collect()
+        if r.doc_id == 0
+    )
+    assert abs(sum(norm0.features) - 1.0) < 1e-3
+
+
+def test_features_digest_scalar(spark):
+    out = M.features_digest(M.decode_features(_payloads(spark))).collect()
+    row0 = next(r for r in out if r.doc_id == 0)
+    assert row0.n_features == M.FEATURE_DIM
+    assert len(row0.features_md5) == 32
+
+
+def test_probe_hex_md5(spark):
+    out = {r.doc_id: r for r in M.probe_media(_payloads(spark)).collect()}
+    payload = b"\x89PNG\r\n\x1a\nrest"
+    assert out[0].hex_md5 == hashlib.md5(payload.hex().upper().encode()).hexdigest()
+    assert out[4].hex_md5 is None
 
 
 def test_decode_features_strict_raises(spark):

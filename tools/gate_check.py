@@ -1,9 +1,20 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — EXACT comparison.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
-on DuckDB over the same sf dir, then compares row count, column-name
-set, and the order-insensitive multiset of row values (columns sorted
-by name — the driver's comparison shape).
+on DuckDB over the same sf dir, then compares the way the driver does
+(reconstructed from CORRECTNESS_r01.json evidence):
+
+* both results go through pandas (``toPandas()`` / ``.df()``),
+* schema = sorted column names AND pandas dtypes (a tz-aware
+  timestamp, or a DuckDB HUGEINT that lands as float64, is a schema
+  mismatch even when the values "look" equal),
+* values = order-insensitive multiset of rows with columns sorted by
+  name, compared EXACTLY — no float rounding, no tz stripping, and
+  int 5 != float 5.0 (round-1 lesson: the old gate rounded to 9 dp
+  and stripped tz, so it passed three queries the driver failed),
+* any list/array/dict cell is an immediate FAIL (the driver's
+  canonicalizer dies on unhashable cells — CORRECTNESS_r01
+  multimodal_features err).
 
 Usage: python tools/gate_check.py [sf_dir] [query ...]
 """
@@ -12,26 +23,48 @@ from __future__ import annotations
 
 import sys
 import time
-from datetime import datetime
+
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, bool):
-        return bool(v)
-    return v
+def cell_key(v):
+    """Type-tagged canonical cell value. Tags keep int/float/bool/str
+    apart so representation drift can't alias to a value match."""
+    if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+        raise TypeError(f"unhashable cell (driver canonicalizer would die): {type(v)}")
+    if v is None:
+        return ("n",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        if pd.isna(v):
+            return ("n",)
+        return ("f", repr(float(v)))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, pd.Timestamp):
+        return ("t", str(v))  # keeps tz offset in the string
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    if v is pd.NaT:
+        return ("n",)
+    return (type(v).__name__, str(v))
 
 
-def rows_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+def canon(df: pd.DataFrame):
+    """(schema, sorted row multiset) in the driver's comparison shape."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    schema = [(c, str(df[c].dtype)) for c in df.columns]
+    rows = sorted(
+        tuple(cell_key(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    return schema, rows
 
 
 def main() -> int:
@@ -58,41 +91,54 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            try:
+                canon(sdf)
+            except TypeError as e:
+                print(f"FAIL  {name}: rows-only check would still die: {e}")
+                failures.append(name)
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            odf = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
             continue
-        ok_cols = sorted(scols) == sorted(ocols)
-        sm = rows_multiset(scols, srows)
-        om = rows_multiset(ocols, orows)
-        ok = ok_cols and sm == om
+        try:
+            s_schema, s_rows = canon(sdf)
+            o_schema, o_rows = canon(odf)
+        except TypeError as e:
+            print(f"FAIL  {name}: {e}")
+            failures.append(name)
+            continue
+        rows_ok = len(sdf) == len(odf)
+        schema_ok = s_schema == o_schema
+        hash_ok = s_rows == o_rows
+        ok = rows_ok and schema_ok and hash_ok
         status = "OK  " if ok else "FAIL"
         print(
-            f"{status}  {name}: spark {len(srows)} rows / oracle {len(orows)}"
-            f" cols={'=' if ok_cols else f'{scols} vs {ocols}'} [{time.time()-t0:.1f}s]"
+            f"{status}  {name}: rows {len(sdf)}/{len(odf)}"
+            f" schema={'ok' if schema_ok else 'MISMATCH'}"
+            f" hash={'ok' if hash_ok else 'MISMATCH'} [{time.time()-t0:.1f}s]"
         )
         if not ok:
             failures.append(name)
-            if ok_cols:
-                s_only = [r for r in sm if r not in om][:3]
-                o_only = [r for r in om if r not in sm][:3]
+            if not schema_ok:
+                print("      spark :", s_schema)
+                print("      oracle:", o_schema)
+            if schema_ok and not hash_ok:
+                s_only = [r for r in s_rows if r not in o_rows][:2]
+                o_only = [r for r in o_rows if r not in s_rows][:2]
                 print("      spark-only:", s_only)
                 print("      oracle-only:", o_only)
-    print("\n%d/%d compared queries OK" % (len(qs) - len(failures), len(qs)))
+    n_run = len(qs if not only else [q for q in qs if q in only])
+    print("\n%d/%d compared queries OK" % (n_run - len(failures), n_run))
     return 1 if failures else 0
 
 
