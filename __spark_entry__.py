@@ -185,10 +185,13 @@ def q_is_document_url(spark, sf_dir):
 
 def q_crawl_frontier_bfs(spark, sf_dir):
     """Flagship: full frontier loop (fetch-join + route + extract +
-    normalize + seen anti-join, SURVEY.md §3.2) on the clean corpus."""
+    normalize + seen anti-join, SURVEY.md §3.2) on the clean corpus.
+    Runs with the sharded-Bloom J1 prefilter ON so the driver gate
+    verifies the scale path end-to-end (bit-for-bit equal to the
+    exact-join path — also asserted in tests/test_frontier.py)."""
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
     seeds = spark.sql(pagesrc.seeds_sql())
-    res = crawl(spark, pages, seeds, CrawlConfig())
+    res = crawl(spark, pages, seeds, CrawlConfig(use_bloom=True))
     return res.seen.select("url_norm", "depth")
 
 
@@ -211,6 +214,7 @@ def q_tier2_extract_text(spark, sf_dir):
         "status",
         F.md5("text").alias("text_md5"),
         "n_bytes",
+        "filename",  # S4 sink parity (downloader.go:204-215)
     )
 
 
@@ -338,29 +342,19 @@ def q_stream_host_rates(spark, sf_dir):
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 6 inside
-    (source, length-bucket) blocks — JVM-only bit ops, blocked
-    self-join (never a cross join)."""
+    (source, length-bucket) blocks, via EXACT pigeonhole multi-band
+    blocking (dedup.hamming_neardup_pairs — 7 disjoint bit bands, a
+    qualifying pair must agree on one, so the result set is identical
+    to the naive blocked self-join the oracle runs, with join buckets
+    ~2^8-2^9x smaller)."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "lbucket", F.floor(F.col("n_chars") / F.lit(64)).cast("int")
     )
     sig = dedup.simhash(docs, "doc_id", "text").join(
         docs.select(F.col("doc_id").alias("id"), "source", "lbucket"), "id"
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = dedup.hamming64(F.col("a.simhash"), F.col("b.simhash"))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.lbucket") == F.col("b.lbucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(ham <= 6)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
+    return dedup.hamming_neardup_pairs(
+        sig, ["source", "lbucket"], max_hamming=6
     )
 
 
@@ -393,9 +387,12 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_dup_pairs(spark, sf_dir):
+    """Banded MinHash-LSH pairs with the bucket cap ON (64 smallest
+    ids per band bucket — the 100 TB guard against degenerate band
+    keys; the oracle applies the identical deterministic cap)."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
-    return dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4)
+    return dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
 
 
 def q_simhash(spark, sf_dir):
@@ -421,8 +418,13 @@ def q_ann_topk_bucketed(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Multi-band sign-LSH near-dup pairs (4 bands x 8 sign bits,
+    bucket cap 100) — the bounded-block scale path; the oracle
+    reproduces bands + cap + cosine in SQL."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.30, n_bits=8)
+    return similarity.embedding_neardup_pairs(
+        emb, threshold=0.30, n_bits=8, n_bands=4, max_bucket_size=100
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -538,6 +540,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _URL_PATH = r"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)'"
 _URL_QUERY = r"'\?([^#]*)'"
+
+
+def _signbit_bucket_sql(col: str, lo: int, n_bits: int) -> str:
+    """Sign-bit bucket over dims [lo, lo+n_bits) — SQL twin of
+    similarity._signbit_bucket_col (1-indexed arrays in DuckDB)."""
+    return " + ".join(
+        f"(CASE WHEN {col}[{lo + i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+def _multiband_buckets_sql(n_bands: int = 4, n_bits: int = 8) -> str:
+    """(vec_id, band, bucket) rows — SQL twin of
+    similarity.multiband_signbit_buckets."""
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {r} AS band, "
+        f"{_signbit_bucket_sql('embedding', r * n_bits, n_bits)} AS bucket "
+        "FROM embeddings"
+        for r in range(n_bands)
+    )
 
 
 def _route_case(url: str, size: str) -> str:
@@ -673,15 +695,21 @@ SELECT url_norm FROM norm WHERE id % 2 = 0
         # tier-2 text: independent derivation — the engine DOM-parses;
         # the oracle strips tags textually (exact: fixture text has no
         # markup chars). Byte-identity checked via md5.
+        # filename: P8 last-path-segment rule — every queue url here
+        # ends in a dotless segment, so the deterministic
+        # download_<md5(url)[:8]> fallback applies (the engine's
+        # documented replacement for the reference's wall-clock nanos)
         "tier2_extract_text": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})
 SELECT url, 200 AS status,
   md5(regexp_replace(html, '<[^>]*>', '', 'g')) AS text_md5,
-  length(html)::BIGINT AS n_bytes
+  length(html)::BIGINT AS n_bytes,
+  'download_' || substr(md5(url), 1, 8) AS filename
 FROM p
 UNION ALL
 SELECT 'https://host0.example/missing/' || id AS url, 404 AS status,
-  NULL AS text_md5, 0::BIGINT AS n_bytes
+  NULL AS text_md5, 0::BIGINT AS n_bytes,
+  'download_' || substr(md5('https://host0.example/missing/' || id), 1, 8) AS filename
 FROM p WHERE id % 100 = 0
 """,
         "link_density": f"""
@@ -758,9 +786,16 @@ banded AS (
   SELECT id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS bkey FROM sig
   UNION ALL
   SELECT id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS bkey FROM sig
+),
+capped AS (
+  SELECT id, band, bkey FROM (
+    SELECT id, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn
+    FROM banded
+  ) WHERE rn <= 64
 )
 SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
-FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
 GROUP BY a.id, b.id
 """,
         "simhash": _simhash_sql(60),
@@ -809,22 +844,28 @@ SELECT e.vec_id,
 FROM b e, q WHERE e.bucket = q.bucket
 ORDER BY cosine DESC, e.vec_id LIMIT 10
 """,
-        "embedding_neardup": """
-WITH b AS (
-  SELECT vec_id, embedding,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
-    AS bucket
-  FROM embeddings
+        "embedding_neardup": f"""
+WITH bands AS ({_multiband_buckets_sql(4, 8)}),
+capped AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT vec_id, band, bucket,
+           row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+    FROM bands
+  ) WHERE rn <= 100
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-  round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE),
-                               list_transform(b2.embedding, x -> x::DOUBLE)), 6) AS cosine
-FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE),
-                                   list_transform(b2.embedding, x -> x::DOUBLE)), 6) >= 0.30
+SELECT id_a, id_b,
+  round(list_cosine_similarity(list_transform(e1.embedding, x -> x::DOUBLE),
+                               list_transform(e2.embedding, x -> x::DOUBLE)), 6) AS cosine
+FROM cand
+JOIN embeddings e1 ON e1.vec_id = cand.id_a
+JOIN embeddings e2 ON e2.vec_id = cand.id_b
+WHERE round(list_cosine_similarity(list_transform(e1.embedding, x -> x::DOUBLE),
+                                   list_transform(e2.embedding, x -> x::DOUBLE)), 6) >= 0.30
 """,
         "lang_id": f"""
 WITH c AS (

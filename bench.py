@@ -12,11 +12,17 @@ wall times for the rest of the operator surface. ``value`` is the total
 wall-clock of all benched queries.
 
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N executors;
-sandbox stand-in = local[8] vs local[32] on identical input):
+sandbox stand-in = local[4] vs local[16] — the box has 16 PHYSICAL
+cores; 32 vCPUs are SMT siblings, so a 4x-cores pair must stay on
+physical cores to measure the engine rather than the hyperthreads):
 
-    python bench.py --scaling     # runs the crawl at 8 and 32 cores in
-                                  # fresh subprocesses, prints both
-                                  # throughputs + efficiency
+    python bench.py --scaling     # runs the heavy-body wave at 4 and
+                                  # 16 cores in fresh subprocesses,
+                                  # best-of-3, prints both throughputs
+                                  # + efficiency
+    python bench.py --bloom       # J1 exact anti-join vs sharded-Bloom
+                                  # prefilter at a large pre-seeded
+                                  # seen set (env SPARK_GRAFT_BLOOM_*)
 
 Results are recorded in BENCH.md.
 """
@@ -175,6 +181,77 @@ def run_wave(spark, sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
     }
 
 
+def run_bloom_bench(spark, n_seen: int, n_cand: int) -> dict:
+    """J1 at a large pre-seeded seen set: exact anti-join vs the
+    sharded-Bloom prefilter path, same inputs, results asserted equal.
+
+    Two candidate mixes, bracketing a crawl's life:
+    * expanding (10% already seen) — most candidates are definitely
+      new; the Bloom probe lets them skip the exact-join machinery
+      entirely, which is where the candidate-shuffle reduction shows.
+    * mature (90% already seen) — most candidates fall through to the
+      exact join; the probe is near-pure overhead. Reported so the
+      trade-off is visible, not hidden.
+    """
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import dedup
+
+    def urls(df, col_in, alias):
+        return df.select(
+            F.concat(
+                F.lit("https://h"), (F.col(col_in) % 1000).cast("string"),
+                F.lit(".example/p/"), F.col(col_in).cast("string"),
+            ).alias(alias)
+        )
+
+    seen = urls(spark.range(n_seen), "id", "url_norm").persist()
+    seen.count()
+    out = {"n_seen": n_seen, "n_cand": n_cand, "mixes": {}}
+    for label, seen_frac in (("expanding_10pct_seen", 0.1), ("mature_90pct_seen", 0.9)):
+        cut = int(seen_frac * 10)
+        base = spark.range(n_cand)
+        # ids < cut*n_cand/10 map into the seen id space; the rest above it
+        cand = urls(
+            base.select(
+                F.when(
+                    F.col("id") % 10 < cut, F.col("id") % n_seen
+                ).otherwise(F.col("id") + n_seen).alias("cid")
+            ),
+            "cid",
+            "url_norm",
+        )
+        t0 = time.time()
+        n_exact = dedup.seen_anti_join(cand, seen).count()
+        t_exact = time.time() - t0
+        t0 = time.time()
+        n_bloom = dedup.dedup_new_candidates(cand, seen, use_bloom=True).count()
+        t_bloom = time.time() - t0
+        # the crawl-loop case: a STANDING filter (built once, then
+        # maintained incrementally via merge_bloom_shards) — per-probe
+        # cost excludes the build
+        t0 = time.time()
+        shards = dedup.build_bloom_shards(seen).localCheckpoint(eager=True)
+        t_build = time.time() - t0
+        t0 = time.time()
+        def_new, maybe = dedup.bloom_probe_shards(cand, shards)
+        n_standing = def_new.unionByName(
+            dedup.seen_anti_join(maybe, seen)
+        ).count()
+        t_probe = time.time() - t0
+        assert n_exact == n_bloom == n_standing, (n_exact, n_bloom, n_standing)
+        out["mixes"][label] = {
+            "new_urls": n_exact,
+            "exact_s": round(t_exact, 3),
+            "bloom_one_shot_s": round(t_bloom, 3),
+            "bloom_build_s": round(t_build, 3),
+            "bloom_standing_probe_s": round(t_probe, 3),
+            "standing_speedup": round(t_exact / t_probe, 3),
+        }
+    seen.unpersist()
+    return out
+
+
 SCALING_CORES = (4, 16)  # 16 physical cores here; 32 vCPUs are SMT —
 # threads beyond 16 add ~0.7x-capacity hyperthreads, capping any
 # job's measurable 8->32 efficiency at ~0.72 before the engine runs.
@@ -247,6 +324,13 @@ def main() -> None:
         spark = get_spark(app_name="bench-crawl")
         mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "1"))
         print(json.dumps(run_crawl(spark, sf_dir, scale_mult=mult)))
+    elif "--bloom" in sys.argv:
+        from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
+
+        spark = get_spark(app_name="bench-bloom")
+        n_seen = int(os.environ.get("SPARK_GRAFT_BLOOM_SEEN", "5000000"))
+        n_cand = int(os.environ.get("SPARK_GRAFT_BLOOM_CAND", "2000000"))
+        print(json.dumps(run_bloom_bench(spark, n_seen, n_cand)))
     elif "--wave-only" in sys.argv:
         from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
 

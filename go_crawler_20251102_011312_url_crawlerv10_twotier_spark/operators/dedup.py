@@ -34,12 +34,20 @@ def seen_anti_join(candidates: DataFrame, seen: DataFrame, key: str = "url_norm"
 def _bloom_positions(h, m: int, n_hashes: int):
     """Double-hashing bit positions for a vector of 64-bit hashes.
 
-    pos_i = (h1 + i*h2) mod m with h1/h2 the two 32-bit halves —
-    Kirsch-Mitzenmacher: k independent-enough probes from one hash.
-    Vectorized numpy; works on uint64 arrays.
+    pos_i = (h1 + i*h2) mod m — Kirsch-Mitzenmacher: k
+    independent-enough probes from one hash. Vectorized numpy; works
+    on uint64 arrays.
+
+    The shard id is ``h mod n_shards`` (the LOW bits), so positions
+    must not reuse them: with shared bits, hash residue r within a
+    shard is confined to m/n_shards slots and the shard saturates
+    n_shards-times faster (raising the FP rate; correctness is
+    unaffected — FPs fall through to the exact join). h1 therefore
+    starts at bit 6 (covers shard counts up to 64) and h2 takes the
+    top half.
     """
     h = h.astype(np.uint64)
-    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h1 = ((h >> np.uint64(6)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
     h2 = (h >> np.uint64(32)).astype(np.int64) | 1  # odd => full-period
     return [((h1 + i * h2) % m).astype(np.int64) for i in range(n_hashes)]
 
@@ -78,34 +86,87 @@ def build_bloom_shards(
     return hashed.groupBy("shard").applyInPandas(pack, "shard int, bloom binary")
 
 
-def bloom_probe_col(h_col, bloom_col, bits_per_shard: int = 1 << 20, n_hashes: int = 5):
-    """might_contain as an Arrow-batched pandas UDF over (hash, bloom)."""
+def _bit_test(packed_u8: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Test bit ``pos`` in an np.packbits-packed uint8 array without
+    unpacking (packbits is big-endian: bit i lives in byte i>>3 at
+    bit 7-(i&7) from the LSB). Vectorized over a position vector."""
+    return ((packed_u8[pos >> 3] >> (7 - (pos & 7)).astype(np.uint8)) & 1).astype(bool)
+
+
+def bloom_probe_shards(
+    candidates: DataFrame,
+    shards: DataFrame,
+    key: str = "url_norm",
+    n_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    n_hashes: int = 5,
+):
+    """Probe a pre-built shard table (see build_bloom_shards).
+
+    The shard table is collected (n_shards rows, ~n_shards x bits/8
+    bytes — 8 MB at the defaults) and shipped to executors as a REAL
+    broadcast variable read inside the pandas UDF. It must NOT be
+    broadcast-JOINED onto the candidates: a join materializes the
+    full per-shard blob on EVERY candidate row, which at 2M
+    candidates x 128 KB blobs is ~256 GB through the Arrow boundary
+    (measured as a multi-minute GC collapse). Probing indexes the
+    packed bytes directly — no million-bit unpack per batch either.
+
+    A candidate whose shard is absent is definitely new (that shard
+    holds no keys yet) — relevant for incrementally-built tables.
+
+    Returns (definitely_new, maybe_seen).
+    """
+    spark = candidates.sparkSession
+    packed = {
+        int(r["shard"]): np.frombuffer(r["bloom"], dtype=np.uint8)
+        for r in shards.collect()
+    }
+    bc = spark.sparkContext.broadcast(packed)
     m = bits_per_shard
     k = n_hashes
+    ns = n_shards
 
     @F.pandas_udf("boolean")
-    def probe(h: pd.Series, bloom: pd.Series) -> pd.Series:
-        out = np.zeros(len(h), dtype=bool)
-        if len(h) == 0:
-            return pd.Series(out)
+    def probe(h: pd.Series) -> pd.Series:
+        blooms = bc.value
         hv = h.to_numpy(dtype=np.int64, na_value=0)
-        blooms = bloom.to_numpy(dtype=object)
-        # group rows by identical bloom blob (one per shard) and probe
-        # each group vectorized
-        ids = pd.Series([id(b) if b is not None else 0 for b in blooms])
-        for _, idx in ids.groupby(ids).groups.items():
-            idx = np.asarray(idx)
-            b = blooms[idx[0]]
+        out = np.zeros(len(hv), dtype=bool)
+        sh = hv % ns  # numpy % has divisor sign => matches F.pmod
+        for s in np.unique(sh):
+            b = blooms.get(int(s))
             if b is None:
                 continue  # no shard state => might_contain = False
-            bits = np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+            idx = np.nonzero(sh == s)[0]
             hit = np.ones(len(idx), dtype=bool)
             for pos in _bloom_positions(hv[idx], m, k):
-                hit &= bits[pos].astype(bool)
+                hit &= _bit_test(b, pos)
             out[idx] = hit
         return pd.Series(out)
 
-    return probe(h_col, bloom_col)
+    probed = candidates.withColumn("_maybe", probe(F.xxhash64(key)))
+    definitely_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe")
+    return definitely_new, maybe_seen
+
+
+def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR two shard tables (incremental maintenance: OR the
+    delta's shards into the standing state instead of rebuilding over
+    the full seen set every iteration — at 10^10 seen keys the rebuild
+    is a full-table pass, the merge touches only ~n_shards x bits/8
+    bytes)."""
+
+    def orop(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(x, dtype=np.uint8) for x in pdf["bloom"]]
+        out = arrs[0].copy()
+        for x in arrs[1:]:
+            out |= x
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bloom": [out.tobytes()]}
+        )
+
+    return a.unionByName(b).groupBy("shard").applyInPandas(orop, "shard int, bloom binary")
 
 
 def bloom_prefilter(
@@ -118,32 +179,18 @@ def bloom_prefilter(
 ):
     """Sharded-Bloom pre-probe in front of the exact anti-join (O4).
 
-    Builds the shard table over ``seen`` (build_bloom_shards),
-    broadcast-joins it to the candidates on shard id, and probes.
-    Rows where the probe is False are DEFINITELY new and skip the
-    exact-join shuffle; rows where it is True (incl. false positives)
-    fall through to the authoritative anti-join — results stay exact.
+    Builds the shard table over ``seen`` (build_bloom_shards) and
+    probes via bloom_probe_shards. Rows where the probe is False are
+    DEFINITELY new and skip the exact-join shuffle; rows where it is
+    True (incl. false positives) fall through to the authoritative
+    anti-join — results stay exact.
 
     Returns (definitely_new, maybe_seen).
     """
     shards = build_bloom_shards(seen, key, n_shards, bits_per_shard, n_hashes)
-    probed = (
-        candidates.withColumn("_h", F.xxhash64(key))
-        .withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
-        .join(F.broadcast(shards), F.col("_shard") == F.col("shard"), "left")
-        .withColumn(
-            "_maybe",
-            F.coalesce(
-                bloom_probe_col(F.col("_h"), F.col("bloom"), bits_per_shard, n_hashes),
-                F.lit(False),
-            ),
-        )
-        .drop("shard", "bloom")
+    return bloom_probe_shards(
+        candidates, shards, key, n_shards, bits_per_shard, n_hashes
     )
-    aux = ("_h", "_shard", "_maybe")
-    definitely_new = probed.filter(~F.col("_maybe")).drop(*aux)
-    maybe_seen = probed.filter(F.col("_maybe")).drop(*aux)
-    return definitely_new, maybe_seen
 
 
 def dedup_new_candidates(candidates: DataFrame, seen: DataFrame, key: str = "url_norm",
@@ -207,18 +254,10 @@ def minhash_signatures(
     return t.groupBy("id").agg(*aggs)
 
 
-def lsh_dup_pairs(sig: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
-    """Band the k-hash signature and emit candidate pairs sharing any
-    band — the classic banding scheme: shuffle on the band key, then a
-    per-bucket self-join (buckets are tiny, never a cross join).
-    Output: (id_a, id_b, n_bands) with id_a < id_b, distinct.
-
-    The bands come from ONE explode over the signature (not a
-    per-band union — that would re-run the whole minhash lineage once
-    per band per join side), and the banded frame is persisted so the
-    self-join's two sides read one materialization instead of
-    recomputing the signatures twice more.
-    """
+def _banded(sig: DataFrame, k: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bkey) rows from ONE explode over the signature (not
+    a per-band union — that would re-run the whole minhash lineage
+    once per band per join side)."""
     n_bands = k // rows_per_band
     band_structs = [
         F.struct(
@@ -230,11 +269,65 @@ def lsh_dup_pairs(sig: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFra
         )
         for b in range(n_bands)
     ]
-    banded = (
+    return (
         sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("id", "bb.band", "bb.bkey")
-        .persist()
     )
+
+
+def lsh_bucket_stats(sig: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Band-bucket population audit: (band, bkey, n_docs), largest
+    first. This is the "no silent caps" companion to lsh_dup_pairs —
+    run it to see what a ``max_bucket_size`` cap would drop before
+    trusting capped output, and to spot degenerate band keys (the
+    sf0.01 fixture has one bucket of 300+ near-identical docs)."""
+    return (
+        _banded(sig, k, rows_per_band)
+        .groupBy("band", "bkey")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc())
+    )
+
+
+def lsh_dup_pairs(
+    sig: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the k-hash signature and emit candidate pairs sharing any
+    band — the classic banding scheme: shuffle on the band key, then a
+    per-bucket self-join (never a cross join).
+    Output: (id_a, id_b, n_bands) with id_a < id_b, distinct.
+
+    ``max_bucket_size`` bounds the quadratic term: a degenerate band
+    key with B docs emits B(B-1)/2 pairs, and B grows linearly with
+    the corpus — unbounded, that is the operator's 100 TB scale
+    killer. With a cap, each bucket keeps its ``max_bucket_size``
+    smallest ids (deterministic: row_number over id) so the worst
+    bucket emits at most cap*(cap-1)/2 pairs; dropped rows are
+    EXACTLY the ones lsh_bucket_stats shows above the cap — audit
+    with it, never cap silently. (Near-dup semantics degrade
+    gracefully: docs in a capped bucket are near-identical by
+    construction, so surviving pairs still transitively cover the
+    cluster through the kept representatives.)
+
+    The banded frame is persisted so the self-join's two sides read
+    one materialization instead of recomputing the signatures twice,
+    and unpersisted once the pairs are materialized (the caller gets
+    a checkpointed result, not a live lineage over the cache).
+    """
+    from pyspark.sql import Window
+
+    banded = _banded(sig, k, rows_per_band)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bkey").orderBy("id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -247,7 +340,9 @@ def lsh_dup_pairs(sig: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFra
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_bands"))
     )
-    return pairs
+    out = pairs.localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +378,70 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_neardup_pairs(
+    sig: DataFrame,
+    block_cols: list[str],
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """All pairs within ``block_cols`` blocks with hamming(simhash)
+    <= max_hamming — EXACT, via pigeonhole multi-band blocking.
+
+    Split the ``bits`` fingerprint into ``max_hamming + 1`` disjoint
+    bit bands: two fingerprints within hamming d <= max_hamming must
+    agree EXACTLY on at least one band (pigeonhole), so joining on
+    (block, band, band_bits) and unioning over bands finds every
+    qualifying pair with zero recall loss — unlike prefix/LSH
+    schemes, this is not approximate.
+
+    Scale: a naive blocked self-join's block population is unbounded
+    (linear in corpus => quadratic pairs). Here each join bucket is
+    (block, band, ~bits/(d+1) exact bits): random fingerprints spread
+    over 2^8..2^9 band values, cutting bucket population by that
+    factor; only genuinely near-identical clusters collapse into one
+    bucket, and those emit pairs the caller asked for anyway.
+    Output: (id_a, id_b, hamming), id_a < id_b, distinct.
+    """
+    n_bands = max_hamming + 1
+    edges = [bits * r // n_bands for r in range(n_bands + 1)]
+    structs = [
+        F.struct(
+            F.lit(r).alias("band"),
+            F.shiftright(F.col(sim_col), edges[r])
+            .bitwiseAND(F.lit((1 << (edges[r + 1] - edges[r])) - 1))
+            .alias("bkey"),
+        )
+        for r in range(n_bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sim_col).alias("sim"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array(*structs)).alias("bb"),
+    ).select("id", "sim", *block_cols, "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    ham = hamming64(F.col("a.sim"), F.col("b.sim"))
+    return (
+        a.join(b, cond)
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram / token Jaccard with candidate blocking
 # ---------------------------------------------------------------------------
@@ -294,12 +453,30 @@ def jaccard_pairs(
     text_col: str,
     block_cols: list[str],
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs inside blocking
-    groups (e.g. (source, length-bucket)). The blocks bound the
-    quadratic term; the intersection count is a token-level equi-join
-    (shuffle on (block, token)) — never a cross join.
-    Output: (id_a, id_b, jaccard) for pairs >= threshold."""
+    """Exact token-set Jaccard pairs >= threshold inside blocking
+    groups (e.g. (source, length-bucket)).
+    Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    With ``prefix_filter`` (default — the scale path), candidate
+    generation uses the classic prefix-filtering bound (Bayardo et
+    al., WWW'07): order each doc's tokens by ascending document
+    frequency; if J(A,B) >= t then |A ∩ B| >= ceil(t*|A|), so A's
+    prefix of its |A| - ceil(t*|A|) + 1 RAREST tokens must intersect
+    B (else all common tokens sit in A's suffix of size
+    ceil(t*|A|) - 1 < |A ∩ B|). Joining prefix(A) x full(B) on the
+    token is therefore EXACT — zero recall loss — while the join's
+    fan-out is driven by rare tokens instead of every high-frequency
+    token in the block (the unbounded-quadratic term in the naive
+    token self-join: a token shared by B docs emits B^2 rows). A
+    length filter (t * max(|A|,|B|) <= min(|A|,|B|), else J < t)
+    prunes candidates before the verify join. Verification re-joins
+    the full token sets only for surviving candidate pairs.
+
+    ``prefix_filter=False`` keeps the naive token-level self-join
+    (fine inside small blocks; used as the semantic cross-check in
+    tests)."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t"), *block_cols
     )
@@ -313,19 +490,67 @@ def jaccard_pairs(
         .distinct()
     )
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    cond = (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+
+    if not prefix_filter:
+        a = toks.alias("a")
+        b = toks.alias("b")
+        cond = (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id"))
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        inter = (
+            a.join(b, cond)
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        from pyspark.sql import Window
+
+        # ascending document frequency, token as tiebreak = one global
+        # total order per block, consistent across docs (required for
+        # the prefix guarantee)
+        freq = toks.groupBy(*block_cols, "w").agg(F.count("*").alias("df_w"))
+        ranked = toks.join(freq, [*block_cols, "w"]).withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df_w", "w")
+            ),
+        )
+        pref = (
+            ranked.join(sizes, "id")
+            .filter(
+                F.col("_rk")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select("id", *block_cols, "w")
+        )
+        a = pref.alias("a")
+        b = toks.alias("b")
+        cond = (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id"))
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        cand = (
+            a.join(b, cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("_sa")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("_sb")), "id_b")
+            .filter(
+                F.lit(threshold) * F.greatest("_sa", "_sb") <= F.least("_sa", "_sb")
+            )
+            .select("id_a", "id_b")
+        )
+        ta = toks.select(F.col("id").alias("id_a"), F.col("w").alias("_wa"))
+        tb = toks.select(F.col("id").alias("_idb"), F.col("w").alias("_wb"))
+        inter = (
+            cand.join(ta, "id_a")
+            .join(tb, (F.col("id_b") == F.col("_idb")) & (F.col("_wa") == F.col("_wb")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.files import extract_filename_py
 from .extract import _parse_dom
 
 FETCH_SCHEMA = T.StructType(
@@ -41,6 +42,8 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("status", T.IntegerType()),
         T.StructField("text", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("body", T.BinaryType()),
         T.StructField("partition_id", T.IntegerType()),
     ]
 )
@@ -91,7 +94,13 @@ def fetch_and_extract(
 
     status: 200 on corpus hit, 404 on miss (downloader.go:200-202's
     non-200 error path); text NULL on miss. n_bytes = body size
-    (downloader stats, downloader.go:322-329).
+    (downloader stats, downloader.go:322-329). S4 parity columns,
+    the table-shaped twin of the reference's file sink
+    (downloader.go:204-215: ExtractFilename -> SanitizeFilename ->
+    io.Copy to disk): ``filename`` via the P8/P9 chain (deterministic
+    ``download_<md5(url)[:8]>`` fallback in place of the reference's
+    wall-clock nanos — documented deviation), ``body`` = the fetched
+    bytes (NULL on miss).
     """
     fetched = salted_host_repartition(
         queue.join(corpus, queue[url_col] == corpus["url_norm"], "left").drop("url_norm"),
@@ -100,6 +109,8 @@ def fetch_and_extract(
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
@@ -115,6 +126,16 @@ def fetch_and_extract(
                     "n_bytes": pdf["html"].map(
                         lambda h: len(h) if h is not None else 0
                     ).astype("int64"),
+                    "filename": pdf[url_col].map(
+                        lambda u: extract_filename_py(
+                            u, None, hashlib.md5(u.encode()).hexdigest()[:8]
+                        )
+                        if u is not None
+                        else None
+                    ),
+                    "body": pdf["html"].map(
+                        lambda h: h.encode("utf-8") if h is not None else None
+                    ),
                     "partition_id": pid,
                 }
             )

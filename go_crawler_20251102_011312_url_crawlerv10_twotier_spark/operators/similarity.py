@@ -93,30 +93,100 @@ def ann_topk_bucketed(
     )
 
 
+def _signbit_bucket_col(vec_col: str, lo: int, n_bits: int) -> Column:
+    """Bucket id from the sign pattern of dims [lo, lo+n_bits)."""
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(F.col(vec_col), lo + i + 1) > 0, F.lit(2**i)
+        ).otherwise(0)
+    return bucket
+
+
+def multiband_signbit_buckets(
+    emb: DataFrame,
+    n_bands: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows: band r buckets on the sign pattern of
+    dims [r*n_bits, (r+1)*n_bits). One explode, no per-band union."""
+    structs = [
+        F.struct(
+            F.lit(r).alias("band"),
+            _signbit_bucket_col(vec_col, r * n_bits, n_bits).alias("bucket"),
+        )
+        for r in range(n_bands)
+    ]
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold, blocked by sign-bit
-    bucket (pairs crossing buckets are missed — the documented LSH
-    trade-off; raise n_bits for recall at scale)."""
-    b = signbit_buckets(emb, n_bits, id_col, vec_col)
-    a_ = b.alias("a")
-    b_ = b.alias("b")
-    va = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
-    vb = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
-    return (
+    """Near-duplicate pairs by cosine >= threshold via multi-band
+    sign-LSH: a pair is a candidate if it collides in ANY of the
+    ``n_bands`` independent sign-bit bands (band r = dims
+    [r*n_bits, (r+1)*n_bits)).
+
+    Scale design (vs the single-band variant this replaces):
+    * recall — one 8-bit band misses every pair whose signs differ in
+      those 8 dims; with 4 bands a near-identical pair must differ in
+      all 4 bands to be missed.
+    * bounded blocks — single-band bucket population grows linearly
+      with the corpus at fixed n_bits (quadratic pairs). Here
+      ``max_bucket_size`` keeps each (band, bucket)'s smallest
+      ``max_bucket_size`` ids (deterministic), so the worst bucket
+      emits <= cap^2/2 candidates. Audit what a cap drops with
+      multiband_signbit_buckets().groupBy("band","bucket").count()
+      BEFORE trusting capped output — never cap silently.
+    * the candidate join carries only (id, band, bucket); vectors are
+      re-attached to the (far smaller) DISTINCT pair set for the
+      exact cosine, so the band explode never duplicates embeddings.
+    """
+    b = multiband_signbit_buckets(emb, n_bands, n_bits, id_col, vec_col)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy(id_col)
+        b = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    a_, b_ = b.alias("a"), b.alias("b")
+    cand = (
         a_.join(
             b_,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
             F.round(cosine_sim(va, vb), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

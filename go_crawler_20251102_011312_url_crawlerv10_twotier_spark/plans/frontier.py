@@ -57,6 +57,7 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.predicates import MAX_BODY_SIZE, MAX_DEPTH, MAX_RETRIES, host_present
 from ..functions.routing import route_decision_col
 from ..functions.urlnorm import host_of_col, normalize_url_compat_col
+from ..operators import dedup as dedup_ops
 from ..operators.extract import extract_stage
 from ..operators.politeness import schedule
 from .checkpoint import SnapshotStore
@@ -106,6 +107,21 @@ class CrawlConfig:
     # crawler_twotier.go:56), so equivalence runs must too; the
     # north_rule requires the capability, so production runs set True.
     respect_robots: bool = False
+    # route the J1 seen probe through the sharded-Bloom prefilter
+    # (north_rule O4): definitely-new candidates skip the anti-join
+    # shuffle entirely; maybes (incl. false positives) fall through to
+    # the exact anti-join, so the result is identical (tested). The
+    # shard table is maintained INCREMENTALLY — built once over the
+    # initial seen set, then each iteration's delta is OR-merged in —
+    # so the per-iteration cost is one pass over the (small) delta
+    # plus an ~n_shards-row broadcast, never a rebuild over the full
+    # seen table. The win grows with the seen set: at 10^10 seen keys
+    # the candidate-side shuffle the probe removes is the dominant J1
+    # cost. Default False at fixture scale (probe overhead > savings
+    # when seen fits in a broadcast anyway).
+    use_bloom: bool = False
+    bloom_shards: int = 64
+    bloom_bits_per_shard: int = 1 << 20
 
 
 @dataclass
@@ -207,6 +223,12 @@ def crawl(
     dl_log = spark.createDataFrame([], "url string, status string, retry int, iter int")
     metrics: list[dict] = []
 
+    bloom_shards = None
+    if cfg.use_bloom:
+        bloom_shards = dedup_ops.build_bloom_shards(
+            seen, "url_norm", cfg.bloom_shards, cfg.bloom_bits_per_shard
+        ).localCheckpoint(eager=True)
+
     if store and start_iter == 0:
         store.write_iter(0, seen, frontier, dl_log)
 
@@ -295,8 +317,24 @@ def crawl(
                 F.col("m.cdepth").alias("depth"),
             )
         )
-        # J1: the crawl-seen anti-join (crawler_twotier.go:195,224-245)
-        new = deduped.join(seen.select("url_norm"), "url_norm", "left_anti")
+        # J1: the crawl-seen anti-join (crawler_twotier.go:195,224-245),
+        # optionally behind the sharded-Bloom prefilter (O4): probe-False
+        # rows skip the shuffle, probe-True rows get the exact join.
+        if bloom_shards is not None:
+            # materialize the candidates once: the def_new/maybe union
+            # downstream has two branches, and without this cut each
+            # would recompute the whole extract lineage (measured 2x
+            # the per-iteration cost at fixture scale)
+            deduped = deduped.localCheckpoint(eager=True)
+            def_new, maybe = dedup_ops.bloom_probe_shards(
+                deduped, bloom_shards, "url_norm",
+                cfg.bloom_shards, cfg.bloom_bits_per_shard,
+            )
+            new = def_new.unionByName(
+                maybe.join(seen.select("url_norm"), "url_norm", "left_anti")
+            )
+        else:
+            new = deduped.join(seen.select("url_norm"), "url_norm", "left_anti")
         if robots_df is not None:
             from ..operators.robots import filter_allowed
 
@@ -379,6 +417,15 @@ def crawl(
 
         seen_delta = new.select("url_norm", "url", "host", "depth", F.lit(it).alias("iter"))
         seen = seen.unionByName(seen_delta).coalesce(ncoal).localCheckpoint(eager=True)
+        if bloom_shards is not None:
+            # incremental maintenance: OR the delta's shards into the
+            # standing state (never a rebuild over the full seen set)
+            bloom_shards = dedup_ops.merge_bloom_shards(
+                bloom_shards,
+                dedup_ops.build_bloom_shards(
+                    seen_delta, "url_norm", cfg.bloom_shards, cfg.bloom_bits_per_shard
+                ),
+            ).localCheckpoint(eager=True)
         if deferred is None:
             frontier = new
             n_frontier = n_new

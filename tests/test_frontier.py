@@ -95,3 +95,14 @@ def test_metrics_shape(full):
     assert m1["fast_cnt"] + m1["slow_cnt"] == m1["fetched"]
     total_new = sum(m["new_urls"] for m in full["metrics"])
     assert total_new == full["n_seen"] - 1  # all but the seed
+
+
+def test_bloom_crawl_identical(spark, full):
+    """J1 behind the sharded-Bloom prefilter (CrawlConfig.use_bloom)
+    must be bit-for-bit the exact-join crawl: false positives fall
+    through to the authoritative anti-join, false negatives are
+    impossible (every seen key is OR-ed into its shard)."""
+    res = run_engine(spark, CrawlConfig(use_bloom=True, bloom_shards=8,
+                                        bloom_bits_per_shard=1 << 16))
+    got = {(r.url_norm, r.depth) for r in res.seen.collect()}
+    assert got == full["seen"]

@@ -37,7 +37,44 @@ def test_ann_bucketed_filters_bucket(spark):
 
 
 def test_neardup_pairs(spark):
-    out = similarity.embedding_neardup_pairs(_emb(spark), threshold=0.99, n_bits=2)
+    out = similarity.embedding_neardup_pairs(
+        _emb(spark), threshold=0.99, n_bits=2, n_bands=2
+    )
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
-    assert (1, 4) in pairs  # same bucket (dim0>0, dim1>0), cosine ~0.9995
+    assert (1, 4) in pairs  # band-0 collision (dim0>0, dim1>0), cosine ~0.9995
     assert all(a < b for a, b in pairs)
+
+
+def test_neardup_multiband_recall(spark):
+    """A pair differing only in band-0 signs is still found through
+    band 1 — the recall the single-band variant lacked."""
+    rows = [
+        (0, [1.0, 1.0, 0.5, 0.5]),
+        (1, [-0.001, 1.0, 0.5, 0.5]),  # band 0 differs (dim0 sign flips)
+        (2, [-1.0, -1.0, -0.5, -0.5]),  # opposite everywhere
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    multi = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(
+            emb, threshold=0.70, n_bits=2, n_bands=2
+        ).collect()
+    }
+    assert (0, 1) in multi  # cosine ~0.774, caught via band 1 (dims 2,3 agree)
+    single = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(
+            emb, threshold=0.70, n_bits=2, n_bands=1
+        ).collect()
+    }
+    assert (0, 1) not in single  # the single-band miss, demonstrated
+
+
+def test_neardup_bucket_cap_deterministic(spark):
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_neardup_pairs(
+        emb, threshold=0.5, n_bits=2, n_bands=2, max_bucket_size=3
+    ).collect()
+    # cap keeps ids 0,1,2 per bucket -> exactly C(3,2) pairs
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1), (0, 2), (1, 2)}
