@@ -2,10 +2,8 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 32 entries, 30 with
-DuckDB oracles; ``oracle_sql()`` gives the equivalent SQL (omitted
-only for the two stub-decode multimodal plumbing checks, which fall
-back to the rows-only check). Row-by-row map: COVERAGE.md.
+SURVEY.md §2 (+ the training-data operators) — 33 entries, all with
+DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
 ``documents``/``embeddings``/``events`` tables; where Spark and the
@@ -36,6 +34,7 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm i
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
     dedup,
+    download_log,
     fetch,
     multimodal,
     politeness,
@@ -102,6 +101,36 @@ SELECT 'https://host' || (d.doc_id % 20) || '.example'
   (d.doc_id % 20) AS h,
   (d.doc_id % 3) AS shape
 FROM documents d
+""".strip()
+
+# download-state fixture (S6/J2/J3/C5): doc URLs discovered across BFS
+# iterations. doc_id%13=0 rows carry an uppercase path segment (the
+# fetch probe normalizes, the J2 key stays raw); doc_id%2=0 rows are
+# RE-discovered two iterations later (J2 anti-join must no-op them);
+# the corpus serves only doc_id%3<>0, so the rest retry to failure;
+# doc_id%50=0 spawns a late doc on the final iteration that must drain
+# as 'pending'. The per-URL outcome is closed-form — the oracle below.
+_DL_URL = (
+    "('https://host' || (d.doc_id % 5) || '.example/'"
+    " || (CASE WHEN d.doc_id % 13 = 0 THEN 'FILES' ELSE 'files' END)"
+    " || '/report-' || d.doc_id || '.pdf')"
+)
+_DL_LATE_URL = "('https://host' || (d.doc_id % 5) || '.example/files/late-' || d.doc_id || '.pdf')"
+DL_ITERS = 8
+DL_MAX_RETRIES = 2
+
+DL_DISCOVERY_SQL = f"""
+SELECT {_DL_URL} AS url, CAST(d.doc_id % 4 AS INT) AS it FROM documents d
+UNION ALL
+SELECT {_DL_URL} AS url, CAST(d.doc_id % 4 + 2 AS INT) AS it
+FROM documents d WHERE d.doc_id % 2 = 0
+UNION ALL
+SELECT {_DL_LATE_URL} AS url, {DL_ITERS - 1} AS it
+FROM documents d WHERE d.doc_id % 50 = 0
+""".strip()
+
+DL_CORPUS_SQL = f"""
+SELECT lower({_DL_URL}) AS dl_norm FROM documents d WHERE d.doc_id % 3 <> 0
 """.strip()
 
 # frontier rows for the politeness/scheduling operators
@@ -216,6 +245,27 @@ def q_tier2_extract_text(spark, sf_dir):
         "n_bytes",
         "filename",  # S4 sink parity (downloader.go:204-215)
     )
+
+
+def q_download_state(spark, sf_dir):
+    """S6/J2/J3/C5: the download-state machine driven standalone over
+    DL_ITERS supersteps (downloader.go:280-310 semantics — raw-URL
+    dedup key, retry cap, drain-time pending). Same transition the
+    crawl loop runs (plans/frontier.py), factored in
+    operators/download_log.py; the oracle is the closed-form per-URL
+    outcome of the fixture's discovery/corpus arithmetic."""
+    disc = _synth(spark, sf_dir, DL_DISCOVERY_SQL).localCheckpoint(eager=True)
+    corpus_keys = _synth(spark, sf_dir, DL_CORPUS_SQL).localCheckpoint(eager=True)
+    pending = spark.createDataFrame([], download_log.PENDING_SCHEMA)
+    log = spark.createDataFrame([], download_log.LOG_SCHEMA)
+    for it in range(DL_ITERS):
+        new_docs = disc.filter(F.col("it") == it).select("url")
+        delta, pending = download_log.advance_download_state(
+            new_docs, pending, log, corpus_keys, it, DL_MAX_RETRIES
+        )
+        pending = pending.localCheckpoint(eager=True)
+        log = log.unionByName(delta).localCheckpoint(eager=True)
+    return download_log.finalize_download_log(log, pending, DL_ITERS - 1)
 
 
 def q_link_density(spark, sf_dir):
@@ -507,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_document_url": q_is_document_url,
         "crawl_frontier_bfs": q_crawl_frontier_bfs,
         "tier2_extract_text": q_tier2_extract_text,
+        "download_state": q_download_state,
         "link_density": q_link_density,
         "seen_anti_join": q_seen_anti_join,
         "seen_anti_join_bloom": q_seen_anti_join_bloom,
@@ -711,6 +762,26 @@ SELECT 'https://host0.example/missing/' || id AS url, 404 AS status,
   NULL AS text_md5, 0::BIGINT AS n_bytes,
   'download_' || substr(md5('https://host0.example/missing/' || id), 1, 8) AS filename
 FROM p WHERE id % 100 = 0
+""",
+        # closed-form outcome of the download-state fixture: a served
+        # URL closes 'done' on its discovery iteration with retry 0; a
+        # missing one accrues one retry per superstep and closes
+        # 'failed' when retry exceeds the cap; the last-iteration
+        # discovery drains as 'pending'. Re-discoveries (doc_id%2=0)
+        # and case-variant raw keys (doc_id%13=0) change nothing — the
+        # J2 raw-key anti-join and the normalized fetch probe absorb
+        # them, which is exactly what this gate verifies.
+        "download_state": f"""
+SELECT {_DL_URL} AS url,
+  CASE WHEN d.doc_id % 3 <> 0 THEN 'done' ELSE 'failed' END AS status,
+  CAST(CASE WHEN d.doc_id % 3 <> 0 THEN 0 ELSE {DL_MAX_RETRIES + 1} END AS INT) AS retry,
+  CAST(CASE WHEN d.doc_id % 3 <> 0 THEN d.doc_id % 4
+       ELSE d.doc_id % 4 + {DL_MAX_RETRIES} END AS INT) AS iter
+FROM documents d
+UNION ALL
+SELECT {_DL_LATE_URL} AS url, 'pending' AS status,
+  CAST(1 AS INT) AS retry, CAST({DL_ITERS - 1} AS INT) AS iter
+FROM documents d WHERE d.doc_id % 50 = 0
 """,
         "link_density": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})

@@ -52,7 +52,14 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from .plans.frontier import CrawlConfig, crawl, resume
+    # absolute import: under spark-submit this file runs as __main__
+    # with no package context — the engine package resolves from the
+    # --py-files zip on both driver and executors
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+        CrawlConfig,
+        crawl,
+        resume,
+    )
 
     # under spark-submit the session is pre-configured; getOrCreate picks
     # it up, and session.py defaults only apply in bare local runs

@@ -58,6 +58,7 @@ from ..functions.predicates import MAX_BODY_SIZE, MAX_DEPTH, MAX_RETRIES, host_p
 from ..functions.routing import route_decision_col
 from ..functions.urlnorm import host_of_col, normalize_url_compat_col
 from ..operators import dedup as dedup_ops
+from ..operators import download_log
 from ..operators.extract import extract_stage
 from ..operators.politeness import schedule
 from .checkpoint import SnapshotStore
@@ -379,40 +380,20 @@ def crawl(
         # retries are pending — the common case on link-only strata.
         dl_delta = None
         if tot["docs"] > 0 or n_pending_dl > 0:
-            new_docs = (
-                ext.select(F.explode("docs").alias("d"))
-                .select(F.col("d.url").alias("url"))
-                .dropDuplicates(["url"])  # raw-URL key (downloader.go:280-286)
-                .join(dl_log.select("url"), "url", "left_anti")
-                .join(dl_pending.select("url"), "url", "left_anti")
-                .withColumn("retry", F.lit(0))
+            new_docs = ext.select(F.explode("docs").alias("d")).select(
+                F.col("d.url").alias("url")
             )
-            attempts = dl_pending.unionByName(new_docs)
-            # fetch-success test needs only key existence — probe a
-            # keys-only projection of the cache, never the html bytes
-            dl_fetched = attempts.join(
-                corpus.select(
-                    F.col("url_norm").alias("dl_norm"), F.lit(True).alias("dl_hit")
-                ),
-                _norm(F.col("url")) == F.col("dl_norm"),
-                "left",
+            delta, next_pending = download_log.advance_download_state(
+                new_docs,
+                dl_pending,
+                dl_log,
+                corpus.select(F.col("url_norm").alias("dl_norm")),
+                it,
+                cfg.max_retries,
             )
-            done = dl_fetched.filter(F.col("dl_hit").isNotNull()).select(
-                "url", F.lit("done").alias("status"), "retry", F.lit(it).alias("iter")
-            )
-            missed = dl_fetched.filter(F.col("dl_hit").isNull()).select(
-                "url", (F.col("retry") + 1).alias("retry")
-            )
-            failed = missed.filter(F.col("retry") > cfg.max_retries).select(
-                "url", F.lit("failed").alias("status"), "retry", F.lit(it).alias("iter")
-            )
-            dl_pending = (
-                missed.filter(F.col("retry") <= cfg.max_retries)
-                .coalesce(ncoal)
-                .localCheckpoint(eager=True)
-            )
+            dl_pending = next_pending.coalesce(ncoal).localCheckpoint(eager=True)
             n_pending_dl = dl_pending.count()
-            dl_delta = done.unionByName(failed).coalesce(ncoal).localCheckpoint(eager=True)
+            dl_delta = delta.coalesce(ncoal).localCheckpoint(eager=True)
             dl_log = dl_log.unionByName(dl_delta).coalesce(ncoal).localCheckpoint(eager=True)
 
         seen_delta = new.select("url_norm", "url", "host", "depth", F.lit(it).alias("iter"))
@@ -488,10 +469,7 @@ def crawl(
             break  # frontier exhausted (deferred is empty without budgets)
 
     # mark still-pending downloads (queue drain state, C6)
-    pending_final = dl_pending.select(
-        "url", F.lit("pending").alias("status"), "retry", F.lit(it).alias("iter")
-    )
-    downloads = dl_log.unionByName(pending_final)
+    downloads = download_log.finalize_download_log(dl_log, dl_pending, it)
 
     if cfg.cache_corpus:
         corpus.unpersist()
