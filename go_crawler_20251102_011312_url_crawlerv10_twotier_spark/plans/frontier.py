@@ -154,12 +154,25 @@ def _prepare_pages(
     )
     if not dedupe:
         return proj
-    # 4x parallelism keeps partitions modest when bodies are large (a
-    # 10 GB corpus at 16 slots would otherwise mean 600 MB partitions —
-    # GC death with several concurrently materialized); AQE coalesces
-    # small ones back. On a cluster, files.maxPartitionBytes plays this
-    # role at the scan and bucketing at the join.
-    n = 4 * pages.sparkSession.sparkContext.defaultParallelism
+    # Partition count sized by DATA, not cores (the thing that carries
+    # to 100 TB): target ~128 MB per partition from Catalyst's stats
+    # estimate (free — no job), floored at the core count so big
+    # corpora use every slot, capped at 4x so a mis-estimate can't
+    # produce a task blizzard (measured: 128 partitions for a 25 MB
+    # fixture corpus cost ~20% wall vs 32 — per-task + python-worker
+    # overhead, no compute to amortize it). Large bodies stay bounded:
+    # a 10 GB corpus lands at ~80 x 128 MB partitions instead of
+    # cores-derived 600 MB ones (GC death when several materialize
+    # concurrently). On a real cluster files.maxPartitionBytes plays
+    # this role at the scan and bucketing at the join.
+    par = pages.sparkSession.sparkContext.defaultParallelism
+    try:
+        est_bytes = int(
+            proj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable (e.g. local relation edge) — cores rule
+        est_bytes = 0
+    n = min(max(par, est_bytes // (128 << 20) + 1), 4 * par)
     return proj.repartition(n, "url_norm").dropDuplicates(["url_norm"])
 
 
@@ -340,13 +353,17 @@ def crawl(
             from ..operators.robots import filter_allowed
 
             new = filter_allowed(new, robots_df)
+        # the row count rides the checkpoint action as an observation —
+        # a separate count() job per superstep is pure floor at scale
+        new_obs = Observation(f"iter{it}_new")
         new = (
             new.withColumn("priority", F.lit(False))
             .withColumn("retry", F.lit(0))
+            .observe(new_obs, F.count(F.lit(1)).alias("n"))
             .coalesce(ncoal)
             .localCheckpoint(eager=True)
         )
-        n_new = new.count()
+        n_new = int(new_obs.get["n"])
         t_extract = time.time()
 
         keys = ("pages", "links", "docs", "fast_cnt", "slow_cnt")
@@ -391,8 +408,13 @@ def crawl(
                 it,
                 cfg.max_retries,
             )
-            dl_pending = next_pending.coalesce(ncoal).localCheckpoint(eager=True)
-            n_pending_dl = dl_pending.count()
+            dl_obs = Observation(f"iter{it}_dl")
+            dl_pending = (
+                next_pending.observe(dl_obs, F.count(F.lit(1)).alias("n"))
+                .coalesce(ncoal)
+                .localCheckpoint(eager=True)
+            )
+            n_pending_dl = int(dl_obs.get["n"])
             dl_delta = delta.coalesce(ncoal).localCheckpoint(eager=True)
             dl_log = dl_log.unionByName(dl_delta).coalesce(ncoal).localCheckpoint(eager=True)
 
@@ -411,8 +433,14 @@ def crawl(
             frontier = new
             n_frontier = n_new
         else:
-            frontier = deferred.unionByName(new).coalesce(ncoal).localCheckpoint(eager=True)
-            n_frontier = frontier.count()
+            f_obs = Observation(f"iter{it}_frontier")
+            frontier = (
+                deferred.unionByName(new)
+                .observe(f_obs, F.count(F.lit(1)).alias("n"))
+                .coalesce(ncoal)
+                .localCheckpoint(eager=True)
+            )
+            n_frontier = int(f_obs.get["n"])
 
         metrics.append(
             {
