@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 33 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 34 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -390,6 +390,37 @@ def q_stream_host_rates(spark, sf_dir):
     )
 
 
+def q_stream_host_budget(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    streaming/stateful.py): lifetime per-host politeness budget over a
+    discovered-URL stream — one int of state per host, sequence +
+    schedule verdict per URL. Driven as one availableNow micro-batch
+    here, where the contract equals the batch row_number window (the
+    oracle); cross-micro-batch state survival is pytest-verified
+    (tests/test_streaming.py)."""
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.stateful import (
+        run_bounded,
+        streaming_host_budget,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="feed_budget_")
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        F.concat(F.col("event_type"), F.lit("/"), F.col("event_id")).alias("url"),
+        F.col("event_type").alias("host"),
+        F.col("ts").alias("discovered_ts"),
+    ).write.mode("overwrite").parquet(feed_dir)
+
+    feed = spark.readStream.schema(
+        "url string, host string, discovered_ts timestamp"
+    ).parquet(feed_dir)
+    q = run_bounded(streaming_host_budget(feed, budget_per_host=300), "host_budget_gate")
+    q.awaitTermination()
+    return spark.sql("SELECT host, url, seq, scheduled FROM host_budget_gate")
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 6 inside
     (source, length-bucket) blocks, via EXACT pigeonhole multi-band
@@ -564,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_filename": q_extract_filename,
         "robots_filter": q_robots_filter,
         "stream_host_rates": q_stream_host_rates,
+        "stream_host_budget": q_stream_host_budget,
         "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
         "metrics_rollup": q_metrics_rollup,
@@ -818,6 +850,20 @@ SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS win_start,
        min(CAST(round(value * 1000) AS INT) % 14) AS min_depth
 FROM events
 GROUP BY 1, 2
+""",
+        # single-micro-batch replay of the stateful budget operator ==
+        # the batch row_number window over the same (ts, url) total order
+        "stream_host_budget": """
+WITH feed AS (
+  SELECT event_type || '/' || event_id AS url, event_type AS host, ts
+  FROM events
+),
+numbered AS (
+  SELECT host, url,
+    CAST(row_number() OVER (PARTITION BY host ORDER BY ts, url) AS INT) AS seq
+  FROM feed
+)
+SELECT host, url, seq, (seq <= 300) AS scheduled FROM numbered
 """,
         "simhash_neardup": f"""
 WITH sig AS ({_simhash_sql(60)}),
