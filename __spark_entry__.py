@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 34 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 35 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -131,6 +131,14 @@ FROM documents d WHERE d.doc_id % 50 = 0
 
 DL_CORPUS_SQL = f"""
 SELECT lower({_DL_URL}) AS dl_norm FROM documents d WHERE d.doc_id % 3 <> 0
+""".strip()
+
+# deterministic host-rank table for the rank-aware scheduler (a stand-in
+# for harmonic-centrality / in-link scores a production crawl would feed)
+HOSTRANK_SQL = f"""
+SELECT DISTINCT 'host' || {pagesrc._h('d.doc_id')} || '.example' AS host,
+  CAST(({pagesrc._h('d.doc_id')} * 7) % 20 AS DOUBLE) AS host_rank
+FROM documents d
 """.strip()
 
 # frontier rows for the politeness/scheduling operators
@@ -446,6 +454,19 @@ def q_politeness_budget(spark, sf_dir):
     return scheduled.select("url_norm", "host", "depth")
 
 
+def q_politeness_hostrank(spark, sf_dir):
+    """North_rule priority queue — crawl-depth + HOST-RANK ordering: the
+    per-host budget cut, then a global per-iteration top-N by
+    (priority DESC, host_rank DESC, depth, url_norm). The global trim
+    compiles to TakeOrderedAndProject (never a full sort)."""
+    frontier = _synth(spark, sf_dir, FRONTIER_SYNTH_SQL)
+    ranks = _synth(spark, sf_dir, HOSTRANK_SQL)
+    scheduled, _ = politeness.schedule(
+        frontier, budget_per_host=5, host_ranks=ranks, global_budget=40
+    )
+    return scheduled.select("url_norm", "host", "depth")
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A2 routing-split metrics over the clean corpus."""
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
@@ -598,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_host_budget": q_stream_host_budget,
         "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
+        "politeness_hostrank": q_politeness_hostrank,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -884,6 +906,18 @@ r AS (SELECT url_norm, host, depth,
         row_number() OVER (PARTITION BY host ORDER BY priority DESC, depth, url_norm) AS rn
       FROM f)
 SELECT url_norm, host, depth FROM r WHERE rn <= 5
+""",
+        "politeness_hostrank": f"""
+WITH f AS ({FRONTIER_SYNTH_SQL}),
+rk AS ({HOSTRANK_SQL}),
+r AS (SELECT f.url_norm, f.host, f.depth, f.priority,
+        row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.depth, f.url_norm) AS rn,
+        coalesce(rk.host_rank, 0) AS host_rank
+      FROM f LEFT JOIN rk ON f.host = rk.host),
+g AS (SELECT url_norm, host, depth,
+        row_number() OVER (ORDER BY priority DESC, host_rank DESC, depth, url_norm) AS gn
+      FROM r WHERE rn <= 5)
+SELECT url_norm, host, depth FROM g WHERE gn <= 40
 """,
         "metrics_rollup": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})

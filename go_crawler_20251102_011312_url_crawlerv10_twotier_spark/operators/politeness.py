@@ -41,13 +41,33 @@ def schedule(
     frontier: DataFrame,
     budget_per_host: int | None,
     n_salts: int = DEFAULT_SALTS,
+    host_ranks: DataFrame | None = None,
+    global_budget: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``frontier`` into (scheduled, deferred) under the per-host
     budget. ``frontier`` needs columns: host, url_norm, depth, and
     optionally priority (boolean). budget None => everything scheduled.
+
+    ``global_budget`` additionally caps the WHOLE iteration: after the
+    per-host cut, the batch is trimmed to the global top-N by
+    ``(priority DESC, host_rank DESC, depth ASC, url_norm ASC)`` —
+    the north_rule's crawl-depth + host-rank priority queue.
+    ``host_ranks`` is an optional small (host, host_rank double) table
+    (e.g. harmonic-centrality or in-link scores); it is broadcast, and
+    unranked hosts default to rank 0. The trim compiles to
+    ``TakeOrderedAndProject`` (per-partition top-N, merge on driver-side
+    limit — never a global sort), so it is exactly as scale-safe as the
+    engine's other top-K paths. Ties are impossible: url_norm is unique
+    within a frontier, so the cut is deterministic.
     """
-    if budget_per_host is None:
+    if budget_per_host is None and global_budget is None:
         return frontier, frontier.limit(0)
+    if budget_per_host is None:
+        scheduled = _global_trim(frontier, host_ranks, global_budget)
+        deferred = frontier.join(
+            scheduled.select("url_norm"), "url_norm", "left_anti"
+        )
+        return scheduled, deferred
 
     has_priority = "priority" in frontier.columns
     order = _order_cols(has_priority)
@@ -64,6 +84,8 @@ def schedule(
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = phase1.withColumn("_r2", F.row_number().over(w2)).drop("_salt")
     scheduled = ranked.filter(F.col("_r2") <= budget_per_host).drop("_r2")
+    if global_budget is not None:
+        scheduled = _global_trim(scheduled, host_ranks, global_budget)
 
     # deferred = frontier minus scheduled (anti-join on the dedup key;
     # url_norm is unique within a frontier by construction)
@@ -71,6 +93,25 @@ def schedule(
         scheduled.select("url_norm"), "url_norm", "left_anti"
     )
     return scheduled, deferred
+
+
+def _global_trim(
+    batch: DataFrame, host_ranks: DataFrame | None, global_budget: int
+) -> DataFrame:
+    """Global top-``global_budget`` of a scheduled batch by
+    (priority DESC, host_rank DESC, depth, url_norm)."""
+    cols = []
+    if "priority" in batch.columns:
+        cols.append(F.col("priority").desc())
+    with_rank = host_ranks is not None
+    if with_rank:
+        batch = batch.join(
+            F.broadcast(host_ranks.select("host", "host_rank")), "host", "left"
+        ).withColumn("host_rank", F.coalesce("host_rank", F.lit(0.0)))
+        cols.append(F.col("host_rank").desc())
+    cols += [F.col("depth").asc(), F.col("url_norm").asc()]
+    out = batch.orderBy(*cols).limit(global_budget)
+    return out.drop("host_rank") if with_rank else out
 
 
 def priority_order(frontier: DataFrame) -> DataFrame:

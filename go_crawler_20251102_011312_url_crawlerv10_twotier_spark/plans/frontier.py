@@ -78,6 +78,12 @@ class CrawlConfig:
     max_depth: int = MAX_DEPTH  # config/config.go:7
     max_iterations: int = 100
     budget_per_host: int | None = None  # politeness (None = unbounded)
+    # global per-iteration cap on top of the per-host budget: trims the
+    # scheduled batch to the top-N by (priority DESC, host_rank DESC,
+    # depth, url_norm) — pass a (host, host_rank) table to crawl()'s
+    # host_ranks to activate rank-aware ordering (north_rule priority
+    # queue: crawl-depth + host-rank)
+    global_budget: int | None = None
     max_body_bytes: int = MAX_BODY_SIZE  # crawler_twotier.go:57
     max_retries: int = MAX_RETRIES  # config/config.go:34
     checkpoint_dir: str | None = None
@@ -202,6 +208,7 @@ def crawl(
     html_col: str = "html",
     initial_seen: DataFrame | None = None,
     start_iter: int = 0,
+    host_ranks: DataFrame | None = None,
 ) -> CrawlResult:
     cfg = cfg or CrawlConfig()
     store = SnapshotStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
@@ -252,14 +259,18 @@ def crawl(
     ncoal = max(4, spark.sparkContext.defaultParallelism)
     while it < cfg.max_iterations:
         t0 = time.time()
-        if cfg.budget_per_host is None:
+        if cfg.budget_per_host is None and cfg.global_budget is None:
             # no politeness budget: everything schedules, nothing defers —
             # skip the window entirely (and its count action)
             scheduled, deferred = frontier, None
             n_sched = n_frontier
         else:
             scheduled, deferred = schedule(
-                frontier, cfg.budget_per_host, cfg.politeness_salts
+                frontier,
+                cfg.budget_per_host,
+                cfg.politeness_salts,
+                host_ranks=host_ranks,
+                global_budget=cfg.global_budget,
             )
             n_sched = scheduled.count()
         if n_sched == 0:
@@ -493,7 +504,7 @@ def crawl(
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
 
-        if n_new == 0 and cfg.budget_per_host is None:
+        if n_new == 0 and cfg.budget_per_host is None and cfg.global_budget is None:
             break  # frontier exhausted (deferred is empty without budgets)
 
     # mark still-pending downloads (queue drain state, C6)

@@ -70,3 +70,61 @@ def test_priority_order_sorts_within_partitions(spark):
     for _, grp in pdf.groupby("pid"):
         keys = [(-int(p), d, u) for p, d, u in zip(grp.priority, grp.depth, grp.url_norm)]
         assert keys == sorted(keys)
+
+
+def _ranks(spark, hosts=3):
+    rows = [(f"h{i}.x", float((hosts - i) * 10)) for i in range(hosts)]
+    return spark.createDataFrame(rows, "host string, host_rank double")
+
+
+def test_global_budget_trims_by_host_rank(spark):
+    f = _frontier(spark, n=200, hosts=3)
+    sched, deferred = schedule(
+        f, budget_per_host=5, host_ranks=_ranks(spark), global_budget=8
+    )
+    rows = sched.collect()
+    assert len(rows) == 8
+    assert sched.count() + deferred.count() == f.count()
+    # global order: priority=True rows first (there are <8 of them in
+    # the per-host cut), then rank-descending hosts (h0 > h1 > h2)
+    non_prio = [r for r in rows if not r.priority]
+    hosts = [r.host for r in non_prio]
+    assert hosts == sorted(hosts)  # h0 before h1 before h2
+
+
+def test_global_budget_without_ranks_orders_by_depth(spark):
+    f = _frontier(spark, n=200, hosts=3)
+    sched, _ = schedule(f, budget_per_host=None, global_budget=10)
+    rows = sched.collect()
+    assert len(rows) == 10
+    # equals the naive global window on (priority DESC, depth, url_norm)
+    w_rows = (
+        f.orderBy(F.col("priority").desc(), F.col("depth"), F.col("url_norm"))
+        .limit(10)
+        .collect()
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in w_rows}
+
+
+def test_global_budget_crawl_reaches_same_urls(spark):
+    """A globally-budgeted crawl defers, never drops: same final seen
+    set as the unbudgeted crawl, just more iterations."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+        CrawlConfig,
+        crawl,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        pages as pagesrc,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, "/root/testdata/sf0.001")
+    seeds = spark.sql(pagesrc.seeds_sql())
+    free = crawl(spark, pages, seeds, CrawlConfig())
+    capped = crawl(
+        spark, pages, seeds, CrawlConfig(global_budget=25, max_iterations=100)
+    )
+    assert capped.iterations > free.iterations
+    assert all(m["scheduled"] <= 25 for m in capped.metrics)
+    a = {r.url_norm for r in free.seen.select("url_norm").collect()}
+    b = {r.url_norm for r in capped.seen.select("url_norm").collect()}
+    assert a == b
