@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 35 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 37 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -131,6 +131,15 @@ FROM documents d WHERE d.doc_id % 50 = 0
 
 DL_CORPUS_SQL = f"""
 SELECT lower({_DL_URL}) AS dl_norm FROM documents d WHERE d.doc_id % 3 <> 0
+""".strip()
+
+# WARC-style multi-version snapshots: ~5 refetches per page (page id =
+# doc_id mod 101), each under a distinct warc_ts; the newest one wins
+SNAP_SQL = """
+SELECT 'https://host' || ((d.doc_id % 101) % 7) || '.example/page/' || (d.doc_id % 101) AS url_norm,
+  timestamp '2025-01-01 00:00:00' + (d.doc_id * interval '1' second) AS warc_ts,
+  md5('v' || d.doc_id) AS content_md5
+FROM documents d
 """.strip()
 
 # deterministic host-rank table for the rank-aware scheduler (a stand-in
@@ -519,6 +528,29 @@ def q_ann_topk_bucketed(spark, sf_dir):
     return similarity.ann_topk_bucketed(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
 
 
+def q_ann_topk_multiprobe(spark, sf_dir):
+    """Multiprobe ANN: query bucket + every Hamming-1 neighbor bucket
+    (similarity.ann_topk_multiprobe) — recovers most single-probe
+    recall loss while still reading (n_bits+1)/2^n_bits of the corpus
+    (an IN-list of partition values when bucket is the partition key)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_multiprobe(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
+
+
+def q_latest_snapshot(spark, sf_dir):
+    """Recrawl dedup (dedup.latest_snapshot): newest fetch per url_norm
+    over a multi-version WARC-style fixture (pages refetched under
+    distinct warc_ts). max-struct agg, one shuffle; the oracle is the
+    row_number()=1 window over the same versions."""
+    snaps = _synth(spark, sf_dir, SNAP_SQL)
+    latest = dedup.latest_snapshot(snaps, key_col="url_norm", ts_col="warc_ts")
+    return latest.select(
+        "url_norm",
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
+        "content_md5",
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Multi-band sign-LSH near-dup pairs (4 bands x 8 sign bits,
     bucket cap 100) — the bounded-block scale path; the oracle
@@ -628,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
+        "ann_topk_multiprobe": q_ann_topk_multiprobe,
+        "latest_snapshot": q_latest_snapshot,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -994,6 +1028,32 @@ SELECT e.vec_id,
                                list_transform(q.embedding, x -> x::DOUBLE)), 6) AS cosine
 FROM b e, q WHERE e.bucket = q.bucket
 ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        "ann_topk_multiprobe": """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+    AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0)
+SELECT e.vec_id,
+  round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                               list_transform(q.embedding, x -> x::DOUBLE)), 6) AS cosine
+FROM b e, q WHERE xor(e.bucket, q.bucket) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        # newest version per page: row_number over the same synthetic
+        # multi-version set; ts crosses the gate as epoch BIGINT
+        "latest_snapshot": f"""
+WITH s AS ({SNAP_SQL}),
+r AS (SELECT url_norm, CAST(epoch(warc_ts) AS BIGINT) AS ts_epoch, content_md5,
+        row_number() OVER (PARTITION BY url_norm ORDER BY warc_ts DESC) AS rn
+      FROM s)
+SELECT url_norm, ts_epoch, content_md5 FROM r WHERE rn = 1
 """,
         "embedding_neardup": f"""
 WITH bands AS ({_multiband_buckets_sql(4, 8)}),

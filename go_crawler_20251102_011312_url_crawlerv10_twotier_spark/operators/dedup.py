@@ -220,6 +220,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def latest_snapshot(
+    pages: DataFrame, key_col: str = "url_norm", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Recrawl dedup: keep the NEWEST fetch of each page — the
+    Common-Crawl-style "latest snapshot per url" cut a training-data
+    pipeline runs before any content dedup (WARC archives carry every
+    recrawl of a url; ``warc_ts`` orders them).
+
+    One hash shuffle on the key with map-side partial max: the max is
+    taken over a (ts, ...rest) struct, so it is the lexicographic max
+    by ``ts_col`` first — deterministic whenever each key's timestamps
+    are distinct (WARC fetch times are). No window function, no sort:
+    this is the max-struct twin of the frontier's min-struct dedup
+    (plans/frontier.py) and scales the same way.
+    """
+    rest = [c for c in pages.columns if c != key_col]
+    return (
+        pages.groupBy(key_col)
+        .agg(F.max(F.struct(ts_col, *[c for c in rest if c != ts_col])).alias("m"))
+        .select(key_col, "m.*")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

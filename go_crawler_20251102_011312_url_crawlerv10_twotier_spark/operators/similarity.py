@@ -93,6 +93,32 @@ def ann_topk_bucketed(
     )
 
 
+def ann_topk_multiprobe(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe ANN: exact cosine within the query's sign-bit bucket
+    PLUS every Hamming-distance-1 neighbor bucket (each single bit
+    flipped — the vectors a near-boundary dimension would misplace).
+    Recovers most of single-probe's recall loss for (n_bits + 1)x the
+    probed volume, i.e. ~(n_bits+1)/2^n_bits of the corpus instead of
+    1/2^n_bits — still a partition-pruned read when ``bucket`` is the
+    table's partition key (an IN-list of n_bits+1 partition values)."""
+    qbucket = 0
+    for i in range(n_bits):
+        if float(query_vec[i]) > 0:
+            qbucket += 2**i
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_bits)]
+    bucketed = signbit_buckets(emb, n_bits, id_col, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket").isin(probes)), query_vec, k, id_col, vec_col
+    )
+
+
 def _signbit_bucket_col(vec_col: str, lo: int, n_bits: int) -> Column:
     """Bucket id from the sign pattern of dims [lo, lo+n_bits)."""
     bucket = F.lit(0)

