@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 37 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 38 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -476,6 +476,19 @@ def q_politeness_hostrank(spark, sf_dir):
     return scheduled.select("url_norm", "host", "depth")
 
 
+def q_host_inlink_ranks(spark, sf_dir):
+    """Host-rank PRODUCER (operators/ranks.py): in-link count per
+    target host from E1-extracted links over the clean corpus — the
+    table the rank-aware scheduler broadcasts. Oracle: the same counts
+    from the closed-form edge graph (pages.edges_sql)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_inlink_ranks,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return host_inlink_ranks(pages)
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A2 routing-split metrics over the clean corpus."""
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
@@ -652,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
+        "host_inlink_ranks": q_host_inlink_ranks,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -952,6 +966,12 @@ g AS (SELECT url_norm, host, depth,
         row_number() OVER (ORDER BY priority DESC, host_rank DESC, depth, url_norm) AS gn
       FROM r WHERE rn <= 5)
 SELECT url_norm, host, depth FROM g WHERE gn <= 40
+""",
+        "host_inlink_ranks": f"""
+WITH e AS ({pagesrc.edges_sql()})
+SELECT 'host' || {pagesrc._h('e.dst')} || '.example' AS host,
+  CAST(count(*) AS DOUBLE) AS host_rank
+FROM e GROUP BY 1
 """,
         "metrics_rollup": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})

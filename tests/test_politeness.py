@@ -128,3 +128,17 @@ def test_global_budget_crawl_reaches_same_urls(spark):
     a = {r.url_norm for r in free.seen.select("url_norm").collect()}
     b = {r.url_norm for r in capped.seen.select("url_norm").collect()}
     assert a == b
+
+
+def test_host_inlink_ranks_counts(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_inlink_ranks,
+    )
+
+    rows = [
+        ("https://a.x/", '<a href="https://b.x/1"></a><a href="https://b.x/2"></a>'),
+        ("https://b.x/", '<a href="https://a.x/1"></a><a href="#skip"></a>      '),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {r.host: r.host_rank for r in host_inlink_ranks(pages).collect()}
+    assert got == {"b.x": 2.0, "a.x": 1.0}
