@@ -161,16 +161,23 @@ def _prepare_pages(
     if not dedupe:
         return proj
     # Partition count sized by DATA, not cores (the thing that carries
-    # to 100 TB): target ~128 MB per partition from Catalyst's stats
+    # to 100 TB): ~64 MB target per partition from Catalyst's stats
     # estimate (free — no job), floored at the core count so big
-    # corpora use every slot, capped at 4x so a mis-estimate can't
-    # produce a task blizzard (measured: 128 partitions for a 25 MB
-    # fixture corpus cost ~20% wall vs 32 — per-task + python-worker
-    # overhead, no compute to amortize it). Large bodies stay bounded:
-    # a 10 GB corpus lands at ~80 x 128 MB partitions instead of
-    # cores-derived 600 MB ones (GC death when several materialize
-    # concurrently). On a real cluster files.maxPartitionBytes plays
-    # this role at the scan and bucketing at the join.
+    # corpora use every slot, capped at 4x cores so a mis-estimate
+    # can't produce a task blizzard (measured: 128 partitions for a
+    # 25 MB fixture corpus cost ~20% wall vs 32 — per-task +
+    # python-worker overhead, no compute to amortize it).
+    #
+    # 64 MB, not the 128 MB cluster norm: every concurrent task
+    # materializes its partition as JVM strings (2x UTF-16) on ONE
+    # shared local-mode heap — at 32 slots on the tuned 8 g heap the
+    # per-slot materialization budget is ~128 MB, and Catalyst
+    # UNDER-estimates generated columns (measured 6.1 GB est vs
+    # ~12 GB real on the padded 1M-page corpus — the 2x absorbed by
+    # the halved target; a 46x128MB-partition run of it OOMed, the
+    # 95x64MB one completes). On a real cluster each executor brings
+    # its own heap; files.maxPartitionBytes plays this role at the
+    # scan and bucketing at the join.
     par = pages.sparkSession.sparkContext.defaultParallelism
     try:
         est_bytes = int(
@@ -178,7 +185,7 @@ def _prepare_pages(
         )
     except Exception:  # stats unavailable (e.g. local relation edge) — cores rule
         est_bytes = 0
-    n = min(max(par, est_bytes // (128 << 20) + 1), 4 * par)
+    n = min(max(par, est_bytes // (64 << 20) + 1), 4 * par)
     return proj.repartition(n, "url_norm").dropDuplicates(["url_norm"])
 
 
