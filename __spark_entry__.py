@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 38 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 40 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -133,6 +133,31 @@ DL_CORPUS_SQL = f"""
 SELECT lower({_DL_URL}) AS dl_norm FROM documents d WHERE d.doc_id % 3 <> 0
 """.strip()
 
+# RFC 3986 reference shapes against clean-corpus bases (closed-form
+# resolution per shape in the oracle)
+RESOLVE_SYNTH_SQL = f"""
+SELECT d.doc_id AS id,
+  {pagesrc._url('d.doc_id')} AS base,
+  CASE d.doc_id % 4
+    WHEN 0 THEN 'https://other.example/abs'
+    WHEN 1 THEN '/rooted/x'
+    WHEN 2 THEN 'sub.html'
+    ELSE '?q=' || d.doc_id END AS ref
+FROM documents d
+""".strip()
+
+# byte counts spanning B/KB/MB/GB (primes keep every value off the
+# round-half-even tie points, so Python/C/DuckDB %.1f agree exactly)
+BYTES_SYNTH_SQL = """
+SELECT d.doc_id AS id,
+  CAST(CASE d.doc_id % 4
+    WHEN 0 THEN d.doc_id
+    WHEN 1 THEN d.doc_id * 1021 + 13
+    WHEN 2 THEN d.doc_id * 1048573 + 7
+    ELSE d.doc_id * 1073741789 + 3 END AS BIGINT) AS n
+FROM documents d
+""".strip()
+
 # WARC-style multi-version snapshots: ~5 refetches per page (page id =
 # doc_id mod 101), each under a distinct warc_ts; the newest one wins
 SNAP_SQL = """
@@ -192,6 +217,30 @@ def q_url_canonicalize(spark, sf_dir):
     """Engine-native RFC 3986 canonicalizer (north_rule)."""
     return _synth(spark, sf_dir, URL_SYNTH_SQL).select(
         "id", canonicalize_rfc3986("url").alias("url_canon")
+    )
+
+
+def q_url_resolve(spark, sf_dir):
+    """P2 RFC 3986 reference resolution (tokenizer/slowpath.go:94-97)
+    over absolute / root-relative / relative / query-only shapes."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm import (
+        resolve_rfc3986,
+    )
+
+    return _synth(spark, sf_dir, RESOLVE_SYNTH_SQL).select(
+        "id", resolve_rfc3986("ref", "base").alias("resolved")
+    )
+
+
+def q_format_bytes(spark, sf_dir):
+    """P11 FormatBytes (utils/utils.go:72-84): '%d B' under 1 KiB, else
+    one decimal with a K/M/G suffix."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.files import (
+        format_bytes,
+    )
+
+    return _synth(spark, sf_dir, BYTES_SYNTH_SQL).select(
+        "id", format_bytes("n").alias("pretty")
     )
 
 
@@ -648,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_normalize_compat": q_url_normalize_compat,
         "url_canonicalize": q_url_canonicalize,
+        "url_resolve": q_url_resolve,
+        "format_bytes": q_format_bytes,
         "route_decision": q_route_decision,
         "extract_links_fast": q_extract_links_fast,
         "extract_docs_slow": q_extract_docs_slow,
@@ -797,6 +848,28 @@ SELECT id,
   || CASE WHEN regexp_extract(url, {_URL_QUERY}, 1) <> ''
        THEN '?' || array_to_string(list_sort(string_split(regexp_extract(url, {_URL_QUERY}, 1), '&')), '&')
        ELSE '' END AS url_canon
+FROM synth
+""",
+        # closed-form resolution per reference shape (the base is always
+        # scheme://host/page/<id>, so relative refs replace the last
+        # path segment and query-only refs append to the base)
+        "url_resolve": f"""
+WITH synth AS ({RESOLVE_SYNTH_SQL})
+SELECT id,
+  CASE id % 4
+    WHEN 0 THEN 'https://other.example/abs'
+    WHEN 1 THEN regexp_extract(base, '^([^:/]+://[^/?#]*)', 1) || '/rooted/x'
+    WHEN 2 THEN regexp_extract(base, '^(.*/)', 1) || 'sub.html'
+    ELSE base || '?q=' || id END AS resolved
+FROM synth
+""",
+        "format_bytes": f"""
+WITH synth AS ({BYTES_SYNTH_SQL})
+SELECT id,
+  CASE WHEN n < 1024 THEN n || ' B'
+       WHEN n < 1048576 THEN printf('%.1f', n / 1024.0) || ' KB'
+       WHEN n < 1073741824 THEN printf('%.1f', n / 1048576.0) || ' MB'
+       ELSE printf('%.1f', n / 1073741824.0) || ' GB' END AS pretty
 FROM synth
 """,
         "route_decision": f"""

@@ -200,6 +200,19 @@ def host_of(urls: pd.Series) -> pd.Series:
     return pd.Series([host_of_py(u) for u in urls], dtype=object)
 
 
+@F.pandas_udf(T.StringType())
+def resolve_rfc3986(refs: pd.Series, bases: pd.Series) -> pd.Series:
+    """P2 as a column function: RFC 3986 reference resolution
+    (tokenizer/slowpath.go:94-97)."""
+    return pd.Series(
+        [
+            resolve_rfc3986_py(r, b) if r is not None and b is not None else None
+            for r, b in zip(refs, bases)
+        ],
+        dtype=object,
+    )
+
+
 # ---------------------------------------------------------------------------
 # column-expression variants (pure Catalyst, whole-stage-codegen'd) for the
 # URL shapes the synthetic corpus guarantees (no userinfo/ports/escapes).
