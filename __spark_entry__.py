@@ -329,6 +329,9 @@ def q_download_state(spark, sf_dir):
         delta, pending = download_log.advance_download_state(
             new_docs, pending, log, corpus_keys, it, DL_MAX_RETRIES
         )
+        # both carriers need a lineage cut every superstep: pending AND
+        # log feed the next iteration's joins, so an uncut log compounds
+        # (log_k references log_{k-1} twice — measured 15x slower)
         pending = pending.localCheckpoint(eager=True)
         log = log.unionByName(delta).localCheckpoint(eager=True)
     return download_log.finalize_download_log(log, pending, DL_ITERS - 1)

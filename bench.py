@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "route_decision",
     "extract_links_fast",
     "politeness_budget",
+    "politeness_hostrank",
+    "host_inlink_ranks",
+    "download_state",
+    "latest_snapshot",
+    "stream_host_budget",
     "metrics_rollup",
     "dedup_exact",
     "minhash_signatures",

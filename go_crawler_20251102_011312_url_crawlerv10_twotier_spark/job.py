@@ -38,6 +38,14 @@ def parse_args(argv):
     p.add_argument("--max-depth", type=int, default=13)  # config/config.go:7
     p.add_argument("--max-iterations", type=int, default=100)
     p.add_argument("--budget-per-host", type=int, default=None)
+    p.add_argument("--global-budget", type=int, default=None,
+                   help="cap URLs per iteration (top-N by priority/host-rank/depth)")
+    p.add_argument("--host-ranks-parquet", default=None,
+                   help="(host, host_rank double) table for rank-aware scheduling")
+    p.add_argument("--respect-robots", action="store_true",
+                   help="enforce robots.txt rules found in the corpus")
+    p.add_argument("--use-bloom", action="store_true",
+                   help="route the seen probe through the sharded-Bloom prefilter")
     p.add_argument("--politeness-salts", type=int, default=16)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true", help="continue from the latest snapshot")
@@ -74,8 +82,16 @@ def main(argv=None) -> int:
         max_depth=args.max_depth,
         max_iterations=args.max_iterations,
         budget_per_host=args.budget_per_host,
+        global_budget=args.global_budget,
         politeness_salts=args.politeness_salts,
         checkpoint_dir=args.checkpoint_dir,
+        respect_robots=args.respect_robots,
+        use_bloom=args.use_bloom,
+    )
+    host_ranks = (
+        spark.read.parquet(args.host_ranks_parquet)
+        if args.host_ranks_parquet
+        else None
     )
 
     if args.resume:
@@ -93,7 +109,10 @@ def main(argv=None) -> int:
             seeds = spark.createDataFrame(rows, "url string, depth int")
         else:
             raise SystemExit("need --seed or --seeds-parquet (or --resume)")
-        res = crawl(spark, pages, seeds, cfg, url_col=args.url_col, html_col=args.html_col)
+        res = crawl(
+            spark, pages, seeds, cfg,
+            url_col=args.url_col, html_col=args.html_col, host_ranks=host_ranks,
+        )
 
     if args.output:
         res.seen.write.mode("overwrite").parquet(f"{args.output}/seen")
