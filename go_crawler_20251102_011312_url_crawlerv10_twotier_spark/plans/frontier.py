@@ -437,6 +437,9 @@ def crawl(
             dl_log = dl_log.unionByName(dl_delta).coalesce(ncoal).localCheckpoint(eager=True)
 
         seen_delta = new.select("url_norm", "url", "host", "depth", F.lit(it).alias("iter"))
+        # cut every superstep: an every-4th-cadence variant was measured
+        # SLOWER (10.4-11.3 s vs 9.7-10.3 s at sf0.1) — the uncut union
+        # plan re-executes per consumer and costs more than the cut
         seen = seen.unionByName(seen_delta).coalesce(ncoal).localCheckpoint(eager=True)
         if bloom_shards is not None:
             # incremental maintenance: OR the delta's shards into the
