@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 40 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 41 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -677,6 +677,16 @@ def q_multimodal_probe(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing (multimodal.sample_frames): fixed-grid
+    chunking of the payload, every 4th 256-byte frame kept, one row
+    per sampled frame with an md5-over-hex digest. The oracle slices
+    the same re-synthesized blob with substring arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.sample_frames(payloads, "doc_id", "payload")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Decode/featurize stage plumbing (mapInPandas, decode kernel
     stubbed with a deterministic byte-histogram). Gate projection is
@@ -737,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1236,6 +1247,29 @@ SELECT doc_id,
   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
   md5(hex(payload)) AS hex_md5
 FROM pay
+""",
+        # frame grid over the same re-synthesized blob: every 4th
+        # 256-byte chunk; substring truncates the tail chunk on both
+        # engines, and hex() is uppercase on both
+        "multimodal_frames": """
+WITH pay AS (
+  SELECT d.doc_id,
+    (CASE WHEN d.doc_id % 3 = 0 THEN '\\x89\\x50\\x4E\\x47\\x0D\\x0A\\x1A\\x0A'::BLOB
+          WHEN d.doc_id % 3 = 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+          ELSE 'RIFF'::BLOB END) || encode(d.text) AS payload
+  FROM documents d
+),
+f AS (
+  SELECT doc_id, hex(payload) AS h,
+    CAST(ceil(octet_length(payload) / 256.0) AS INT) AS n_frames
+  FROM pay
+),
+idx AS (
+  SELECT doc_id, h, n_frames, unnest(range(0, n_frames)) AS i FROM f
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx, n_frames,
+  md5(substring(h, CAST(i * 512 + 1 AS INT), 512)) AS frame_md5
+FROM idx WHERE i % 4 = 0
 """,
         # features: 16-bin histogram of byte % 16 over the first 4096
         # payload bytes. documents.text is ASCII (1 byte per char), so

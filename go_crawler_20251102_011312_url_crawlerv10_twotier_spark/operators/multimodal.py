@@ -144,6 +144,61 @@ def decode_features(
     return df.select(id_col, payload_col).mapInPandas(op, FEATURES_SCHEMA)
 
 
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+FRAMES_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sampling stage (video keyframe extraction shape): split
+    the payload into fixed ``frame_bytes`` chunks and keep every
+    ``stride``-th — one OUTPUT ROW PER SAMPLED FRAME (the explode
+    shape downstream featurizers consume).
+
+    STUB note: a real deployment seeks container keyframes with ffmpeg
+    here; the fixed chunk grid stands in for it. Everything Spark-side
+    is real — mapInPandas batch iteration, the 1:N row fan-out, the
+    per-frame digest (md5 over uppercase hex, the blob->varchar map
+    shared with the DuckDB oracle).
+
+    At 100 TB: frame rows are tiny (digests, not bytes), so the
+    fan-out multiplies row COUNT, not data volume; the payload column
+    never leaves this stage.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, digests = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                n_frames = max(1, -(-len(p) // frame_bytes))
+                for i in range(0, n_frames, stride):
+                    chunk = p[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    digests.append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype=object),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, FRAMES_SCHEMA)
+
+
 def features_digest(features_df: DataFrame) -> DataFrame:
     """Gate-comparable projection of ``decode_features`` output: the
     array<float> column is unhashable for a row-canonicalizing

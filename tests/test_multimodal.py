@@ -69,3 +69,24 @@ def test_attach_fake_payload(spark):
     probed = M.probe_media(M.attach_fake_payload(docs)).collect()
     mimes = {r.doc_id: r.mime for r in probed}
     assert mimes == {0: "image/png", 1: "image/jpeg", 2: "audio/wav"}
+
+
+def test_sample_frames_fanout_and_digests(spark):
+    import hashlib
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    p = bytes(range(256)) * 5 + b"tail"  # 1284 bytes -> 6 frames, sample 0 and 4
+    df = spark.createDataFrame([(1, p), (2, b"ab")], "doc_id long, payload binary")
+    rows = sorted(
+        ((r.doc_id, r.frame_idx, r.n_frames, r.frame_md5) for r in sample_frames(df).collect())
+    )
+    def dig(chunk):
+        return hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+    assert rows == [
+        (1, 0, 6, dig(p[0:256])),
+        (1, 4, 6, dig(p[1024:1280])),
+        (2, 0, 1, dig(b"ab")),
+    ]
