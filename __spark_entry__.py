@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 41 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 42 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -164,6 +164,16 @@ SNAP_SQL = """
 SELECT 'https://host' || ((d.doc_id % 101) % 7) || '.example/page/' || (d.doc_id % 101) AS url_norm,
   timestamp '2025-01-01 00:00:00' + (d.doc_id * interval '1' second) AS warc_ts,
   md5('v' || d.doc_id) AS content_md5
+FROM documents d
+""".strip()
+
+# recrawl history with a known change cycle: content keyed on
+# doc_id % 303, so consecutive versions of a page (doc_id stepping by
+# 101) usually differ but repeat on a 3-version cycle
+RECRAWL_SQL = """
+SELECT 'https://host' || ((d.doc_id % 101) % 7) || '.example/page/' || (d.doc_id % 101) AS url_norm,
+  timestamp '2025-01-01 00:00:00' + (d.doc_id * interval '1' second) AS warc_ts,
+  md5('v' || (d.doc_id % 303)) AS content_md5
 FROM documents d
 """.strip()
 
@@ -677,6 +687,19 @@ def q_multimodal_probe(spark, sf_dir):
     )
 
 
+def q_recrawl_change_rates(spark, sf_dir):
+    """Recrawl revisit statistics (ranks.recrawl_change_rates): per-url
+    version count, change count (lag-compare of content digests in
+    warc_ts order) and change rate — one shuffle on the url key. The
+    oracle runs the identical lag window in DuckDB."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_change_rates,
+    )
+
+    snaps = _synth(spark, sf_dir, RECRAWL_SQL)
+    return recrawl_change_rates(snaps)
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing (multimodal.sample_frames): fixed-grid
     chunking of the payload, every 4th 256-byte frame kept, one row
@@ -740,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "ann_topk_multiprobe": q_ann_topk_multiprobe,
         "latest_snapshot": q_latest_snapshot,
+        "recrawl_change_rates": q_recrawl_change_rates,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -1152,6 +1176,25 @@ SELECT e.vec_id,
                                list_transform(q.embedding, x -> x::DOUBLE)), 6) AS cosine
 FROM b e, q WHERE xor(e.bucket, q.bucket) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
 ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        # identical lag window over the shared recrawl history
+        "recrawl_change_rates": f"""
+WITH s AS ({RECRAWL_SQL}),
+lagged AS (
+  SELECT url_norm, content_md5,
+    lag(content_md5) OVER (PARTITION BY url_norm ORDER BY warc_ts) AS prev
+  FROM s
+),
+agg AS (
+  SELECT url_norm,
+    CAST(count(*) AS INT) AS n_versions,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> content_md5 THEN 1 ELSE 0 END) AS INT) AS n_changes
+  FROM lagged GROUP BY url_norm
+)
+SELECT url_norm, n_versions, n_changes,
+  round(CASE WHEN n_versions > 1
+        THEN n_changes / (n_versions - 1.0) ELSE 0.0 END, 6) AS change_rate
+FROM agg
 """,
         # newest version per page: row_number over the same synthetic
         # multi-version set; ts crosses the gate as epoch BIGINT

@@ -15,7 +15,7 @@ the scheduler.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.predicates import host_present
@@ -39,4 +39,49 @@ def host_inlink_ranks(
     )
     return tgt.groupBy("host").agg(
         F.count("*").cast("double").alias("host_rank")
+    )
+
+
+def recrawl_change_rates(
+    snapshots: DataFrame,
+    key_col: str = "url_norm",
+    ts_col: str = "warc_ts",
+    content_col: str = "content_md5",
+) -> DataFrame:
+    """Per-URL change statistics from recrawl history — the input a
+    production crawler's revisit policy consumes (pages that change
+    every fetch get short refetch intervals; static ones get long).
+
+    For each url's versions ordered by ``ts_col``: ``n_versions``,
+    ``n_changes`` (versions whose content digest differs from the
+    previous version's), and ``change_rate`` = n_changes /
+    (n_versions - 1), 0.0 for single-version urls.
+
+    Scale: the lag window partitions by url — per-task state is one
+    url's version list (WARC recrawl counts are small by nature), and
+    the aggregate that follows reuses the same hash partitioning, so
+    the whole operator is ONE shuffle on the url key.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    d = snapshots.withColumn("_prev", F.lag(content_col).over(w))
+    agg = d.groupBy(key_col).agg(
+        F.count("*").cast("int").alias("n_versions"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull() & (F.col("_prev") != F.col(content_col)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_changes"),
+    )
+    return agg.withColumn(
+        "change_rate",
+        F.round(
+            F.when(
+                F.col("n_versions") > 1,
+                F.col("n_changes") / (F.col("n_versions") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
     )

@@ -142,3 +142,28 @@ def test_host_inlink_ranks_counts(spark):
     pages = spark.createDataFrame(rows, "url string, html string")
     got = {r.host: r.host_rank for r in host_inlink_ranks(pages).collect()}
     assert got == {"b.x": 2.0, "a.x": 1.0}
+
+
+def test_recrawl_change_rates(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_change_rates,
+    )
+
+    rows = [
+        # u1: a -> a -> b -> b -> a : 2 changes over 4 steps
+        ("u1", "2025-01-01 00:00:01", "a"),
+        ("u1", "2025-01-01 00:00:02", "a"),
+        ("u1", "2025-01-01 00:00:03", "b"),
+        ("u1", "2025-01-01 00:00:04", "b"),
+        ("u1", "2025-01-01 00:00:05", "a"),
+        # u2: single version
+        ("u2", "2025-01-01 00:00:01", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_norm string, ts string, content_md5 string"
+    ).selectExpr("url_norm", "to_timestamp(ts) AS warc_ts", "content_md5")
+    got = {
+        r.url_norm: (r.n_versions, r.n_changes, r.change_rate)
+        for r in recrawl_change_rates(df).collect()
+    }
+    assert got == {"u1": (5, 2, 0.5), "u2": (1, 0, 0.0)}
