@@ -50,7 +50,12 @@ BENCH_QUERIES = [
     "host_inlink_ranks",
     "download_state",
     "latest_snapshot",
+    "recrawl_change_rates",
     "stream_host_budget",
+    "url_resolve",
+    "format_bytes",
+    "ann_topk_multiprobe",
+    "multimodal_frames",
     "metrics_rollup",
     "dedup_exact",
     "minhash_signatures",
