@@ -144,7 +144,7 @@ def run_bench(sf_dir: str) -> dict:
     # 41 s cold vs 18 s warm for the identical sf0.1 crawl on this
     # box); a long-lived cluster executor runs warm, so the steady-
     # state number is the one that projects — reported as such here
-    # and in BENCH.md §6.
+    # and in BENCH.md §7 (variance caveat).
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     t_warm0 = time.time()
     run_crawl(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir)
