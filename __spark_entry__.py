@@ -146,7 +146,9 @@ SELECT d.doc_id AS id,
 FROM documents d
 """.strip()
 
-# byte counts spanning B/KB/MB/GB (primes keep every value off the
+# byte counts spanning B/KB/MB/GB at gate scale and crossing into TB
+# above doc_id ~1027 (sf0.1+) — the oracle carries the full K..E suffix
+# ladder so the gate holds at every sf (primes keep every value off the
 # round-half-even tie points, so Python/C/DuckDB %.1f agree exactly)
 BYTES_SYNTH_SQL = """
 SELECT d.doc_id AS id,
@@ -438,6 +440,7 @@ def q_stream_host_rates(spark, sf_dir):
     10 s windows + watermark over a bounded file feed, driven with
     availableNow to completion; equals the batch windowed agg, which
     is the DuckDB oracle."""
+    import shutil
     import tempfile
 
     from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
@@ -452,11 +455,12 @@ def q_stream_host_rates(spark, sf_dir):
         F.col("event_type").alias("host"),
         (F.round(F.col("value") * 1000).cast("int") % 14).alias("depth"),
         F.col("ts").alias("discovered_ts"),
-    ).write.mode("overwrite").parquet(feed_dir)
+    ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
 
     agg = stream_host_rates(spark, feed_dir)
     q = run_to_memory_sink(agg, name="host_rates_gate")
     q.awaitTermination()
+    shutil.rmtree(feed_dir, ignore_errors=True)  # memory sink holds the rows
     # the window key crosses the gate as epoch seconds (BIGINT): raw
     # timestamps can NEVER hash-match the oracle — DuckDB hands pandas
     # datetime64[us] (tz-aware from to_timestamp), Spark datetime64[ns]
@@ -477,6 +481,7 @@ def q_stream_host_budget(spark, sf_dir):
     here, where the contract equals the batch row_number window (the
     oracle); cross-micro-batch state survival is pytest-verified
     (tests/test_streaming.py)."""
+    import shutil
     import tempfile
 
     from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.stateful import (
@@ -486,17 +491,22 @@ def q_stream_host_budget(spark, sf_dir):
 
     feed_dir = tempfile.mkdtemp(prefix="feed_budget_")
     ev = load(spark, sf_dir, "events")
+    # ONE file => availableNow replays it as ONE micro-batch, so the
+    # stateful operator's per-batch (ts, url) sort IS the global order
+    # the oracle's row_number window assumes; a multi-file feed would
+    # follow file order if the source ever split batches
     ev.select(
         F.concat(F.col("event_type"), F.lit("/"), F.col("event_id")).alias("url"),
         F.col("event_type").alias("host"),
         F.col("ts").alias("discovered_ts"),
-    ).write.mode("overwrite").parquet(feed_dir)
+    ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
 
     feed = spark.readStream.schema(
         "url string, host string, discovered_ts timestamp"
     ).parquet(feed_dir)
     q = run_bounded(streaming_host_budget(feed, budget_per_host=300), "host_budget_gate")
     q.awaitTermination()
+    shutil.rmtree(feed_dir, ignore_errors=True)  # memory sink holds the rows
     return spark.sql("SELECT host, url, seq, scheduled FROM host_budget_gate")
 
 
@@ -907,7 +917,10 @@ SELECT id,
   CASE WHEN n < 1024 THEN n || ' B'
        WHEN n < 1048576 THEN printf('%.1f', n / 1024.0) || ' KB'
        WHEN n < 1073741824 THEN printf('%.1f', n / 1048576.0) || ' MB'
-       ELSE printf('%.1f', n / 1073741824.0) || ' GB' END AS pretty
+       WHEN n < 1099511627776 THEN printf('%.1f', n / 1073741824.0) || ' GB'
+       WHEN n < 1125899906842624 THEN printf('%.1f', n / 1099511627776.0) || ' TB'
+       WHEN n < 1152921504606846976 THEN printf('%.1f', n / 1125899906842624.0) || ' PB'
+       ELSE printf('%.1f', n / 1152921504606846976.0) || ' EB' END AS pretty
 FROM synth
 """,
         "route_decision": f"""

@@ -96,11 +96,15 @@ def test_ann_multiprobe_superset_of_single_probe(spark, sf_small):
     m = {(r.vec_id, r.cosine) for r in multi.collect()}
     # every single-probe hit is reachable by multiprobe, and the probed
     # pool is strictly larger here (neighbor buckets are non-empty)
-    top_m = sorted(m, key=lambda t: (-t[1], t[0]))
     assert len(m) >= len(s)
-    # multiprobe top-k dominates: its worst kept cosine >= single's
+    # rank-wise dominance: multiprobe's candidate pool is a superset of
+    # single-probe's, so at every rank i its i-th best cosine is >= the
+    # single-probe i-th best
+    m_sorted = sorted((c for _, c in m), reverse=True)
+    s_sorted = sorted((c for _, c in s), reverse=True)
+    for mc, sc in zip(m_sorted, s_sorted):
+        assert mc >= sc
     if s and m:
-        assert min(c for _, c in m) >= 0 or True
         exact = similarity.cosine_topk(emb, q, k=50)
         e = {(r.vec_id, r.cosine) for r in exact.collect()}
         # recall vs exact can only improve with more probes
