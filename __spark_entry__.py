@@ -512,11 +512,12 @@ def q_stream_host_budget(spark, sf_dir):
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 6 inside
-    (source, length-bucket) blocks, via EXACT pigeonhole multi-band
-    blocking (dedup.hamming_neardup_pairs — 7 disjoint bit bands, a
-    qualifying pair must agree on one, so the result set is identical
-    to the naive blocked self-join the oracle runs, with join buckets
-    ~2^8-2^9x smaller)."""
+    (source, length-bucket) blocks, via pigeonhole multi-band blocking
+    (dedup.hamming_neardup_pairs — 7 disjoint bit bands, a qualifying
+    pair must agree exactly on one) with the bucket cap ON (64 smallest
+    ids per (block, band, bkey) bucket — the 100 TB guard against
+    boilerplate clusters that collapse into one band bucket; the
+    oracle replays the identical banding + deterministic cap)."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "lbucket", F.floor(F.col("n_chars") / F.lit(64)).cast("int")
     )
@@ -524,7 +525,7 @@ def q_simhash_neardup(spark, sf_dir):
         docs.select(F.col("doc_id").alias("id"), "source", "lbucket"), "id"
     )
     return dedup.hamming_neardup_pairs(
-        sig, ["source", "lbucket"], max_hamming=6
+        sig, ["source", "lbucket"], max_hamming=6, max_bucket_size=64
     )
 
 
@@ -846,6 +847,20 @@ SELECT id, {aggs} FROM toks WHERE w <> '' GROUP BY id
 """.strip()
 
 
+def _hamming_bands_sql(src: str, bits: int = 60, max_hamming: int = 6) -> str:
+    """Banded rows over a simhash relation ``src`` (id, simhash,
+    source, lbucket) — SQL twin of dedup._hamming_banded: band r =
+    fingerprint bits [bits*r//(d+1), bits*(r+1)//(d+1))."""
+    n_bands = max_hamming + 1
+    edges = [bits * r // n_bands for r in range(n_bands + 1)]
+    return "\nUNION ALL\n".join(
+        f"SELECT id, simhash, source, lbucket, {r} AS band, "
+        f"(simhash >> {edges[r]}) & {(1 << (edges[r + 1] - edges[r])) - 1} AS bkey "
+        f"FROM {src}"
+        for r in range(n_bands)
+    )
+
+
 def _simhash_sql(bits: int = 60) -> str:
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1059,17 +1074,29 @@ numbered AS (
 )
 SELECT host, url, seq, (seq <= 300) AS scheduled FROM numbered
 """,
+        # banded + capped twin of hamming_neardup_pairs: same 7 disjoint
+        # bit bands, same deterministic 64-smallest-ids cut per
+        # (block, band, bkey) bucket, pairs distinct over bands
         "simhash_neardup": f"""
 WITH sig AS ({_simhash_sql(60)}),
 meta AS (
   SELECT doc_id AS id, source, CAST(floor(n_chars / 64.0) AS INT) AS lbucket
   FROM documents
 ),
-s AS (SELECT sig.id, simhash, source, lbucket FROM sig JOIN meta ON sig.id = meta.id)
-SELECT a.id AS id_a, b.id AS id_b,
+s AS (SELECT sig.id, simhash, source, lbucket FROM sig JOIN meta ON sig.id = meta.id),
+banded AS ({_hamming_bands_sql('s', 60, 6)}),
+capped AS (
+  SELECT id, simhash, source, lbucket, band, bkey FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source, lbucket, band, bkey ORDER BY id) AS rn
+    FROM banded
+  ) WHERE rn <= 64
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM s a JOIN s b
-  ON a.source = b.source AND a.lbucket = b.lbucket AND a.id < b.id
+FROM capped a JOIN capped b
+  ON a.source = b.source AND a.lbucket = b.lbucket
+  AND a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,
         "politeness_budget": f"""

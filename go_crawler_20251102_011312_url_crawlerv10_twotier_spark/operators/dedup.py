@@ -401,6 +401,57 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _hamming_banded(
+    sig: DataFrame,
+    block_cols: list[str],
+    max_hamming: int,
+    bits: int,
+    id_col: str,
+    sim_col: str,
+) -> DataFrame:
+    """(id, sim, *block_cols, band, bkey) rows: the fingerprint split
+    into ``max_hamming + 1`` disjoint bit bands (one explode)."""
+    n_bands = max_hamming + 1
+    edges = [bits * r // n_bands for r in range(n_bands + 1)]
+    structs = [
+        F.struct(
+            F.lit(r).alias("band"),
+            F.shiftright(F.col(sim_col), edges[r])
+            .bitwiseAND(F.lit((1 << (edges[r + 1] - edges[r])) - 1))
+            .alias("bkey"),
+        )
+        for r in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sim_col).alias("sim"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array(*structs)).alias("bb"),
+    ).select("id", "sim", *block_cols, "bb.band", "bb.bkey")
+
+
+def hamming_bucket_stats(
+    sig: DataFrame,
+    block_cols: list[str],
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Pigeonhole-band bucket population audit: (*block_cols, band,
+    bkey, n_docs), largest first — the "no silent caps" companion to
+    hamming_neardup_pairs (same pattern as lsh_bucket_stats). Run it
+    to see what a ``max_bucket_size`` cap would drop: random
+    fingerprints spread thinly, but a boilerplate cluster of
+    near-identical docs collapses into one (block, band, bkey) bucket."""
+    return (
+        _hamming_banded(sig, block_cols, max_hamming, bits, id_col, sim_col)
+        .groupBy(*block_cols, "band", "bkey")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc())
+    )
+
+
 def hamming_neardup_pairs(
     sig: DataFrame,
     block_cols: list[str],
@@ -408,6 +459,7 @@ def hamming_neardup_pairs(
     bits: int = SIMHASH_BITS,
     id_col: str = "id",
     sim_col: str = "simhash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All pairs within ``block_cols`` blocks with hamming(simhash)
     <= max_hamming — EXACT, via pigeonhole multi-band blocking.
@@ -423,27 +475,30 @@ def hamming_neardup_pairs(
     (linear in corpus => quadratic pairs). Here each join bucket is
     (block, band, ~bits/(d+1) exact bits): random fingerprints spread
     over 2^8..2^9 band values, cutting bucket population by that
-    factor; only genuinely near-identical clusters collapse into one
-    bucket, and those emit pairs the caller asked for anyway.
+    factor. The pigeonhole bound, however, only spreads RANDOM
+    fingerprints — a boilerplate cluster (near-identical docs, common
+    in web corpora) shares band values and collapses into one bucket.
+    ``max_bucket_size`` is the escape hatch: each (block, band, bkey)
+    bucket keeps its ``max_bucket_size`` smallest ids (deterministic
+    row_number cut — the same guard as lsh_dup_pairs /
+    embedding_neardup_pairs), so the worst bucket emits at most
+    cap*(cap-1)/2 pairs. Dropped rows are exactly the ones
+    hamming_bucket_stats shows above the cap — audit with it, never
+    cap silently. (Degradation is graceful: docs in a capped bucket
+    are near-identical by construction, so surviving pairs still
+    transitively cover the cluster through the kept representatives.)
     Output: (id_a, id_b, hamming), id_a < id_b, distinct.
     """
-    n_bands = max_hamming + 1
-    edges = [bits * r // n_bands for r in range(n_bands + 1)]
-    structs = [
-        F.struct(
-            F.lit(r).alias("band"),
-            F.shiftright(F.col(sim_col), edges[r])
-            .bitwiseAND(F.lit((1 << (edges[r + 1] - edges[r])) - 1))
-            .alias("bkey"),
+    banded = _hamming_banded(sig, block_cols, max_hamming, bits, id_col, sim_col)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*block_cols, "band", "bkey").orderBy("id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
         )
-        for r in range(n_bands)
-    ]
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        F.col(sim_col).alias("sim"),
-        *[F.col(c) for c in block_cols],
-        F.explode(F.array(*structs)).alias("bb"),
-    ).select("id", "sim", *block_cols, "bb.band", "bb.bkey")
     a, b = banded.alias("a"), banded.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))

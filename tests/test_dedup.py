@@ -53,6 +53,28 @@ def test_simhash_properties(spark):
     assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
 
 
+def test_hamming_neardup_bucket_cap_deterministic(spark):
+    """A degenerate cluster (identical fingerprints => one bucket in
+    EVERY band) is bounded by max_bucket_size: the cap keeps the
+    smallest ids, so exactly C(cap, 2) pairs survive — and the audit
+    query shows what the cap cut."""
+    rows = [(i, 12345, "s", 0) for i in range(6)] + [(99, 999999, "s", 0)]
+    sig = spark.createDataFrame(rows, "id long, simhash long, source string, lbucket int")
+    out = dedup.hamming_neardup_pairs(
+        sig, ["source", "lbucket"], max_hamming=6, max_bucket_size=3
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}  # ids 3..5 capped away
+    # uncapped: the full C(6,2) cluster
+    full = dedup.hamming_neardup_pairs(sig, ["source", "lbucket"], max_hamming=6)
+    assert len(full.collect()) == 15
+    # audit shows 7 bands x one 6-doc bucket (id 99 differs in >6 bits
+    # of every band here, so it never pairs; its own buckets hold 1-6)
+    stats = dedup.hamming_bucket_stats(sig, ["source", "lbucket"], max_hamming=6)
+    top = stats.head()
+    assert top["n_docs"] in (6, 7)  # cluster bucket (7 if 99 collides in a band)
+
+
 def test_jaccard_pairs(spark):
     docs = _docs(spark).withColumn("blk", F.lit(1))
     out = {(r.id_a, r.id_b): r.jaccard for r in
