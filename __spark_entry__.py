@@ -735,6 +735,21 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL decode path (multimodal.decode_png_py / decode_wav_py):
+    conforming PNG/WAV payloads synthesized closed-form in doc_id
+    (attach_decodable_payload), decoded strict=True — no histogram
+    fallback can hide a parse failure — and projected through
+    features_digest. The oracle recomputes width/height/pixel and
+    sample statistics from the same closed-form synthesis parameters
+    with pure SQL (no decoder on the oracle side)."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_decodable_payload(docs, "doc_id")
+    return multimodal.features_digest(
+        multimodal.decode_features(payloads, "doc_id", "payload", strict=True)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_frontier_bfs(spark, "/root/testdata/sf0.001")
@@ -784,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_probe": q_multimodal_probe,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1396,5 +1412,50 @@ SELECT doc_id,
   16 AS n_features,
   md5(array_to_string(l, ',')) AS features_md5
 FROM vec
+""",
+        # real-decode oracle: no decoder on this side — the features are
+        # recomputed from attach_decodable_payload's closed-form synthesis
+        # (PNG: w=4+d%13, h=3+d%7, px=(d+31x+17y)%256; WAV: n=32+d%64,
+        # s=((7d+13i)%2048)-1024), so a Spark-side decode bug cannot be
+        # mirrored here
+        "multimodal_decode": """
+WITH png AS (
+  SELECT d.doc_id, 4 + d.doc_id % 13 AS w, 3 + d.doc_id % 7 AS h
+  FROM documents d WHERE d.doc_id % 2 = 0
+),
+pngpix AS (
+  SELECT doc_id, w, h, (doc_id + 31 * (i % w) + 17 * (i // w)) % 256 AS v
+  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM png)
+),
+pngagg AS (
+  SELECT doc_id, w, h, min(v) AS mn, max(v) AS mx, sum(v) AS sm
+  FROM pngpix GROUP BY doc_id, w, h
+),
+pngfeat AS (
+  SELECT doc_id, 'image/png' AS mime,
+    [1, w, h, 8, 0, w * h, mn, mx, sm, 0, 0, 0, 0, 0, 0, 0] AS l
+  FROM pngagg
+),
+wav AS (
+  SELECT d.doc_id, 32 + d.doc_id % 64 AS n
+  FROM documents d WHERE d.doc_id % 2 = 1
+),
+wavsmp AS (
+  SELECT doc_id, n, ((doc_id * 7 + i * 13) % 2048) - 1024 AS s
+  FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM wav)
+),
+wavagg AS (
+  SELECT doc_id, n, min(s) AS mn, max(s) AS mx, sum(s) AS sm, sum(abs(s)) AS sa
+  FROM wavsmp GROUP BY doc_id, n
+),
+wavfeat AS (
+  SELECT doc_id, 'audio/wav' AS mime,
+    [2, 1, 8000, 16, n, mn, mx, sm, sa, 0, 0, 0, 0, 0, 0, 0] AS l
+  FROM wavagg
+),
+allf AS (SELECT * FROM pngfeat UNION ALL SELECT * FROM wavfeat)
+SELECT doc_id, mime, 16 AS n_features,
+       md5(array_to_string(l, ',')) AS features_md5
+FROM allf
 """,
     }

@@ -2,13 +2,18 @@
 
 Media payloads are opaque ``binary`` columns + typed metadata structs;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.
-The image/audio codec libraries are NOT in this container, so the
-decode kernels are STUBBED (clearly marked below): ``probe_media``
-detects container magic bytes and byte-level stats (real), while
-``decode_features`` returns a deterministic fake feature vector unless
-``strict=True``, in which case it raises NotImplementedError at the
-point a real codec would be called. The Spark-side plumbing — schema,
-batch iteration, partition-parallel shape — is real and tested.
+``probe_media`` detects container magic bytes and byte-level stats
+(real). ``decode_features`` carries TWO kernel tiers:
+
+* REAL pure-python decoders for PNG (zlib inflate + unfilter, stdlib
+  only) and RIFF/WAV PCM (header walk + int16 samples) — structure
+  features from actually-decoded pixels/samples;
+* a deterministic byte-histogram STUB for every other container
+  (JPEG/GIF/MP4 need codec libraries this container lacks — with
+  ``strict=True`` those raise instead of silently faking).
+
+The Spark-side plumbing — schema, batch iteration, partition-parallel
+shape — is identical for both tiers and fully tested.
 
 At 100 TB the payloads dominate IO: keep them in their own parquet
 column chunk (they compress/skip independently), filter on the typed
@@ -20,6 +25,8 @@ binary column is only materialized for surviving rows, and size
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -90,6 +97,115 @@ def probe_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
 FEATURE_DIM = 16
 FEATURES_SCHEMA = "doc_id long, mime string, features array<float>"
 
+# Decoded-structure feature layout (FEATURE_DIM slots, zero-padded).
+# Every value is a whole number well inside float32's exact-int range,
+# so the gate can hash them bit-for-bit against a SQL oracle:
+#   PNG : [1, width, height, bit_depth, color_type, n_pixels,
+#          min_px, max_px, sum_px, 0...]
+#   WAV : [2, channels, sample_rate, bits, n_samples,
+#          min_s, max_s, sum_s, sum_abs_s, 0...]
+KIND_IMAGE = 1.0
+KIND_AUDIO = 2.0
+
+
+def decode_png_py(p: bytes) -> list[float]:
+    """REAL PNG decode, stdlib only: chunk walk with CRC verification,
+    IHDR parse, zlib inflate of the IDAT stream, scanline unfilter
+    (filter types 0/1/2 — None/Sub/Up — cover what any encoder emits
+    for the flat images this engine synthesizes; others raise).
+    Supports 8-bit grayscale (color type 0). Raises ValueError on
+    anything that is not a conforming PNG."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not p or not p.startswith(sig):
+        raise ValueError("not a PNG")
+    pos = len(sig)
+    ihdr = None
+    idat = b""
+    while pos + 8 <= len(p):
+        (length,) = struct.unpack(">I", p[pos : pos + 4])
+        ctype = p[pos + 4 : pos + 8]
+        data = p[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(p):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", p[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("bad chunk CRC")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">II5B", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant (8-bit grayscale only)")
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline size mismatch")
+    px: list[int] = []
+    prev = [0] * w
+    for y in range(h):
+        row = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        ftype, line = row[0], list(row[1:])
+        if ftype == 1:  # Sub
+            for x in range(1, w):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            line = [(v + u) & 0xFF for v, u in zip(line, prev)]
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        px.extend(line)
+        prev = line
+    return [
+        KIND_IMAGE, float(w), float(h), float(bit_depth), float(color_type),
+        float(w * h), float(min(px)), float(max(px)), float(sum(px)),
+    ] + [0.0] * (FEATURE_DIM - 9)
+
+
+def decode_wav_py(p: bytes) -> list[float]:
+    """REAL RIFF/WAV decode, stdlib only: RIFF header check, chunk walk
+    to ``fmt `` and ``data``, PCM int16 sample parse. Raises ValueError
+    on anything that is not a conforming PCM-16 WAV."""
+    if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        (length,) = struct.unpack("<I", p[pos + 4 : pos + 8])
+        data = p[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if length < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", data[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data before fmt")
+            audio_format, channels, rate, _bps, _align, bits = fmt
+            if audio_format != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (PCM-16 only)")
+            samples = list(
+                struct.unpack(f"<{length // 2}h", data[: (length // 2) * 2])
+            )
+        pos += 8 + length + (length & 1)  # RIFF chunks pad to even
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    _afmt, channels, rate, _bps, _align, bits = fmt
+    return [
+        KIND_AUDIO, float(channels), float(rate), float(bits),
+        float(len(samples)), float(min(samples)), float(max(samples)),
+        float(sum(samples)), float(sum(abs(s) for s in samples)),
+    ] + [0.0] * (FEATURE_DIM - 9)
+
+
+_DECODERS = {"image/png": decode_png_py, "audio/wav": decode_wav_py}
+
 
 def decode_features(
     df: DataFrame,
@@ -100,18 +216,22 @@ def decode_features(
 ) -> DataFrame:
     """Decode + feature-extract stage.
 
-    STUB: a real deployment decodes the payload (PIL/ffmpeg) and runs a
-    featurizer here; this container has neither, so with strict=False a
-    deterministic byte-histogram sketch stands in (stable across runs,
-    so tests can assert on it); strict=True raises where the codec
-    call would happen, making the stub impossible to mistake for a
-    real decoder.
+    PNG and PCM-WAV payloads take the REAL decode path (decode_png_py /
+    decode_wav_py above — pure stdlib, no codec libraries needed) and
+    emit structure features from decoded pixels/samples. Every other
+    container — and any payload that fails its parse — falls back to a
+    deterministic 16-bin byte histogram (stable across runs, so tests
+    can assert on it) when ``strict=False``; with ``strict=True`` the
+    fallback raises instead (NotImplementedError for codecs this
+    container lacks — JPEG/GIF/MP4 need PIL/ffmpeg — and ValueError
+    for a malformed PNG/WAV), so a stubbed result can never be
+    mistaken for a decoded one.
 
-    With ``normalize=False`` (default) the features are the RAW bin
-    counts (whole numbers, exactly representable in float32) so the
-    correctness gate can hash them bit-for-bit against a SQL oracle;
-    ``normalize=True`` emits the L1-normalized histogram a real
-    featurizer shape would have (floats — not exactly comparable
+    With ``normalize=False`` (default) histogram features are the RAW
+    bin counts (whole numbers, exactly representable in float32) so
+    the correctness gate can hash them bit-for-bit against a SQL
+    oracle; ``normalize=True`` emits the L1-normalized histogram a
+    real featurizer shape would have (floats — not exactly comparable
     cross-engine, covered by pytest instead).
     """
 
@@ -122,13 +242,21 @@ def decode_features(
             for p in pdf[payload_col]:
                 mime = sniff_mime_py(p)
                 mimes.append(mime)
+                decoder = _DECODERS.get(mime)
+                if decoder is not None:
+                    try:
+                        feats.append(decoder(p))
+                        continue
+                    except ValueError:
+                        if strict:
+                            raise
                 if strict:
                     raise NotImplementedError(
-                        "media decode requires codec libraries not present "
-                        "in this container (PIL/ffmpeg); plumbing is real, "
-                        "kernel is stubbed"
+                        f"no pure-python decoder for {mime} (needs codec "
+                        "libraries not present in this container); plumbing "
+                        "is real, this kernel is stubbed"
                     )
-                # deterministic fake: 16-bin byte histogram
+                # deterministic fallback: 16-bin byte histogram
                 hist = [0.0] * FEATURE_DIM
                 if p:
                     for byte in p[:4096]:
@@ -211,6 +339,84 @@ def features_digest(features_df: DataFrame) -> DataFrame:
         F.size("features").alias("n_features"),
         F.md5(F.concat_ws(",", counts_str)).alias("features_md5"),
     )
+
+
+def encode_png_py(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal REAL PNG encoder (8-bit grayscale, filter 0 scanlines,
+    correct chunk CRCs, zlib-deflated IDAT): any conforming PNG reader
+    decodes it. Used to synthesize decodable fixtures."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(pixel_fn(x, y) for x in range(width))
+        for y in range(height)
+    )
+    ihdr = struct.pack(">II5B", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_py(samples: list[int], rate: int = 8000) -> bytes:
+    """Minimal REAL PCM-16 mono WAV encoder (conforming RIFF layout)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+# closed-form synthesis parameters (the oracle recomputes features from
+# these, so they are part of the fixture contract)
+PNG_W = lambda d: 4 + d % 13  # noqa: E731
+PNG_H = lambda d: 3 + d % 7  # noqa: E731
+PNG_PX = lambda d, x, y: (d + 31 * x + 17 * y) % 256  # noqa: E731
+WAV_N = lambda d: 32 + d % 64  # noqa: E731
+WAV_S = lambda d, i: ((d * 7 + i * 13) % 2048) - 1024  # noqa: E731
+
+
+def attach_decodable_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media payloads for the decode path: even ids
+    get a conforming 8-bit grayscale PNG (size and pixels closed-form
+    in doc_id), odd ids a conforming PCM-16 WAV (sample count and
+    values closed-form in doc_id) — so a SQL oracle can recompute the
+    decoded features without any decoder of its own."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = PNG_W(d), PNG_H(d)
+                    payloads.append(
+                        encode_png_py(w, h, lambda x, y, d=d: PNG_PX(d, x, y))
+                    )
+                else:
+                    payloads.append(
+                        encode_wav_py([WAV_S(d, i) for i in range(WAV_N(d))])
+                    )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(op, "doc_id long, payload binary")
 
 
 def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

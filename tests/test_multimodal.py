@@ -64,6 +64,82 @@ def test_decode_features_strict_raises(spark):
         M.decode_features(_payloads(spark), strict=True).collect()
 
 
+def test_png_roundtrip_pure_python():
+    """encode_png_py output is a conforming PNG and decode_png_py
+    recovers the exact pixel statistics."""
+    w, h = 5, 3
+    px = lambda x, y: (7 + 31 * x + 17 * y) % 256  # noqa: E731
+    p = M.encode_png_py(w, h, px)
+    feats = M.decode_png_py(p)
+    vals = [px(x, y) for y in range(h) for x in range(w)]
+    assert feats[:9] == [
+        M.KIND_IMAGE, 5.0, 3.0, 8.0, 0.0, 15.0,
+        float(min(vals)), float(max(vals)), float(sum(vals)),
+    ]
+    # corrupt one payload byte inside IDAT -> CRC check must catch it
+    bad = bytearray(p)
+    bad[len(p) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        M.decode_png_py(bytes(bad))
+
+
+def test_png_decoder_unfilters_sub_and_up():
+    """decode_png_py handles Sub/Up filtered scanlines (an external
+    encoder may emit them even though ours writes filter 0)."""
+    import struct as st
+    import zlib
+
+    # image: 3x2, row0 = [10, 13, 16] Sub-filtered, row1 = row0+1 Up-filtered
+    raw = b"\x01" + bytes([10, 3, 3]) + b"\x02" + bytes([1, 1, 1])
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">II5B", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    feats = M.decode_png_py(p)
+    # pixels: [10,13,16] and [11,14,17]
+    assert feats[5:9] == [6.0, 10.0, 17.0, float(10 + 13 + 16 + 11 + 14 + 17)]
+
+
+def test_wav_roundtrip_pure_python():
+    samples = [((7 * 3 + i * 13) % 2048) - 1024 for i in range(40)]
+    p = M.encode_wav_py(samples, rate=8000)
+    feats = M.decode_wav_py(p)
+    assert feats[:9] == [
+        M.KIND_AUDIO, 1.0, 8000.0, 16.0, 40.0,
+        float(min(samples)), float(max(samples)),
+        float(sum(samples)), float(sum(abs(s) for s in samples)),
+    ]
+    with pytest.raises(ValueError):
+        M.decode_wav_py(b"RIFF1234WAVEgarbage")
+
+
+def test_decode_features_real_path_strict(spark):
+    """Real PNG/WAV payloads decode under strict=True (no fallback),
+    and the decoded structure features land in the DataFrame."""
+    docs = spark.createDataFrame([(0,), (1,), (2,), (3,)], "doc_id long")
+    payloads = M.attach_decodable_payload(docs)
+    out = {r.doc_id: r for r in
+           M.decode_features(payloads, strict=True).collect()}
+    assert out[0].mime == "image/png"
+    assert out[0].features[0] == M.KIND_IMAGE
+    assert out[0].features[1] == float(M.PNG_W(0))  # width
+    assert out[1].mime == "audio/wav"
+    assert out[1].features[4] == float(M.WAV_N(1))  # n_samples
+    # fake (unparseable) PNG still falls back non-strict, raises strict
+    fake = spark.createDataFrame([(9, b"\x89PNG\r\n\x1a\nnot-a-png")],
+                                 "doc_id long, payload binary")
+    assert M.decode_features(fake).collect()[0].features  # histogram path
+    with pytest.raises(Exception):
+        M.decode_features(fake, strict=True).collect()
+
+
 def test_attach_fake_payload(spark):
     docs = spark.createDataFrame([(0, "hello"), (1, "x"), (2, "y")], "doc_id long, text string")
     probed = M.probe_media(M.attach_fake_payload(docs)).collect()
