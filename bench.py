@@ -254,15 +254,22 @@ def run_bloom_bench(spark, n_seen: int, n_cand: int) -> dict:
         # maintained incrementally via merge_bloom_shards) — per-probe
         # cost excludes the build
         t0 = time.time()
-        shards = dedup.build_bloom_shards(seen).localCheckpoint(eager=True)
+        # auto sizing (resolve once, feed the SAME pair to build+probe)
+        ns, bps = dedup.resolve_bloom_sizing(n_seen)
+        shards = dedup.build_bloom_shards(
+            seen, n_shards=ns, bits_per_shard=bps
+        ).localCheckpoint(eager=True)
         t_build = time.time() - t0
         t0 = time.time()
-        def_new, maybe = dedup.bloom_probe_shards(cand, shards)
+        def_new, maybe = dedup.bloom_probe_shards(
+            cand, shards, n_shards=ns, bits_per_shard=bps
+        )
         n_standing = def_new.unionByName(
             dedup.seen_anti_join(maybe, seen)
         ).count()
         t_probe = time.time() - t0
         assert n_exact == n_bloom == n_standing, (n_exact, n_bloom, n_standing)
+        out["bloom_sizing"] = {"n_shards": ns, "bits_per_shard": bps}
         out["mixes"][label] = {
             "new_urls": n_exact,
             "exact_s": round(t_exact, 3),

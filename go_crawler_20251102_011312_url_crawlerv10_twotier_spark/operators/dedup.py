@@ -52,6 +52,48 @@ def _bloom_positions(h, m: int, n_hashes: int):
     return [((h1 + i * h2) % m).astype(np.int64) for i in range(n_hashes)]
 
 
+#: pack-task bound: one grouped-Arrow task fills one shard's bitset,
+#: so bits/shard caps both task memory (numpy bool array = bits bytes)
+#: and task work (~bits/bits_per_key keys x n_hashes probes)
+MAX_SHARD_BITS = 1 << 26  # 8 MB packed / 64 MB working set per task
+MIN_SHARD_BITS = 1 << 20
+
+
+def resolve_bloom_sizing(
+    n_keys: int, bits_per_key: int = 10, max_shards: int = 1 << 16
+) -> tuple[int, int]:
+    """(n_shards, bits_per_shard) for a seen set of ``n_keys``.
+
+    Sizing rule: total bits = n_keys x bits_per_key (10 bits/key at
+    k=5 hashes ~ 0.9% FP), split into shards of at most MAX_SHARD_BITS
+    so the per-shard pack task stays bounded no matter how big the
+    seen set grows — the fixed-64-shard default packed ~156M hashes
+    per task at 10^10 keys. The FLOOR of 16 shards keeps the grouped
+    pack parallel at small sizes; bits_per_shard is floored so tiny
+    tables don't degenerate, and rounded up to a byte multiple for
+    packbits.
+
+    BUILD AND PROBE MUST USE THE SAME RESOLVED VALUES: shard id and
+    bit positions both depend on (n_shards, bits_per_shard), and a
+    probe with mismatched sizing reads the wrong bits — which breaks
+    the no-false-negative guarantee the prefilter's exactness rests
+    on. Resolve once (bloom_prefilter does; the crawl loop resolves at
+    start and reuses across increments) and pass the pair explicitly
+    to every build/merge/probe call.
+
+    Broadcast budget: total state = n_shards x bits_per_shard / 8
+    bytes ~ 1.25 bytes/key at the default — at 10^10 keys that is
+    ~12 GB of shard state, the honest size of a useful filter there;
+    dial ``bits_per_key`` down (more FPs fall through to the exact
+    join) or probe per-shard-partition if the broadcast doesn't fit.
+    """
+    total_bits = max(1, n_keys) * bits_per_key
+    n_shards = max(16, min(max_shards, -(-total_bits // MAX_SHARD_BITS)))
+    bits = max(MIN_SHARD_BITS, min(MAX_SHARD_BITS, -(-total_bits // n_shards)))
+    bits = (bits + 7) & ~7  # byte multiple for packbits
+    return int(n_shards), int(bits)
+
+
 def build_bloom_shards(
     seen: DataFrame,
     key: str = "url_norm",
@@ -67,7 +109,10 @@ def build_bloom_shards(
     numpy. Output: (shard int, bloom binary) — n_shards small rows
     that broadcast to the probe side. At 10^10 keys the state is
     n_shards x bits/8 bytes and each shard builds independently; scale
-    by raising n_shards, never by growing a single filter.
+    by raising n_shards, never by growing a single filter —
+    resolve_bloom_sizing() derives both values from the key count so
+    the per-shard pack task stays bounded (use it instead of guessing,
+    and feed the SAME pair to the probe).
     """
     m = bits_per_shard
     k = n_hashes
@@ -173,8 +218,8 @@ def bloom_prefilter(
     candidates: DataFrame,
     seen: DataFrame,
     key: str = "url_norm",
-    n_shards: int = 64,
-    bits_per_shard: int = 1 << 20,
+    n_shards: int | None = None,
+    bits_per_shard: int | None = None,
     n_hashes: int = 5,
 ):
     """Sharded-Bloom pre-probe in front of the exact anti-join (O4).
@@ -185,8 +230,18 @@ def bloom_prefilter(
     True (incl. false positives) fall through to the authoritative
     anti-join — results stay exact.
 
+    With ``n_shards``/``bits_per_shard`` left None (default), sizing
+    is resolved from the seen row count (resolve_bloom_sizing) —
+    per-shard pack work stays bounded as the seen set grows, instead
+    of a fixed 64 shards silently concentrating 10^10 keys into 64
+    pack tasks. The SAME resolved pair feeds build and probe.
+
     Returns (definitely_new, maybe_seen).
     """
+    if n_shards is None or bits_per_shard is None:
+        auto_ns, auto_bits = resolve_bloom_sizing(seen.count())
+        n_shards = n_shards if n_shards is not None else auto_ns
+        bits_per_shard = bits_per_shard if bits_per_shard is not None else auto_bits
     shards = build_bloom_shards(seen, key, n_shards, bits_per_shard, n_hashes)
     return bloom_probe_shards(
         candidates, shards, key, n_shards, bits_per_shard, n_hashes

@@ -127,8 +127,13 @@ class CrawlConfig:
     # cost. Default False at fixture scale (probe overhead > savings
     # when seen fits in a broadcast anyway).
     use_bloom: bool = False
-    bloom_shards: int = 64
-    bloom_bits_per_shard: int = 1 << 20
+    # None = auto: resolved once at crawl start from the initial seen
+    # count (dedup.resolve_bloom_sizing — bounded per-shard pack work),
+    # then held fixed so incremental OR-merges stay structure-
+    # compatible. For a crawl expected to grow seen far beyond its
+    # seed set, pass explicit sizing for the EXPECTED final size.
+    bloom_shards: int | None = None
+    bloom_bits_per_shard: int | None = None
 
 
 @dataclass
@@ -252,9 +257,15 @@ def crawl(
     metrics: list[dict] = []
 
     bloom_shards = None
+    bloom_ns = bloom_bits = 0  # resolved sizing, fixed for the crawl
     if cfg.use_bloom:
+        bloom_ns, bloom_bits = cfg.bloom_shards, cfg.bloom_bits_per_shard
+        if bloom_ns is None or bloom_bits is None:
+            auto_ns, auto_bits = dedup_ops.resolve_bloom_sizing(seen.count())
+            bloom_ns = bloom_ns if bloom_ns is not None else auto_ns
+            bloom_bits = bloom_bits if bloom_bits is not None else auto_bits
         bloom_shards = dedup_ops.build_bloom_shards(
-            seen, "url_norm", cfg.bloom_shards, cfg.bloom_bits_per_shard
+            seen, "url_norm", bloom_ns, bloom_bits
         ).localCheckpoint(eager=True)
 
     if store and start_iter == 0:
@@ -359,8 +370,7 @@ def crawl(
             # the per-iteration cost at fixture scale)
             deduped = deduped.localCheckpoint(eager=True)
             def_new, maybe = dedup_ops.bloom_probe_shards(
-                deduped, bloom_shards, "url_norm",
-                cfg.bloom_shards, cfg.bloom_bits_per_shard,
+                deduped, bloom_shards, "url_norm", bloom_ns, bloom_bits,
             )
             new = def_new.unionByName(
                 maybe.join(seen.select("url_norm"), "url_norm", "left_anti")
@@ -447,7 +457,7 @@ def crawl(
             bloom_shards = dedup_ops.merge_bloom_shards(
                 bloom_shards,
                 dedup_ops.build_bloom_shards(
-                    seen_delta, "url_norm", cfg.bloom_shards, cfg.bloom_bits_per_shard
+                    seen_delta, "url_norm", bloom_ns, bloom_bits
                 ),
             ).localCheckpoint(eager=True)
         if deferred is None:

@@ -115,6 +115,33 @@ def test_bloom_no_false_negatives(spark):
     assert len(new_set) > 400
 
 
+def test_resolve_bloom_sizing_bounds():
+    """Auto sizing: bounded pack work at any key count, floors at the
+    small end, and build/probe get one coordinated pair."""
+    ns, bits = dedup.resolve_bloom_sizing(1000)
+    assert ns == 16 and bits == dedup.MIN_SHARD_BITS  # floors
+    ns, bits = dedup.resolve_bloom_sizing(10**10)
+    assert bits <= dedup.MAX_SHARD_BITS  # pack task bounded
+    assert ns * bits >= 10**10 * 10 * 0.99  # ~10 bits/key total state
+    # shard count grows with keys, never the per-shard pack size
+    ns_small, _ = dedup.resolve_bloom_sizing(10**8)
+    assert ns > ns_small
+    assert bits % 8 == 0
+
+
+def test_bloom_prefilter_auto_sizing_exact(spark):
+    """The None-means-auto path stays exact (the guarantee sizing must
+    never break: build and probe share the resolved pair)."""
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(200)], "url_norm string")
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(0, 200, 2)], "url_norm string")
+    new, maybe = dedup.bloom_prefilter(cand, seen)  # auto
+    got = {r.url_norm for r in new.collect()} | {
+        r.url_norm
+        for r in dedup.seen_anti_join(maybe, seen).collect()
+    }
+    assert got == {f"u{i}" for i in range(1, 200, 2)}
+
+
 def test_bloom_empty_seen(spark):
     seen = spark.createDataFrame([], "url_norm string")
     cand = spark.createDataFrame([("a",), ("b",)], "url_norm string")
