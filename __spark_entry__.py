@@ -623,6 +623,36 @@ def q_ann_topk_multiprobe(spark, sf_dir):
     return similarity.ann_topk_multiprobe(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the two ANN paths against the exact scan — the
+    recall/cost dial as a measured gate row, not prose: single-probe
+    reads 1/2^8 of the corpus, multiprobe (n_bits+1)/2^8, and this
+    query pins what each recovers of cosine_topk's true top-10.
+    All three top-k sets are computed engine-side and intersected with
+    joins (no driver-side set math), so the same plan runs at any
+    corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, qv, k=10).select("vec_id")
+    approx = {
+        "bucketed": similarity.ann_topk_bucketed(emb, qv, k=10, n_bits=8),
+        "multiprobe": similarity.ann_topk_multiprobe(emb, qv, k=10, n_bits=8),
+    }
+    outs = []
+    for name, df in approx.items():
+        outs.append(
+            df.select("vec_id")
+            .join(exact, "vec_id", "inner")
+            .agg(F.count("*").alias("_n"))
+            .select(
+                F.lit(name).alias("method"),
+                F.col("_n").cast("int").alias("hits"),
+                F.round(F.col("_n") / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_latest_snapshot(spark, sf_dir):
     """Recrawl dedup (dedup.latest_snapshot): newest fetch per url_norm
     over a multi-version WARC-style fixture (pages refetched under
@@ -788,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "ann_topk_multiprobe": q_ann_topk_multiprobe,
+        "ann_recall": q_ann_recall,
         "latest_snapshot": q_latest_snapshot,
         "recrawl_change_rates": q_recrawl_change_rates,
         "embedding_neardup": q_embedding_neardup,
@@ -1232,6 +1263,47 @@ SELECT e.vec_id,
                                list_transform(q.embedding, x -> x::DOUBLE)), 6) AS cosine
 FROM b e, q WHERE xor(e.bucket, q.bucket) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
 ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        # recall@10 of both ANN paths vs the exact scan: same three
+        # top-10s (same rounded-cosine + vec_id tiebreak order), hits
+        # counted by join — the recall/cost dial as numbers
+        "ann_recall": f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {_signbit_bucket_sql('embedding', 0, 8)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+  ORDER BY round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                        list_transform(qq.embedding, x -> x::DOUBLE)), 6) DESC,
+           e.vec_id
+  LIMIT 10
+),
+buck AS (
+  SELECT e.vec_id FROM b e, q WHERE e.bucket = q.bucket
+  ORDER BY round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                        list_transform(q.embedding, x -> x::DOUBLE)), 6) DESC,
+           e.vec_id
+  LIMIT 10
+),
+multi AS (
+  SELECT e.vec_id FROM b e, q
+  WHERE xor(e.bucket, q.bucket) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
+  ORDER BY round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                        list_transform(q.embedding, x -> x::DOUBLE)), 6) DESC,
+           e.vec_id
+  LIMIT 10
+)
+SELECT 'bucketed' AS method, CAST(count(*) AS INT) AS hits,
+       round(count(*) / 10.0, 6) AS recall_at_10
+FROM buck JOIN exact USING (vec_id)
+UNION ALL
+SELECT 'multiprobe' AS method, CAST(count(*) AS INT) AS hits,
+       round(count(*) / 10.0, 6) AS recall_at_10
+FROM multi JOIN exact USING (vec_id)
 """,
         # identical lag window over the shared recrawl history
         "recrawl_change_rates": f"""
