@@ -510,6 +510,77 @@ def q_stream_host_budget(spark, sf_dir):
     return spark.sql("SELECT host, url, seq, scheduled FROM host_budget_gate")
 
 
+def q_stream_host_budget_multibatch(spark, sf_dir):
+    """The stateful budget operator across REAL micro-batch boundaries
+    (the round-2 gates replayed one availableNow batch; cross-batch
+    state survival was pytest-only). The feed is split into 3
+    ts-RANGE chunks — one file each, modification times in range
+    order — and replayed with maxFilesPerTrigger=1, so per-host counts
+    must survive 3 batch transitions to reproduce the batch
+    row_number window the oracle runs. The gate raises if the replay
+    collapsed into fewer than 3 non-empty micro-batches (it must
+    never silently degrade into the single-batch variant)."""
+    import os
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.stateful import (
+        run_bounded,
+        streaming_host_budget,
+    )
+
+    feed_root = tempfile.mkdtemp(prefix="feed_budget_mb_")
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.col("event_type"), F.lit("/"), F.col("event_id")).alias("url"),
+        F.col("event_type").alias("host"),
+        F.col("ts").alias("discovered_ts"),
+    )
+    # ts-RANGE terciles (equal timestamps stay in one chunk), so
+    # batch order == global (ts, url) order and the single-batch
+    # oracle stays valid across the 3-batch replay
+    b1, b2 = ev.selectExpr(
+        "percentile(unix_micros(cast(discovered_ts AS timestamp)),"
+        " array(0.3333333333, 0.6666666666)) AS p"
+    ).head()["p"]
+    us = F.unix_micros(F.col("discovered_ts").cast("timestamp"))
+    chunks = [
+        ev.filter(us <= F.lit(int(b1))),
+        ev.filter((us > F.lit(int(b1))) & (us <= F.lit(int(b2)))),
+        ev.filter(us > F.lit(int(b2))),
+    ]
+    feed_dir = os.path.join(feed_root, "feed")
+    os.makedirs(feed_dir)
+    for k, ch in enumerate(chunks):
+        tmp = os.path.join(feed_root, f"chunk{k}")
+        ch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(feed_dir, f"{k:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        # the file source picks files oldest-mtime-first: pin widely
+        # spaced mtimes so chunk order is unambiguous
+        os.utime(dst, (1_700_000_000 + 100 * k, 1_700_000_000 + 100 * k))
+    feed = (
+        spark.readStream.schema("url string, host string, discovered_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = run_bounded(
+        streaming_host_budget(feed, budget_per_host=300), "host_budget_mb_gate"
+    )
+    q.awaitTermination()
+
+    def _rows(p):
+        return p["numInputRows"] if isinstance(p, dict) else p.numInputRows
+
+    n_batches = sum(1 for p in q.recentProgress if _rows(p) > 0)
+    shutil.rmtree(feed_root, ignore_errors=True)
+    if n_batches < 3:
+        raise AssertionError(
+            f"multibatch replay ran {n_batches} non-empty micro-batches, need >=3"
+        )
+    return spark.sql("SELECT host, url, seq, scheduled FROM host_budget_mb_gate")
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 6 inside
     (source, length-bucket) blocks, via pigeonhole multi-band blocking
@@ -805,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "stream_host_rates": q_stream_host_rates,
         "stream_host_budget": q_stream_host_budget,
+        "stream_host_budget_multibatch": q_stream_host_budget_multibatch,
         "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
@@ -1110,6 +1182,21 @@ GROUP BY 1, 2
         # single-micro-batch replay of the stateful budget operator ==
         # the batch row_number window over the same (ts, url) total order
         "stream_host_budget": """
+WITH feed AS (
+  SELECT event_type || '/' || event_id AS url, event_type AS host, ts
+  FROM events
+),
+numbered AS (
+  SELECT host, url,
+    CAST(row_number() OVER (PARTITION BY host ORDER BY ts, url) AS INT) AS seq
+  FROM feed
+)
+SELECT host, url, seq, (seq <= 300) AS scheduled FROM numbered
+""",
+        # the 3-micro-batch replay must equal the SAME batch window:
+        # ts-range chunks + per-batch (ts, url) sort + state carried
+        # across batches compose to the global (ts, url) numbering
+        "stream_host_budget_multibatch": """
 WITH feed AS (
   SELECT event_type || '/' || event_id AS url, event_type AS host, ts
   FROM events
