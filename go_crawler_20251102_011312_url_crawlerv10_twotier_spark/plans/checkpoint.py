@@ -9,8 +9,17 @@ iteration commits an atomic snapshot:
     <dir>/seen/iter=K/*.parquet        (append-only: new URLs of iter K)
     <dir>/frontier/iter=K/*.parquet    (full frontier entering iter K+1)
     <dir>/downloads/iter=K/*.parquet   (download-state delta of iter K)
+    <dir>/pending/iter=K/*.parquet     (full retry queue after iter K)
     <dir>/metrics/iter=K/*.parquet     (per-partition fetch metrics)
     <dir>/_meta.json                   (latest committed iteration)
+
+``downloads`` deltas are MERGE-shaped: the state machine closes each
+url exactly once (J2 anti-joins the log), so the deltas are disjoint
+and their union IS the merged downloads table — the same final state
+an Iceberg ``MERGE INTO`` of each delta would produce, with the
+append + commit-pointer discipline standing in for the snapshot
+commit. ``merged_downloads`` is that read-side merge view; ``pending``
+is a full (small) snapshot per iteration, like ``frontier``.
 
 ``_meta.json`` is written last (rename-into-place), so a crash mid-
 iteration leaves the previous snapshot authoritative — the same
@@ -44,12 +53,17 @@ class SnapshotStore:
         frontier: DataFrame,
         downloads_delta: DataFrame | None = None,
         metrics: DataFrame | None = None,
+        downloads_pending: DataFrame | None = None,
     ) -> None:
         seen_delta.write.mode("overwrite").parquet(f"{self.root}/seen/iter={it}")
         frontier.write.mode("overwrite").parquet(f"{self.root}/frontier/iter={it}")
         if downloads_delta is not None:
             downloads_delta.write.mode("overwrite").parquet(
                 f"{self.root}/downloads/iter={it}"
+            )
+        if downloads_pending is not None:
+            downloads_pending.write.mode("overwrite").parquet(
+                f"{self.root}/pending/iter={it}"
             )
         if metrics is not None:
             metrics.write.mode("overwrite").parquet(f"{self.root}/metrics/iter={it}")
@@ -88,3 +102,18 @@ class SnapshotStore:
             if os.path.isdir(f"{self.root}/downloads/iter={k}")
         ]
         return spark.read.parquet(*paths) if paths else None
+
+    def merged_downloads(self, spark: SparkSession, upto: int) -> DataFrame | None:
+        """Read-side MERGE view of the downloads table: deltas are
+        disjoint on ``url`` (the state machine closes each url exactly
+        once), so the union of deltas equals the Iceberg-MERGEd table.
+        Alias of read_downloads, named for the semantic contract."""
+        return self.read_downloads(spark, upto)
+
+    def read_pending(self, spark: SparkSession, it: int) -> DataFrame | None:
+        """Latest retry-queue snapshot at or before ``it`` (the queue
+        only changes on iterations that ran the download machine)."""
+        for k in range(it, -1, -1):
+            if os.path.isdir(f"{self.root}/pending/iter={k}"):
+                return spark.read.parquet(f"{self.root}/pending/iter={k}")
+        return None

@@ -221,6 +221,8 @@ def crawl(
     initial_seen: DataFrame | None = None,
     start_iter: int = 0,
     host_ranks: DataFrame | None = None,
+    initial_dl_log: DataFrame | None = None,
+    initial_dl_pending: DataFrame | None = None,
 ) -> CrawlResult:
     cfg = cfg or CrawlConfig()
     store = SnapshotStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
@@ -252,8 +254,18 @@ def crawl(
         seen = frontier.select(
             "url_norm", "url", "host", "depth", F.lit(0).alias("iter")
         ).localCheckpoint(eager=True)
-    dl_pending = spark.createDataFrame([], "url string, retry int")
-    dl_log = spark.createDataFrame([], "url string, status string, retry int, iter int")
+    if initial_dl_pending is not None:
+        dl_pending = initial_dl_pending.select("url", "retry").localCheckpoint(eager=True)
+        n_pending_dl0 = dl_pending.count()
+    else:
+        dl_pending = spark.createDataFrame([], "url string, retry int")
+        n_pending_dl0 = 0
+    if initial_dl_log is not None:
+        dl_log = initial_dl_log.select(
+            "url", "status", "retry", "iter"
+        ).localCheckpoint(eager=True)
+    else:
+        dl_log = spark.createDataFrame([], "url string, status string, retry int, iter int")
     metrics: list[dict] = []
 
     bloom_shards = None
@@ -273,7 +285,7 @@ def crawl(
 
     it = start_iter
     n_frontier = frontier.count()
-    n_pending_dl = 0
+    n_pending_dl = n_pending_dl0
     ncoal = max(4, spark.sparkContext.defaultParallelism)
     while it < cfg.max_iterations:
         t0 = time.time()
@@ -508,7 +520,10 @@ def crawl(
                 "iter int, partition_id int, pages long, links long, docs long,"
                 " fast_cnt long, slow_cnt long",
             )
-            store.write_iter(it, seen_delta, frontier, dl_delta, met_df)
+            store.write_iter(
+                it, seen_delta, frontier, dl_delta, met_df,
+                downloads_pending=dl_pending,
+            )
 
         # superseded localCheckpoint blocks (old seen/frontier/dl/bloom
         # states) are only reaped by ContextCleaner after a JVM GC
@@ -551,11 +566,15 @@ def resume(
 
     seen0 = store.read_seen(spark, last)
     frontier0 = store.read_frontier(spark, last)
+    dl0 = store.merged_downloads(spark, last)
+    pending0 = store.read_pending(spark, last)
 
-    # re-enter the loop with the snapshot's seen set + frontier injected:
-    # the continuation anti-joins against everything already visited, so
-    # the final state is identical to an uninterrupted run (tested in
-    # tests/test_frontier.py::test_resume).
+    # re-enter the loop with the snapshot's FULL state injected — seen
+    # set, frontier, merged download log AND the retry queue: the
+    # continuation anti-joins against everything already visited/closed
+    # and keeps retrying what was in flight, so the final state
+    # (including downloads) is identical to an uninterrupted run
+    # (tested in tests/test_frontier.py::test_resume_identical).
     return crawl(
         spark,
         pages,
@@ -565,4 +584,6 @@ def resume(
         html_col=html_col,
         initial_seen=seen0,
         start_iter=last,
+        initial_dl_log=dl0,
+        initial_dl_pending=pending0,
     )

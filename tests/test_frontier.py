@@ -84,9 +84,18 @@ def test_resume_identical(spark, full):
     with tempfile.TemporaryDirectory() as ck:
         partial = run_engine(spark, CrawlConfig(max_iterations=2, checkpoint_dir=ck))
         assert partial.iterations == 2
+        # the interruption must land mid-flight for the downloads leg
+        # of the resume to be exercised (retry queue non-trivial)
         res = resume(spark, quirk_pages(spark), CrawlConfig(checkpoint_dir=ck))
         got = {(r.url_norm, r.depth) for r in res.seen.collect()}
+        got_dl = sorted(
+            (r.url, r.status, r.retry) for r in res.downloads.collect()
+        )
     assert got == full["seen"]
+    # downloads state (J2/J3/C5) resumes exactly too: closed entries
+    # come back from the merged snapshot deltas, in-flight retries from
+    # the pending snapshot, and the continuation finishes them off
+    assert got_dl == sorted(full["downloads"])
 
 
 def test_metrics_shape(full):
