@@ -325,6 +325,64 @@ def q_tier2_extract_text(spark, sf_dir):
     )
 
 
+def _drive_download_state(spark, sf_dir, store=None):
+    """S6/J2/J3/C5 superstep loop shared by both download gates.
+
+    Lineage discipline (the 15x lesson from round 1 still holds — an
+    uncut log compounds): ONE eager cut per superstep instead of
+    round 2's two. Closed rows and the next retry queue both derive
+    from the same probed frame, so they materialize together in one
+    localCheckpoint (status NULL marks pending rows) and split with
+    cheap filters over the checkpointed block; the log is then a
+    shallow union of already-materialized delta blocks — never
+    re-checkpointed, never recomputed.
+
+    The coalesce before the cut is load-bearing: the carriers are
+    NARROW transforms of checkpointed RDDs (AQE only coalesces
+    shuffles), so without it partition counts compound ~3x per
+    superstep — measured 26 -> 59,024 partitions over 8 supersteps,
+    with the final one spending 67 s scheduling empty tasks.
+    """
+    from functools import reduce
+
+    disc = _synth(spark, sf_dir, DL_DISCOVERY_SQL).localCheckpoint(eager=True)
+    corpus_keys = _synth(spark, sf_dir, DL_CORPUS_SQL).localCheckpoint(eager=True)
+    pending = spark.createDataFrame([], download_log.PENDING_SCHEMA)
+    log = spark.createDataFrame([], download_log.LOG_SCHEMA)
+    empty_seen = spark.createDataFrame([], "url_norm string")
+    deltas = []
+    for it in range(DL_ITERS):
+        new_docs = disc.filter(F.col("it") == it).select("url")
+        delta, pending_next = download_log.advance_download_state(
+            new_docs, pending, log, corpus_keys, it, DL_MAX_RETRIES
+        )
+        ncoal = max(4, spark.sparkContext.defaultParallelism // 2)
+        both = delta.unionByName(
+            pending_next.select(
+                "url",
+                F.lit(None).cast("string").alias("status"),
+                "retry",
+                F.lit(-1).alias("iter"),
+            )
+        ).coalesce(ncoal)
+        # cut EVERY superstep: an every-2nd-cadence variant was measured
+        # 5x SLOWER (29.6 s vs 5.7 s at sf0.1) — an uncut carrier is
+        # embedded twice in the next plan (via pending AND the log), so
+        # skipping cuts compounds multiplicatively, same finding as the
+        # frontier loop's seen-carrier cadence test
+        both = both.localCheckpoint(eager=True)
+        delta_cut = both.filter(F.col("status").isNotNull())
+        pending = both.filter(F.col("status").isNull()).select("url", "retry")
+        deltas.append(delta_cut)
+        log = reduce(DataFrame.unionByName, deltas)
+        if store is not None:
+            store.write_iter(
+                it, empty_seen, empty_seen,
+                downloads_delta=delta_cut, downloads_pending=pending,
+            )
+    return log, pending
+
+
 def q_download_state(spark, sf_dir):
     """S6/J2/J3/C5: the download-state machine driven standalone over
     DL_ITERS supersteps (downloader.go:280-310 semantics — raw-URL
@@ -332,20 +390,28 @@ def q_download_state(spark, sf_dir):
     crawl loop runs (plans/frontier.py), factored in
     operators/download_log.py; the oracle is the closed-form per-URL
     outcome of the fixture's discovery/corpus arithmetic."""
-    disc = _synth(spark, sf_dir, DL_DISCOVERY_SQL).localCheckpoint(eager=True)
-    corpus_keys = _synth(spark, sf_dir, DL_CORPUS_SQL).localCheckpoint(eager=True)
-    pending = spark.createDataFrame([], download_log.PENDING_SCHEMA)
-    log = spark.createDataFrame([], download_log.LOG_SCHEMA)
-    for it in range(DL_ITERS):
-        new_docs = disc.filter(F.col("it") == it).select("url")
-        delta, pending = download_log.advance_download_state(
-            new_docs, pending, log, corpus_keys, it, DL_MAX_RETRIES
-        )
-        # both carriers need a lineage cut every superstep: pending AND
-        # log feed the next iteration's joins, so an uncut log compounds
-        # (log_k references log_{k-1} twice — measured 15x slower)
-        pending = pending.localCheckpoint(eager=True)
-        log = log.unionByName(delta).localCheckpoint(eager=True)
+    log, pending = _drive_download_state(spark, sf_dir)
+    return download_log.finalize_download_log(log, pending, DL_ITERS - 1)
+
+
+def q_download_state_store(spark, sf_dir):
+    """J3 exercised through the PERSISTENCE layer: every superstep
+    commits its MERGE-shaped delta + retry-queue snapshot to a
+    SnapshotStore (plans/checkpoint.py — the Iceberg-MERGE stand-in
+    with the atomic commit pointer), and the final answer is rebuilt
+    from the STORE ALONE (merged_downloads + read_pending), never from
+    the in-memory frames. Same closed-form oracle as download_state:
+    a round-trip through the commit/merge path must be lossless."""
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.checkpoint import (
+        SnapshotStore,
+    )
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="dlstore_"))
+    _drive_download_state(spark, sf_dir, store=store)
+    log = store.merged_downloads(spark, DL_ITERS - 1)
+    pending = store.read_pending(spark, DL_ITERS - 1)
     return download_log.finalize_download_log(log, pending, DL_ITERS - 1)
 
 
@@ -869,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_bfs": q_crawl_frontier_bfs,
         "tier2_extract_text": q_tier2_extract_text,
         "download_state": q_download_state,
+        "download_state_store": q_download_state_store,
         "link_density": q_link_density,
         "seen_anti_join": q_seen_anti_join,
         "seen_anti_join_bloom": q_seen_anti_join_bloom,
@@ -1002,6 +1069,28 @@ SELECT id, {fp} AS simhash FROM sums
 """.strip()
 
 
+# closed-form outcome of the download-state fixture — shared by the
+# in-memory gate (download_state) and the store-replay gate
+# (download_state_store): a served URL closes 'done' on its discovery
+# iteration with retry 0; a missing one accrues one retry per superstep
+# and closes 'failed' when retry exceeds the cap; the last-iteration
+# discovery drains as 'pending'. Re-discoveries (doc_id%2=0) and
+# case-variant raw keys (doc_id%13=0) change nothing — the J2 raw-key
+# anti-join and the normalized fetch probe absorb them.
+_DL_STATE_ORACLE = f"""
+SELECT {_DL_URL} AS url,
+  CASE WHEN d.doc_id % 3 <> 0 THEN 'done' ELSE 'failed' END AS status,
+  CAST(CASE WHEN d.doc_id % 3 <> 0 THEN 0 ELSE {DL_MAX_RETRIES + 1} END AS INT) AS retry,
+  CAST(CASE WHEN d.doc_id % 3 <> 0 THEN d.doc_id % 4
+       ELSE d.doc_id % 4 + {DL_MAX_RETRIES} END AS INT) AS iter
+FROM documents d
+UNION ALL
+SELECT {_DL_LATE_URL} AS url, 'pending' AS status,
+  CAST(1 AS INT) AS retry, CAST({DL_ITERS - 1} AS INT) AS iter
+FROM documents d WHERE d.doc_id % 50 = 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_case = """CASE
       WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
@@ -1123,26 +1212,8 @@ SELECT 'https://host0.example/missing/' || id AS url, 404 AS status,
   'download_' || substr(md5('https://host0.example/missing/' || id), 1, 8) AS filename
 FROM p WHERE id % 100 = 0
 """,
-        # closed-form outcome of the download-state fixture: a served
-        # URL closes 'done' on its discovery iteration with retry 0; a
-        # missing one accrues one retry per superstep and closes
-        # 'failed' when retry exceeds the cap; the last-iteration
-        # discovery drains as 'pending'. Re-discoveries (doc_id%2=0)
-        # and case-variant raw keys (doc_id%13=0) change nothing — the
-        # J2 raw-key anti-join and the normalized fetch probe absorb
-        # them, which is exactly what this gate verifies.
-        "download_state": f"""
-SELECT {_DL_URL} AS url,
-  CASE WHEN d.doc_id % 3 <> 0 THEN 'done' ELSE 'failed' END AS status,
-  CAST(CASE WHEN d.doc_id % 3 <> 0 THEN 0 ELSE {DL_MAX_RETRIES + 1} END AS INT) AS retry,
-  CAST(CASE WHEN d.doc_id % 3 <> 0 THEN d.doc_id % 4
-       ELSE d.doc_id % 4 + {DL_MAX_RETRIES} END AS INT) AS iter
-FROM documents d
-UNION ALL
-SELECT {_DL_LATE_URL} AS url, 'pending' AS status,
-  CAST(1 AS INT) AS retry, CAST({DL_ITERS - 1} AS INT) AS iter
-FROM documents d WHERE d.doc_id % 50 = 0
-""",
+        "download_state": _DL_STATE_ORACLE,
+        "download_state_store": _DL_STATE_ORACLE,
         "link_density": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})
 SELECT id,
