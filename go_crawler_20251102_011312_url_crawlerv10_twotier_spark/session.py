@@ -28,10 +28,18 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    # SPARK_GRAFT_MASTER switches to a real (standalone) cluster master —
+    # used by the process-isolated N->4N scaling runs (bench.py
+    # --scaling-cluster, tools/standalone_cluster.py). Everything else in
+    # this config block is identical in both modes by design.
+    cluster_master = os.environ.get("SPARK_GRAFT_MASTER")
+    master = cluster_master or f"local[{cores}]"
     if shuffle_partitions is None:
         try:
-            shuffle_partitions = max(8, 2 * int(cores))
+            total_cores = int(
+                os.environ.get("SPARK_GRAFT_MAX_CORES") if cluster_master else cores
+            )
+            shuffle_partitions = max(8, 2 * total_cores)
         except (TypeError, ValueError):
             shuffle_partitions = 32
 
@@ -71,6 +79,32 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI","false"))
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if cluster_master:
+        import sys
+
+        # one executor JVM per worker: executor.cores == the worker's
+        # advertised cores. Each executor gets its OWN heap/GC + direct-
+        # memory arena + python workers — the §1 sizing rationale
+        # (small ParallelGC heap, direct >= heap) applied per-executor.
+        builder = (
+            builder.config(
+                "spark.executor.cores", os.environ.get("SPARK_GRAFT_EXEC_CORES", "4")
+            )
+            .config(
+                "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "6g")
+            )
+            .config(
+                "spark.executor.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:MaxDirectMemorySize=6g",
+            )
+            .config("spark.pyspark.python", sys.executable)
+        )
+        max_cores = os.environ.get("SPARK_GRAFT_MAX_CORES")
+        if max_cores:
+            builder = builder.config("spark.cores.max", max_cores)
+        pyfiles = os.environ.get("SPARK_GRAFT_PYFILES")
+        if pyfiles:
+            builder = builder.config("spark.submit.pyFiles", pyfiles)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
