@@ -308,12 +308,16 @@ def run_scaling_cluster(sf_dir: str) -> dict:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     scale_mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "100"))
     body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "50"))
+    worker_counts = tuple(
+        int(w)
+        for w in os.environ.get("SPARK_GRAFT_CLUSTER_WORKERS", "1,4").split(",")
+    )
     cores_per_worker = 4
     tmp = tempfile.mkdtemp(prefix="scaling-cluster-")
     zip_path = make_pyfiles.build(os.path.join(tmp, "engine.zip"))
 
     out = {}
-    for n_workers in (1, 4):
+    for n_workers in worker_counts:
         with StandaloneCluster(
             n_workers=n_workers, cores_per_worker=cores_per_worker
         ) as cl:
@@ -321,7 +325,11 @@ def run_scaling_cluster(sf_dir: str) -> dict:
                 os.environ,
                 SPARK_GRAFT_MASTER=cl.master_url,
                 SPARK_GRAFT_EXEC_CORES=str(cores_per_worker),
-                SPARK_GRAFT_EXEC_MEM=env_default("SPARK_GRAFT_EXEC_MEM", "6g"),
+                # 6g OOMed ("GC overhead limit exceeded") partway through
+                # repeated 1M-page waves; 12g holds them comfortably and
+                # 4 workers x (12g heap + 12g direct worst-case) still
+                # fits the 125 GB box
+                SPARK_GRAFT_EXEC_MEM=env_default("SPARK_GRAFT_EXEC_MEM", "12g"),
                 SPARK_GRAFT_MAX_CORES=str(n_workers * cores_per_worker),
                 SPARK_GRAFT_PYFILES=zip_path,
                 SPARK_GRAFT_SCALE_MULT=str(scale_mult),
@@ -337,27 +345,34 @@ def run_scaling_cluster(sf_dir: str) -> dict:
                 env=env,
                 capture_output=True,
                 text=True,
-                check=True,
             )
+            if p.returncode != 0:
+                sys.stderr.write(p.stderr[-8000:])
+                raise RuntimeError(
+                    f"wave-series failed at n_workers={n_workers} "
+                    f"(rc={p.returncode}); stderr tail above"
+                )
             runs = json.loads(p.stdout.strip().splitlines()[-1])
             best = max(runs, key=lambda r: r["pages_per_sec"])
             best["all_runs_pages_per_sec"] = [r["pages_per_sec"] for r in runs]
             out[n_workers] = best
-    tp_lo, tp_hi = out[1]["pages_per_sec"], out[4]["pages_per_sec"]
-    eff = (tp_hi / tp_lo) / 4.0
-    return {
-        "metric": "scaling_efficiency_1x4_to_4x4_executors",
+    w_lo, w_hi = min(worker_counts), max(worker_counts)
+    tp_lo, tp_hi = out[w_lo]["pages_per_sec"], out[w_hi]["pages_per_sec"]
+    eff = (tp_hi / tp_lo) / (w_hi / w_lo)
+    res = {
+        "metric": f"scaling_efficiency_{w_lo}x4_to_{w_hi}x4_executors",
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
         "scale_mult": scale_mult,
         "body_repeat": body_repeat,
         "topology": "standalone cluster, 1 executor JVM per worker, 4 cores each",
-        "throughput_1_worker": tp_lo,
-        "throughput_4_workers": tp_hi,
-        "wave_1_worker": out[1],
-        "wave_4_workers": out[4],
+        f"throughput_{w_lo}_worker": tp_lo,
+        f"throughput_{w_hi}_workers": tp_hi,
     }
+    for w in worker_counts:
+        res[f"wave_{w}_workers"] = out[w]
+    return res
 
 
 SCALING_CORES = (4, 16)  # 16 physical cores here; 32 vCPUs are SMT —
@@ -462,7 +477,23 @@ def main() -> None:
         # through the hot codegen paths (a 10x-smaller wave suffices;
         # 50x-smaller left the first timed 16-core run 2.8x slow)
         run_wave(spark, sf_dir, max(1, mult // 10), br)
-        print(json.dumps([run_wave(spark, sf_dir, mult, br) for _ in range(reps)]))
+
+        def _reap():
+            # a finished wave's localCheckpoint blocks are reaped by
+            # ContextCleaner only after a JVM GC notices the RDD objects
+            # died; back-to-back 1M-page waves otherwise stack several
+            # waves of dead state into executor storage (frontier.py
+            # applies the same nudge in-loop every 8 supersteps)
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+
+        results = []
+        for _ in range(reps):
+            _reap()
+            results.append(run_wave(spark, sf_dir, mult, br))
+        print(json.dumps(results))
     else:
         print(json.dumps(run_bench(sf_dir)))
 

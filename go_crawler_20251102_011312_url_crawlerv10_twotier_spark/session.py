@@ -86,18 +86,29 @@ def get_spark(
         # advertised cores. Each executor gets its OWN heap/GC + direct-
         # memory arena + python workers — the §1 sizing rationale
         # (small ParallelGC heap, direct >= heap) applied per-executor.
+        exec_mem = os.environ.get("SPARK_GRAFT_EXEC_MEM", "6g")
         builder = (
             builder.config(
                 "spark.executor.cores", os.environ.get("SPARK_GRAFT_EXEC_CORES", "4")
             )
-            .config(
-                "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "6g")
-            )
+            .config("spark.executor.memory", exec_mem)
             .config(
                 "spark.executor.extraJavaOptions",
-                "-XX:+UseParallelGC -XX:MaxDirectMemorySize=6g",
+                # direct memory must track the heap (§1 rationale: netty/
+                # Arrow arenas force System.gc() storms when it runs out)
+                f"-XX:+UseParallelGC -XX:MaxDirectMemorySize={exec_mem}",
             )
             .config("spark.pyspark.python", sys.executable)
+            # measured both ways on the 500K-page wave (BENCH.md §3a):
+            # wait=0 helps the 1-executor config (+13%, driver-block
+            # locality) but caps the 4-executor config ~17% lower — a
+            # task scheduled off the corpus-cache executor re-fetches
+            # multi-GB html blocks every superstep. Keep Spark's 3s
+            # default; expose the knob for experiments.
+            .config(
+                "spark.locality.wait",
+                os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "3s"),
+            )
         )
         max_cores = os.environ.get("SPARK_GRAFT_MAX_CORES")
         if max_cores:

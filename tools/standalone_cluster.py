@@ -44,7 +44,7 @@ class StandaloneCluster:
         self,
         n_workers: int,
         cores_per_worker: int = 4,
-        worker_mem: str = "12g",
+        worker_mem: str = "14g",
         master_port: int = 7077,
         webui_port: int = 8089,
     ) -> None:
@@ -109,7 +109,10 @@ class StandaloneCluster:
                 p.kill()
         self._procs.clear()
         if self._tmp:
-            shutil.rmtree(self._tmp, ignore_errors=True)
+            if os.environ.get("SPARK_GRAFT_KEEP_CLUSTER_LOGS"):
+                print(f"[standalone_cluster] logs kept at {self._tmp}")
+            else:
+                shutil.rmtree(self._tmp, ignore_errors=True)
             self._tmp = None
 
     def __enter__(self) -> "StandaloneCluster":
