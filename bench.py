@@ -196,8 +196,14 @@ def run_wave(spark, sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
     base = pagesrc.synth_clean_pages(spark, sf_dir, body_repeat=body_repeat)
     pages = _replicate(base, ["url", "html"], scale_mult)
     seeds = _replicate(spark.sql(pagesrc.seeds_sql()), ["url"], scale_mult)
+    cache_replicas = int(os.environ.get("SPARK_GRAFT_CACHE_REPLICAS", "1"))
     t0 = time.time()
-    res = crawl(spark, pages, seeds, CrawlConfig(force_path="slow"))
+    res = crawl(
+        spark,
+        pages,
+        seeds,
+        CrawlConfig(force_path="slow", cache_replicas=cache_replicas),
+    )
     wall = time.time() - t0
     fetched = sum(m["fetched"] for m in res.metrics)
     links = sum(m["links"] for m in res.metrics)

@@ -102,6 +102,21 @@ class CrawlConfig:
     # single-superstep runs where each page is read exactly once and
     # the cache build/spill is pure overhead.
     cache_corpus: bool = True
+    # replica count for the corpus cache blocks. 1 = plain
+    # MEMORY_AND_DISK. 2 doubles the odds that a free task slot holds
+    # a local copy of the partition it needs — on a multi-executor
+    # cluster the per-superstep join otherwise pays locality waits or
+    # remote fetches of multi-GB html whenever the cache landed
+    # unevenly (measured bimodal 4.2K vs 7.2K pages/s waves at 4x4
+    # executors, BENCH.md §3a row d). Costs 2x cache storage + one
+    # extra network copy at build time. Measured on THIS box (BENCH.md
+    # §3a row e): no win — a "remote" replica fetch between co-located
+    # executor JVMs crosses the same memory bus as the miss it avoids,
+    # so better placement odds don't convert to throughput here. The
+    # lever only pays where replicas live behind independent NICs/
+    # buses (a real cluster); at 100 TB apply it to the hot working
+    # tier, not the whole corpus. Default stays 1.
+    cache_replicas: int = 1
     # hash-repartition + dropDuplicates the corpus on url_norm during
     # prep. Needed when the input may carry duplicate URLs; set False
     # when the pages table is already unique per url (an ingest-time
@@ -229,7 +244,12 @@ def crawl(
 
     corpus = _prepare_pages(pages, url_col, html_col, dedupe=cfg.dedupe_corpus)
     if cfg.cache_corpus:
-        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        level = (
+            StorageLevel.MEMORY_AND_DISK
+            if cfg.cache_replicas <= 1
+            else StorageLevel(True, True, False, False, cfg.cache_replicas)
+        )
+        corpus = corpus.persist(level)
         # materialize the cache NOW, in one deterministic job — otherwise
         # the first iteration's join (or worse, an AQE broadcast-stage
         # building a plan below the cache node) re-runs the corpus prep
