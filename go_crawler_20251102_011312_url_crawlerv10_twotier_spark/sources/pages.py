@@ -71,12 +71,21 @@ def _href(dst: str, src: str) -> str:
     )
 
 
-def clean_pages_sql(body_repeat: int = 1) -> str:
+def clean_pages_sql(body_repeat: int = 1, n_rows: int | None = None) -> str:
     """SELECT producing the clean pages corpus FROM ``documents``.
 
     Runs verbatim on Spark SQL and DuckDB (shared dialect subset:
     ||, CASE, %, substr, replace, repeat). Columns:
     (id, url, host, warc_ts, html, text, lang).
+
+    ``n_rows``: the ``documents`` row count. When None the statement
+    computes it inline (``WITH nn AS (SELECT count(*) ...)`` — the
+    form the DuckDB oracle embeds). When given, it is inlined as a
+    literal: on Spark the scalar-CTE form plans as a
+    BroadcastNestedLoopJoin against the 1-row count (an extra scan +
+    SinglePartition exchange per consumer), so ``synth_clean_pages``
+    counts once driver-side and passes it here — same output, two
+    fewer exchanges in every downstream plan.
 
     ``body_repeat`` scales the in-page content volume (real tokenizable
     words in real paragraph markup, not filler): 1 for the correctness
@@ -97,18 +106,26 @@ def clean_pages_sql(body_repeat: int = 1) -> str:
             f" || '</p>', {body_repeat})"
         )
     )
+    if n_rows is None:
+        with_nn = "WITH nn AS (SELECT count(*) AS n FROM documents),"
+        n = "nn.n"
+        from_b = "FROM documents d, nn"
+    else:
+        with_nn = "WITH"
+        n = str(int(n_rows))
+        from_b = "FROM documents d"
     return f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
+{with_nn}
 b AS (
   SELECT
     d.doc_id AS id,
-    (d.doc_id + 1) % nn.n AS d1,
-    (d.doc_id + (d.doc_id * 7) % 50 + 2) % nn.n AS d2,
-    (d.doc_id * 13 + 7) % nn.n AS d3,
+    (d.doc_id + 1) % {n} AS d1,
+    (d.doc_id + (d.doc_id * 7) % 50 + 2) % {n} AS d2,
+    (d.doc_id * 13 + 7) % {n} AS d3,
     {body} AS body_text,
     d.text AS text,
     d.lang AS lang
-  FROM documents d, nn
+  {from_b}
 )
 SELECT
   b.id AS id,
@@ -163,9 +180,14 @@ def synth_clean_pages(
     single task; spread it across the cluster first.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # count BEFORE the repartition node (metadata-only on parquet) and
+    # inline it as a literal — the scalar-CTE form would otherwise plan
+    # a BroadcastNestedLoopJoin + SinglePartition count into every
+    # consumer of this corpus (tests/test_plans.py pins the absence).
+    n_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     docs.createOrReplaceTempView("documents")
-    return spark.sql(clean_pages_sql(body_repeat))
+    return spark.sql(clean_pages_sql(body_repeat, n_rows=n_rows))
 
 
 def seeds_sql() -> str:

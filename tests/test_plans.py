@@ -1,0 +1,103 @@
+"""Physical-plan contracts for every registered query.
+
+BENCH.md §5 audits the expensive queries' plans by hand ("no
+cartesian products", "broadcast the frontier side", "map-side partial
+agg before the single exchange", "TakeOrderedAndProject, never a
+global sort"). These tests make those claims regression-proof: a
+refactor that silently introduces an all-to-one exchange, a
+nested-loop join, or a full-width parquet scan fails CI instead of
+surfacing as a 100x slowdown at real scale.
+
+The driver-loop queries (crawl/download/stream) are excluded here —
+their interesting plans live inside per-superstep iterations and are
+audited by their own tests (test_frontier, test_streaming,
+test_download_log); everything else is built lazily and inspected
+without execution.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+# queries whose callables DRIVE jobs (supersteps / streaming replay)
+# rather than returning one lazy plan — excluded from the lazy sweep.
+DRIVER_LOOP = {
+    "crawl_frontier_bfs",
+    "download_state",
+    "download_state_store",
+    "stream_host_rates",
+    "stream_host_budget",
+    "stream_host_budget_multibatch",
+}
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_small):
+    out = {}
+    for name, fn in entry.queries().items():
+        if name in DRIVER_LOOP:
+            continue
+        out[name] = _physical(fn(spark, sf_small))
+    return out
+
+
+def test_no_cartesian_or_nested_loop_joins(plans):
+    """No query may plan a CartesianProduct or BroadcastNestedLoopJoin.
+
+    Every self-join in the dedup/similarity family is band/bucket-keyed
+    precisely so this holds; the corpus synthesis inlines its row count
+    as a literal (sources/pages.py clean_pages_sql n_rows) for the same
+    reason — the scalar-CTE form planned a BNLJ into every consumer.
+    """
+    offenders = {
+        n: p for n, p in plans.items()
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+    }
+    assert not offenders, f"nested-loop plans in: {sorted(offenders)}"
+
+
+def test_no_single_partition_exchange(plans):
+    """No query funnels through Exchange SinglePartition.
+
+    Global top-k must be TakeOrderedAndProject (driver-side merge of
+    per-partition heaps), global trims use the salted two-phase top-K
+    (operators/politeness.py) — an all-to-one exchange is the one plan
+    shape that cannot survive 100 TB.
+    """
+    offenders = {n for n, p in plans.items() if "Exchange SinglePartition" in p}
+    assert not offenders, f"all-to-one exchanges in: {sorted(offenders)}"
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    """embedding_topk: per-partition heap + driver merge, no sort shuffle."""
+    assert "TakeOrderedAndProject" in plans["embedding_topk"]
+    assert "Exchange rangepartitioning" not in plans["embedding_topk"]
+
+
+def test_aggregations_have_map_side_partial(plans):
+    """The single-shuffle aggregations combine map-side before the
+    exchange (partial_* functions in the pre-shuffle HashAggregate/
+    ObjectHashAggregate) — at scale this is the difference between
+    shuffling rows and shuffling groups."""
+    for name in ("dedup_exact", "latest_snapshot", "events_rollup"):
+        assert "partial_" in plans[name], f"{name}: no map-side partial agg"
+
+
+def test_documents_scan_prunes_columns(plans):
+    """Text queries read (doc_id, text), never the full 5-column row —
+    at 100 TB the unread columns are most of the bytes."""
+    for name in ("lang_id", "token_counts", "quality_score", "fingerprint"):
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plans[name])
+        assert schemas, f"{name}: no FileScan found"
+        for cols in schemas:
+            assert "n_chars" not in cols and "source" not in cols, (
+                f"{name}: scan reads unused columns: struct<{cols}>"
+            )
