@@ -699,6 +699,38 @@ def q_host_inlink_ranks(spark, sf_dir):
     return host_inlink_ranks(pages)
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Iterative host PageRank (operators/ranks.py host_pagerank) over
+    the host graph built from E1-extracted links — the refinement of
+    host_inlink_ranks for the rank-aware scheduler. 3 synchronized
+    iterations, damping 0.85, dangling mass dropped. Oracle: the same
+    fixed-point arithmetic unrolled as chained CTEs over the
+    closed-form edge graph (pages.edges_sql)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.predicates import (
+        host_present,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm import (
+        host_of_col,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        extract_links_fast,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_pagerank,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    links = pages.select(
+        host_of_col(F.col("url")).alias("src_host"),
+        F.explode(extract_links_fast(F.col("html"), F.col("url"))).alias("href"),
+    )
+    edges = links.select(
+        "src_host", host_of_col(F.col("href")).alias("dst_host")
+    ).filter(host_present(F.col("dst_host")))
+    pr = host_pagerank(edges, n_iters=3, damping=0.85)
+    return pr.select("host", F.round("host_rank", 6).alias("pagerank"))
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A2 routing-split metrics over the clean corpus."""
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
@@ -948,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
         "host_inlink_ranks": q_host_inlink_ranks,
+        "host_pagerank": q_host_pagerank,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1328,6 +1361,35 @@ WITH e AS ({pagesrc.edges_sql()})
 SELECT 'host' || {pagesrc._h('e.dst')} || '.example' AS host,
   CAST(count(*) AS DOUBLE) AS host_rank
 FROM e GROUP BY 1
+""",
+        # 3 PageRank iterations unrolled as chained CTEs; constants are
+        # written as (1.0-0.85) etc. so DuckDB evaluates the SAME IEEE
+        # doubles the Spark operator computes (ranks.host_pagerank).
+        "host_pagerank": f"""
+WITH e0 AS ({pagesrc.edges_sql()}),
+e AS (SELECT DISTINCT 'host' || {pagesrc._h('e0.src')} || '.example' AS s,
+                      'host' || {pagesrc._h('e0.dst')} || '.example' AS t
+      FROM e0),
+v AS (SELECT s AS host FROM e UNION SELECT t FROM e),
+nn AS (SELECT count(*) AS n FROM v),
+od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+p0 AS (SELECT v.host, 1.0 / (SELECT n FROM nn) AS pr FROM v),
+c1 AS (SELECT e.t AS host, sum(p0.pr / od.deg) AS m
+       FROM e JOIN od ON od.s = e.s JOIN p0 ON p0.host = e.s GROUP BY e.t),
+p1 AS (SELECT v.host,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c1.m, 0.0) AS pr
+       FROM v LEFT JOIN c1 ON c1.host = v.host),
+c2 AS (SELECT e.t AS host, sum(p1.pr / od.deg) AS m
+       FROM e JOIN od ON od.s = e.s JOIN p1 ON p1.host = e.s GROUP BY e.t),
+p2 AS (SELECT v.host,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c2.m, 0.0) AS pr
+       FROM v LEFT JOIN c2 ON c2.host = v.host),
+c3 AS (SELECT e.t AS host, sum(p2.pr / od.deg) AS m
+       FROM e JOIN od ON od.s = e.s JOIN p2 ON p2.host = e.s GROUP BY e.t),
+p3 AS (SELECT v.host,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.m, 0.0) AS pr
+       FROM v LEFT JOIN c3 ON c3.host = v.host)
+SELECT host, round(pr, 6) AS pagerank FROM p3
 """,
         "metrics_rollup": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "politeness_budget",
     "politeness_hostrank",
     "host_inlink_ranks",
+    "host_pagerank",
     "download_state",
     "latest_snapshot",
     "recrawl_change_rates",

@@ -42,6 +42,78 @@ def host_inlink_ranks(
     )
 
 
+def host_pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Synchronized PageRank over the host graph — the iterative
+    refinement of :func:`host_inlink_ranks` (same scheduler contract:
+    a small ``(host, host_rank double)`` table for
+    ``politeness.schedule(host_ranks=...)``).
+
+    Exact semantics (mirrored by the DuckDB gate oracle):
+
+    * nodes ``V`` = distinct(src ∪ dst); ``N = |V|``
+    * edges deduplicated to distinct ``(src, dst)`` pairs
+    * ``pr_0(v) = 1/N``
+    * ``pr_{k+1}(v) = (1-d)/N + d * Σ_{(s,v)∈E} pr_k(s)/outdeg(s)``
+    * dangling hosts (no out-edges) keep receiving teleport mass but
+      contribute none — their mass leaks, as in the simple formulation
+      (documented choice; the redistribution variant adds one scalar
+      per iteration and changes no plan shape)
+
+    Scale shape: the edge table is deduped, hash-partitioned on src
+    and persisted ONCE; every iteration then shuffles only the
+    hosts-sized rank table to the src partitioning (join), aggregates
+    contributions with map-side partials (one shuffle of contribution
+    rows, grouped by dst), and left-joins back onto the static host
+    list. The rank carrier is eagerly cut per iteration so the plan
+    stays flat — at 10^8 hosts every structure here is
+    hosts/edges-partitioned; nothing is driver-resident or broadcast.
+    """
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .dropDuplicates(["s", "t"])
+        .repartition("s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hosts = (
+        e.select(F.col("s").alias("host"))
+        .unionByName(e.select(F.col("t").alias("host")))
+        .dropDuplicates(["host"])
+        .localCheckpoint(eager=True)
+    )
+    n = hosts.count()
+    outdeg = e.groupBy("s").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+
+    ranks = hosts.select("host", F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iters):
+        contribs = (
+            e.join(outdeg, "s")
+            .join(ranks.select(F.col("host").alias("s"), "pr"), "s")
+            .select(F.col("t").alias("host"), (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        inflow = contribs.groupBy("host").agg(F.sum("c").alias("m"))
+        ranks = (
+            hosts.join(inflow, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks.select("host", F.col("pr").alias("host_rank"))
+
+
 def recrawl_change_rates(
     snapshots: DataFrame,
     key_col: str = "url_norm",

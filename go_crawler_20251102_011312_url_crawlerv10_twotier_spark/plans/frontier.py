@@ -209,6 +209,25 @@ def _prepare_pages(
     return proj.repartition(n, "url_norm").dropDuplicates(["url_norm"])
 
 
+def fetch_join(
+    scheduled: DataFrame, corpus: DataFrame, broadcast_frontier: bool = True
+) -> DataFrame:
+    """The S2 fetch as an inner lookup join of the scheduled frontier
+    against the prepared corpus on ``url_norm``.
+
+    The frontier side is broadcast explicitly: a planner-chosen build
+    side can flip onto the corpus (its ExistingRDD stats are unknown),
+    which would rebuild a hashed relation of every page body each
+    iteration. With the hint, the corpus cache is only ever streamed —
+    the html bytes NEVER cross an exchange (tests/test_plans.py pins
+    this). At 10^10 frontier sizes set ``broadcast_frontier=False``:
+    the cached/bucketed corpus partitioning then makes it a
+    frontier-side-only exchange SMJ.
+    """
+    sched_side = F.broadcast(scheduled) if broadcast_frontier else scheduled
+    return sched_side.join(corpus, "url_norm", "inner")
+
+
 def _seed_frontier(seeds: DataFrame) -> DataFrame:
     """seeds(url, depth) -> frontier rows with norm/host, deduped."""
     s = seeds.select(
@@ -328,17 +347,9 @@ def crawl(
         it += 1
         t_sched = time.time()
 
-        # S2: the fetch is a lookup join against the corpus. Inner join
-        # (misses are counted as n_sched - fetched, never materialized).
-        # The frontier side is broadcast explicitly: a planner-chosen
-        # build side can flip onto the corpus (its ExistingRDD stats are
-        # unknown), which would rebuild a hashed relation of every page
-        # body each iteration. With the hint, the corpus cache is only
-        # ever streamed. At 10^10 frontier sizes set
-        # cfg.broadcast_frontier=False: the cached/bucketed corpus
-        # partitioning then makes it a frontier-side-only exchange SMJ.
-        sched_side = F.broadcast(scheduled) if cfg.broadcast_frontier else scheduled
-        hits = sched_side.join(corpus, "url_norm", "inner")
+        # S2: the fetch is a lookup join against the corpus (misses are
+        # counted as n_sched - fetched, never materialized).
+        hits = fetch_join(scheduled, corpus, cfg.broadcast_frontier)
 
         # O1 route + E1/E2 extract, one pass, per-partition metrics
         path_col = (

@@ -29,6 +29,7 @@ DRIVER_LOOP = {
     "crawl_frontier_bfs",
     "download_state",
     "download_state_store",
+    "host_pagerank",
     "stream_host_rates",
     "stream_host_budget",
     "stream_host_budget_multibatch",
@@ -89,6 +90,63 @@ def test_aggregations_have_map_side_partial(plans):
     shuffling rows and shuffling groups."""
     for name in ("dedup_exact", "latest_snapshot", "events_rollup"):
         assert "partial_" in plans[name], f"{name}: no map-side partial agg"
+
+
+def test_fetch_join_broadcasts_frontier_not_corpus(spark, sf_small):
+    """The flagship claim of the crawl loop (plans/frontier.py
+    fetch_join): the per-iteration S2 lookup join broadcasts the
+    FRONTIER side (BuildLeft) and only streams the cached corpus — the
+    multi-MB html bodies never cross an exchange inside the loop. The
+    corpus-prep shuffle inside the InMemoryRelation runs once per
+    crawl and is excluded deliberately."""
+    from pyspark import StorageLevel
+
+    import go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.pages as pagesrc
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans import (
+        frontier as fr,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_small)
+    corpus = fr._prepare_pages(pages, "url", "html").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        corpus.count()  # materialize, as crawl() does
+        sched = fr._seed_frontier(spark.sql(pagesrc.seeds_sql()))
+        fmt = (
+            fr.fetch_join(sched, corpus)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        sketch = fmt.split("\n\n")[0].splitlines()
+        (join_idx,) = [
+            i for i, line in enumerate(sketch) if "BroadcastHashJoin" in line
+        ]
+        assert "BuildLeft" in sketch[join_idx], sketch[join_idx]
+        # first child (':'-prefixed branch) = the broadcast frontier
+        branch1 = [
+            line for line in sketch[join_idx + 1 :] if line.lstrip().startswith(":")
+        ]
+        assert any("BroadcastExchange" in line for line in branch1)
+        # second child = the corpus: from the join down to the cache
+        # scan there must be NO exchange of any kind
+        branch2 = [
+            line
+            for line in sketch[join_idx + 1 :]
+            if not line.lstrip().startswith(":")
+        ]
+        cache_idx = next(
+            i for i, line in enumerate(branch2) if "InMemoryTableScan" in line
+        )
+        hot_path = branch2[: cache_idx + 1]
+        assert hot_path, "corpus branch not found"
+        assert not any("Exchange" in line for line in hot_path), hot_path
+    finally:
+        corpus.unpersist()
 
 
 def test_documents_scan_prunes_columns(plans):

@@ -1,0 +1,81 @@
+"""host_pagerank (operators/ranks.py) — semantics vs a pure-python
+single-threaded reference, plus the structural invariants the
+scheduler contract relies on."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+    host_pagerank,
+)
+
+
+def _pr_reference(edges, n_iters=3, d=0.85):
+    """The documented semantics, computed sequentially."""
+    e = sorted(set(edges))
+    hosts = sorted({s for s, _ in e} | {t for _, t in e})
+    n = len(hosts)
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {h: 1.0 / n for h in hosts}
+    for _ in range(n_iters):
+        inflow = {h: 0.0 for h in hosts}
+        for s, t in e:
+            inflow[t] += pr[s] / outdeg[s]
+        pr = {h: (1.0 - d) / n + d * inflow[h] for h in hosts}
+    return pr
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    return {
+        r["host"]: r["host_rank"] for r in host_pagerank(df, **kw).collect()
+    }
+
+
+def test_hand_graph_one_iteration(spark):
+    # A -> B, B -> A, A -> C;  N=3, pr0 = 1/3 each
+    # outdeg(A)=2, outdeg(B)=1, C dangling
+    # pr1(A) = 0.05 + 0.85*(1/3)        (from B)
+    # pr1(B) = 0.05 + 0.85*(1/6)        (from A, split 2 ways)
+    # pr1(C) = 0.05 + 0.85*(1/6)
+    got = _run(spark, [("A", "B"), ("B", "A"), ("A", "C")], n_iters=1)
+    assert got["A"] == pytest.approx(0.05 + 0.85 / 3)
+    assert got["B"] == pytest.approx(0.05 + 0.85 / 6)
+    assert got["C"] == pytest.approx(0.05 + 0.85 / 6)
+
+
+def test_matches_python_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    hosts = [f"h{i}" for i in range(17)]
+    edges = list(
+        {
+            (rng.choice(hosts), rng.choice(hosts))
+            for _ in range(120)
+        }
+    )
+    want = _pr_reference(edges, n_iters=4)
+    got = _run(spark, edges, n_iters=4)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], rel=1e-12), h
+
+
+def test_duplicate_edges_collapse(spark):
+    base = _run(spark, [("A", "B"), ("B", "A")], n_iters=2)
+    dup = _run(spark, [("A", "B"), ("A", "B"), ("B", "A")], n_iters=2)
+    assert base == dup
+
+
+def test_dangling_mass_leaks_but_teleport_floor_holds(spark):
+    # star into a sink: every rank ≥ (1-d)/N, total ≤ 1
+    got = _run(spark, [("A", "D"), ("B", "D"), ("C", "D")], n_iters=3)
+    n = len(got)
+    assert all(v >= (1.0 - 0.85) / n - 1e-15 for v in got.values())
+    assert sum(got.values()) <= 1.0 + 1e-12
+    # the sink concentrates rank
+    assert got["D"] == max(got.values())
