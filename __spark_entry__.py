@@ -706,28 +706,13 @@ def q_host_pagerank(spark, sf_dir):
     iterations, damping 0.85, dangling mass dropped. Oracle: the same
     fixed-point arithmetic unrolled as chained CTEs over the
     closed-form edge graph (pages.edges_sql)."""
-    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.predicates import (
-        host_present,
-    )
-    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm import (
-        host_of_col,
-    )
-    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
-        extract_links_fast,
-    )
     from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_edges,
         host_pagerank,
     )
 
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
-    links = pages.select(
-        host_of_col(F.col("url")).alias("src_host"),
-        F.explode(extract_links_fast(F.col("html"), F.col("url"))).alias("href"),
-    )
-    edges = links.select(
-        "src_host", host_of_col(F.col("href")).alias("dst_host")
-    ).filter(host_present(F.col("dst_host")))
-    pr = host_pagerank(edges, n_iters=3, damping=0.85)
+    pr = host_pagerank(host_edges(pages), n_iters=3, damping=0.85)
     return pr.select("host", F.round("host_rank", 6).alias("pagerank"))
 
 

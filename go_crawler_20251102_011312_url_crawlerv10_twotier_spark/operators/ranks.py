@@ -42,6 +42,25 @@ def host_inlink_ranks(
     )
 
 
+def host_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """The host link graph ``(src_host, dst_host)`` extracted from the
+    corpus with the same E1 fast path the crawl follows — the input
+    :func:`host_pagerank` expects. Duplicate edges are kept here (one
+    row per link); ``host_pagerank`` dedupes, so callers can also feed
+    this to weighted variants later without re-extracting."""
+    links = pages.select(
+        host_of_col(F.col(url_col)).alias("src_host"),
+        F.explode(
+            extract_links_fast(F.col(html_col), F.col(url_col))
+        ).alias("href"),
+    )
+    return links.select(
+        "src_host", host_of_col(F.col("href")).alias("dst_host")
+    ).filter(host_present(F.col("dst_host")))
+
+
 def host_pagerank(
     edges: DataFrame,
     n_iters: int = 3,

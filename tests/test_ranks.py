@@ -79,3 +79,47 @@ def test_dangling_mass_leaks_but_teleport_floor_holds(spark):
     assert sum(got.values()) <= 1.0 + 1e-12
     # the sink concentrates rank
     assert got["D"] == max(got.values())
+
+
+def test_pagerank_budgeted_crawl_reaches_same_urls(spark):
+    """Closing the rank-aware-scheduler loop end-to-end: host_ranks
+    produced by host_pagerank(host_edges(corpus)) drive a globally
+    budgeted crawl that defers, never drops — the final seen set
+    equals the unbudgeted crawl's.
+
+    Both runs raise max_depth so the F1 cutoff never binds: unlike the
+    depth-ordered trim, rank-first ordering can discover a URL via a
+    LONGER path than BFS would (deferring its low-rank short-path
+    parent), inflating recorded depth — with the default cutoff a URL
+    whose every in-budget discovery path crosses depth 13 is then
+    legitimately dropped (measured: exactly 1 of 500 at sf0.001,
+    ranked max depth 13 vs BFS 7). That cutoff x priority interaction
+    is inherent to path-depth caps under non-BFS scheduling; the
+    defer-never-drop property is what this test pins."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_edges,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+        CrawlConfig,
+        crawl,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        pages as pagesrc,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, "/root/testdata/sf0.001")
+    seeds = spark.sql(pagesrc.seeds_sql())
+    ranks = host_pagerank(host_edges(pages)).localCheckpoint(eager=True)
+    free = crawl(spark, pages, seeds, CrawlConfig(max_depth=50))
+    ranked = crawl(
+        spark,
+        pages,
+        seeds,
+        CrawlConfig(max_depth=50, global_budget=25, max_iterations=100),
+        host_ranks=ranks,
+    )
+    assert ranked.iterations > free.iterations
+    assert all(m["scheduled"] <= 25 for m in ranked.metrics)
+    a = {r.url_norm for r in free.seen.select("url_norm").collect()}
+    b = {r.url_norm for r in ranked.seen.select("url_norm").collect()}
+    assert a == b
