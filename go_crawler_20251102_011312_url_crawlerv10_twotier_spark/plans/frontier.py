@@ -587,13 +587,25 @@ def resume(
     cfg: CrawlConfig,
     url_col: str = "url",
     html_col: str = "html",
+    as_of: int | None = None,
 ) -> CrawlResult:
-    """Resume a checkpointed crawl from its latest committed snapshot."""
+    """Resume a checkpointed crawl from its latest committed snapshot,
+    or — Iceberg-style time travel — from ANY earlier committed
+    iteration via ``as_of``. Every snapshot ≤ the commit pointer is
+    immutable and self-consistent (seen/frontier/downloads/pending all
+    written before the pointer moves), so a continuation from iter K
+    replays iterations K+1.. deterministically and lands on the same
+    final state as the uninterrupted run (tested both ways in
+    tests/test_frontier.py)."""
     assert cfg.checkpoint_dir, "resume requires cfg.checkpoint_dir"
     store = SnapshotStore(cfg.checkpoint_dir)
     last = store.latest_iter()
     if last is None:
         raise FileNotFoundError(f"no snapshot in {cfg.checkpoint_dir}")
+    if as_of is not None:
+        if not 0 <= as_of <= last:
+            raise ValueError(f"as_of={as_of} outside committed range 0..{last}")
+        last = as_of
 
     seen0 = store.read_seen(spark, last)
     frontier0 = store.read_frontier(spark, last)

@@ -98,6 +98,30 @@ def test_resume_identical(spark, full):
     assert got_dl == sorted(full["downloads"])
 
 
+def test_resume_time_travel(spark, full):
+    """Iceberg-style time travel: a crawl checkpointed for 4 iterations
+    can be resumed from ANY committed snapshot (as_of), not just the
+    latest — and a continuation from iter 2 of a 4-iter run replays
+    deterministically onto the same final state. Also pins rejection of
+    out-of-range as_of."""
+    with tempfile.TemporaryDirectory() as ck:
+        partial = run_engine(spark, CrawlConfig(max_iterations=4, checkpoint_dir=ck))
+        assert partial.iterations == 4
+        res = resume(
+            spark, quirk_pages(spark), CrawlConfig(checkpoint_dir=ck), as_of=2
+        )
+        got = {(r.url_norm, r.depth) for r in res.seen.collect()}
+        got_dl = sorted((r.url, r.status, r.retry) for r in res.downloads.collect())
+        # the continuation kept committing to the same store, so the
+        # pointer moved past 4 — probe far beyond any committed iter
+        with pytest.raises(ValueError):
+            resume(
+                spark, quirk_pages(spark), CrawlConfig(checkpoint_dir=ck), as_of=999
+            )
+    assert got == full["seen"]
+    assert got_dl == sorted(full["downloads"])
+
+
 def test_metrics_shape(full):
     m1 = full["metrics"][0]
     assert m1["scheduled"] == 1 and m1["fetched"] == 1
