@@ -732,6 +732,24 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs, "doc_id", "text")
 
 
+def q_ngram_span_dedup(spark, sf_dir):
+    """Exact substring-level dedup (operators/dedup.ngram_span_stats):
+    per-document count/fraction of distinct 8-token spans that occur
+    verbatim in another document — the Lee-et-al.-style exact measure
+    complementing the thresholded MinHash/SimHash/Jaccard family.
+    Grouping runs on xxhash64(gram) (16-byte shuffle keys); the oracle
+    groups on the gram strings themselves, so a hash collision would
+    surface as a gate mismatch."""
+    docs = load(spark, sf_dir, "documents")
+    s = dedup.ngram_span_stats(docs, "doc_id", "text", n=8)
+    return s.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "dup_grams",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, "doc_id", "text", k=8)
@@ -968,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
+        "ngram_span_dedup": q_ngram_span_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "simhash": q_simhash,
@@ -1386,6 +1405,32 @@ FROM p GROUP BY host
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
+""",
+        # grams compared as STRINGS here vs xxhash64 keys in the impl —
+        # the oracle is collision-blind, the impl documents the risk
+        "ngram_span_dedup": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i)
+  WHERE len(t) >= 8
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+nd AS (SELECT gram, count(*) AS c FROM dg GROUP BY gram),
+pd AS (
+  SELECT dg.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN nd.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM dg JOIN nd USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(pd.dup_grams, 0) AS BIGINT) AS dup_grams,
+  round(CASE WHEN coalesce(pd.n_grams, 0) > 0
+             THEN CAST(pd.dup_grams AS DOUBLE) / pd.n_grams
+             ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
 """,
         "minhash_signatures": _minhash_select(8),
         "lsh_dup_pairs": f"""

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "metrics_rollup",
     "dedup_exact",
+    "ngram_span_dedup",
     "minhash_signatures",
     "lsh_dup_pairs",
     "simhash",

@@ -694,3 +694,73 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def ngram_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup statistics (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" exact
+    n-gram measure): for every document, how many of its distinct
+    whitespace-token n-gram spans also occur verbatim in at least one
+    OTHER document.
+
+    Output: (id, n_grams, dup_grams, dup_frac) — n_grams = distinct
+    n-gram spans in the doc (0 if it has fewer than n tokens),
+    dup_frac = dup_grams / n_grams (0.0 for empty). This is the
+    per-document contamination rate a training-data pipeline
+    thresholds on before span-level removal.
+
+    Scale shape: grams are sliding windows built entirely JVM-side
+    (split → transform over a sequence → concat_ws slices — no UDF),
+    then reduced to (id, xxhash64(gram)) so only 16-byte keys ever
+    shuffle, never the span text. Three shuffles, all map-side-
+    partialed: distinct (id, ghash); a count window over ghash (the
+    cross-doc occurrence test — an aggregate window, one pass, bounded
+    by docs-per-gram even for boilerplate spans); groupBy id. Nothing
+    materializes pairs, so a gram shared by B docs costs B rows, not
+    B^2 — this is the exact companion to the thresholded
+    :func:`jaccard_pairs` / banded LSH paths.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # sequence(a, b) DESCENDS when b < a — guard short docs explicitly
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        df.select(F.col(id_col).alias("id"), F.explode(windows).alias("gram"))
+        .select("id", F.xxhash64("gram").alias("ghash"))
+        .dropDuplicates(["id", "ghash"])
+    )
+    nd = dg.withColumn(
+        "nd", F.count("*").over(Window.partitionBy("ghash"))
+    )
+    per_doc = nd.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("nd") > 1).cast("bigint")).alias("dup_grams"),
+    )
+    # docs shorter than n tokens emit no grams — restore them as zeros
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("dup_grams") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

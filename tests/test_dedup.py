@@ -168,3 +168,48 @@ def test_latest_snapshot_keeps_newest_version(spark):
     got = {r.url_norm: (r.body, r.n) for r in latest_snapshot(df).collect()}
     assert got == {"u1": ("a3", 3), "u2": ("b1", 9)}
     assert set(latest_snapshot(df).columns) == {"url_norm", "warc_ts", "body", "n"}
+
+
+def test_ngram_span_stats(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.dedup import (
+        ngram_span_stats,
+    )
+
+    rows = [
+        # d0 and d1 share the exact span "a b c" (and only that one)
+        (0, "a b c x y"),       # grams: "a b c","b c x","c x y"
+        (1, "q a b c z"),       # grams: "q a b","a b c","b c z"
+        (2, "p q"),             # shorter than n -> zero grams
+        (3, "a b c a b c"),     # repeated span inside ONE doc only:
+                                # distinct grams unique corpus-wide
+                                # except "a b c" (shared with d0/d1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.id: (r.n_grams, r.dup_grams, r.dup_frac)
+        for r in ngram_span_stats(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[0] == (3, 1, 1 / 3)
+    assert got[1] == (3, 1, 1 / 3)
+    assert got[2] == (0, 0, 0.0)
+    # d3 grams: "a b c","b c a","c a b" (x2 dedup) -> only "a b c" shared
+    assert got[3] == (3, 1, 1 / 3)
+
+
+def test_ngram_span_stats_whitespace_and_self_dup(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.dedup import (
+        ngram_span_stats,
+    )
+
+    rows = [
+        (0, "  w1   w2 w1 w2  "),  # leading/trailing + runs collapse
+        (1, "w1 w2 w1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.id: (r.n_grams, r.dup_grams)
+        for r in ngram_span_stats(df, "doc_id", "text", n=2).collect()
+    }
+    # d0 distinct 2-grams: "w1 w2","w2 w1"; d1: "w1 w2","w2 w1" -> all shared
+    assert got[0] == (2, 2)
+    assert got[1] == (2, 2)
