@@ -320,14 +320,36 @@ def run_scaling_cluster(sf_dir: str) -> dict:
         int(w)
         for w in os.environ.get("SPARK_GRAFT_CLUSTER_WORKERS", "1,4").split(",")
     )
-    cores_per_worker = 4
+    # 4 = the r1/r2-protocol shape (4 -> 16 cores). 2 measures N -> 4N
+    # BELOW the box's bus-saturation point (2 -> 8 cores): the regime a
+    # real multi-node cluster lives in, where each node brings its own
+    # memory bus.
+    cores_per_worker = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "4"))
+    # CPU-fair mode (SPARK_GRAFT_PIN_CPUS=1): taskset every worker onto
+    # its own identical vCPU slice and the driver onto a FIXED separate
+    # slice used in both legs — on one box an unpinned 1-worker run
+    # free-rides on ~30 idle vCPUs (GC/IO/python workers), inflating
+    # the small-N denominator in a way no real per-node cluster
+    # reproduces. Requires max(workers)*cores + driver slice <= nproc.
+    pin_cpus = os.environ.get("SPARK_GRAFT_PIN_CPUS", "") == "1"
     tmp = tempfile.mkdtemp(prefix="scaling-cluster-")
     zip_path = make_pyfiles.build(os.path.join(tmp, "engine.zip"))
+
+    n_cpus = os.cpu_count() or 32
+    driver_slice = None
+    if pin_cpus:
+        lo = max(worker_counts) * cores_per_worker
+        hi = min(n_cpus, lo + 8) - 1
+        if hi < lo:
+            raise RuntimeError("not enough CPUs to pin a driver slice")
+        driver_slice = f"{lo}-{hi}"
 
     out = {}
     for n_workers in worker_counts:
         with StandaloneCluster(
-            n_workers=n_workers, cores_per_worker=cores_per_worker
+            n_workers=n_workers,
+            cores_per_worker=cores_per_worker,
+            pin_cpus=pin_cpus,
         ) as cl:
             env = dict(
                 os.environ,
@@ -348,8 +370,11 @@ def run_scaling_cluster(sf_dir: str) -> dict:
                 SPARK_DRIVER_MEM=env_default("SPARK_DRIVER_MEM", "4g"),
             )
             env["SPARK_GRAFT_WAVE_REPEATS"] = str(repeats)
+            drv_pin = (
+                ["taskset", "-c", driver_slice] if driver_slice else []
+            )
             p = subprocess.run(
-                [sys.executable, __file__, "--wave-series"],
+                drv_pin + [sys.executable, __file__, "--wave-series"],
                 env=env,
                 capture_output=True,
                 text=True,
@@ -367,14 +392,17 @@ def run_scaling_cluster(sf_dir: str) -> dict:
     w_lo, w_hi = min(worker_counts), max(worker_counts)
     tp_lo, tp_hi = out[w_lo]["pages_per_sec"], out[w_hi]["pages_per_sec"]
     eff = (tp_hi / tp_lo) / (w_hi / w_lo)
+    c = cores_per_worker
     res = {
-        "metric": f"scaling_efficiency_{w_lo}x4_to_{w_hi}x4_executors",
+        "metric": f"scaling_efficiency_{w_lo}x{c}_to_{w_hi}x{c}_executors",
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
         "scale_mult": scale_mult,
         "body_repeat": body_repeat,
-        "topology": "standalone cluster, 1 executor JVM per worker, 4 cores each",
+        "topology": f"standalone cluster, 1 executor JVM per worker, {c} cores each",
+        "pin_cpus": pin_cpus,
+        "driver_cpu_slice": driver_slice,
         f"throughput_{w_lo}_worker": tp_lo,
         f"throughput_{w_hi}_workers": tp_hi,
     }

@@ -47,6 +47,7 @@ class StandaloneCluster:
         worker_mem: str = "14g",
         master_port: int = 7077,
         webui_port: int = 8089,
+        pin_cpus: bool = False,
     ) -> None:
         self.n_workers = n_workers
         self.cores_per_worker = cores_per_worker
@@ -54,8 +55,21 @@ class StandaloneCluster:
         self.master_port = master_port
         self.webui_port = webui_port
         self.master_url = f"spark://127.0.0.1:{master_port}"
+        # CPU-fair mode: worker i (daemon + the executor JVM and
+        # pyspark.daemon workers it spawns, which inherit affinity) is
+        # tasksetted onto the DISTINCT vCPU slice
+        # [i*cores, (i+1)*cores) — every worker gets identical silicon
+        # and none can borrow the box's idle cores. Without pinning, a
+        # 1-worker run free-rides on ~30 idle vCPUs (GC, IO, python
+        # workers), inflating the small-N denominator of the N->4N
+        # efficiency in a way no real per-node deployment reproduces.
+        self.pin_cpus = pin_cpus
         self._procs: list[subprocess.Popen] = []
         self._tmp: str | None = None
+
+    def worker_cpu_slice(self, i: int) -> str:
+        c = self.cores_per_worker
+        return f"{i * c}-{(i + 1) * c - 1}"
 
     # -- lifecycle -----------------------------------------------------
     def start(self, timeout: float = 60.0) -> None:
@@ -82,8 +96,14 @@ class StandaloneCluster:
         self._wait_master(timeout)
         for i in range(self.n_workers):
             wenv = dict(env, SPARK_WORKER_DIR=os.path.join(self._tmp, f"w{i}"))
+            pin = (
+                ["taskset", "-c", self.worker_cpu_slice(i)]
+                if self.pin_cpus
+                else []
+            )
             self._spawn(
-                [
+                pin
+                + [
                     SPARK_CLASS,
                     "org.apache.spark.deploy.worker.Worker",
                     self.master_url,
