@@ -109,6 +109,14 @@ def get_spark(
                 "spark.locality.wait",
                 os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "3s"),
             )
+            # the canonical straggler mitigation, exposed for the §3a
+            # barrier-straggler experiments; default off (duplicate
+            # speculative tasks on ONE box contend for the same bus /
+            # page cache they are meant to route around)
+            .config(
+                "spark.speculation",
+                os.environ.get("SPARK_GRAFT_SPECULATION", "false"),
+            )
         )
         max_cores = os.environ.get("SPARK_GRAFT_MAX_CORES")
         if max_cores:
