@@ -29,6 +29,10 @@ physical cores to measure the engine rather than the hyperthreads):
     python bench.py --bloom       # J1 exact anti-join vs sharded-Bloom
                                   # prefilter at a large pre-seeded
                                   # seen set (env SPARK_GRAFT_BLOOM_*)
+    python bench.py --skew        # mega-domain tier-2 A/B: salted host
+                                  # repartition (salts=16) vs plain
+                                  # repartition-by-host on a 90%-one-
+                                  # host queue (env SPARK_GRAFT_SKEW_*)
 
 Results are recorded in BENCH.md.
 """
@@ -296,6 +300,78 @@ def run_bloom_bench(spark, n_seen: int, n_cand: int) -> dict:
     return out
 
 
+def run_skew(
+    spark, sf_dir: str, scale_mult: int, body_repeat: int, skew_frac: float
+) -> dict:
+    """Mega-domain skew A/B (north_rule: "host-skew (mega-domains) is
+    handled with explicit salting"): the tier-2 fetch+extract stage
+    over a queue where ONE host owns ``skew_frac`` of all urls,
+    measured with the salted host repartition ON (salts=16, the
+    shipped default — fetch.salted_host_repartition) vs OFF (salts=1,
+    which degenerates to a plain repartition-by-host: every mega-host
+    row lands in one task). Both legs read the same persisted corpus;
+    result rows are identical either way (the gate pins that), so the
+    A/B isolates partitioning. Reports wall and the biggest task's
+    row share from the A5 per-partition metrics.
+    """
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        fetch,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        pages as pagesrc,
+    )
+
+    base = pagesrc.synth_clean_pages(spark, sf_dir, body_repeat=body_repeat)
+    corpus = _replicate(base, ["url", "html"], scale_mult)
+    # rewrite hosts only: skew_frac of urls belong to the mega-domain,
+    # the rest spread over ~1000 tail hosts. Partitioning keys on
+    # ``host``; the fetch join still keys on the untouched url.
+    bucket = F.pmod(F.xxhash64("url"), F.lit(1000))
+    host = F.when(
+        bucket < int(skew_frac * 1000), F.lit("mega.example")
+    ).otherwise(
+        F.concat(F.lit("tail-"), bucket.cast("string"), F.lit(".example"))
+    )
+    queue = corpus.select("url", host.alias("host"))
+    keyed = corpus.select(F.col("url").alias("url_norm"), "html").persist()
+    keyed.count()  # materialize once so both legs pay the same scan
+    reps = int(os.environ.get("SPARK_GRAFT_SKEW_REPEATS", "2"))
+    out = {}
+    try:
+        for label, salts in (("salted", 16), ("unsalted", 1)):
+            runs = []
+            for _ in range(reps):  # best-of: 1st run in a fresh JVM is
+                t0 = time.time()  # ~2x JIT (BENCH.md §1 warm-up row)
+                res = fetch.fetch_and_extract(queue, keyed, salts=salts)
+                m = fetch.fetch_metrics(res).collect()
+                runs.append((time.time() - t0, m))
+            wall, m = min(runs, key=lambda r: r[0])
+            total = sum(r["attempts"] for r in m)
+            out[label] = {
+                "wall_s": round(wall, 3),
+                "all_walls_s": [round(w, 3) for w, _ in runs],
+                "rows": total,
+                "tasks": len(m),
+                "max_task_share": round(
+                    max(r["attempts"] for r in m) / total, 3
+                ),
+            }
+    finally:
+        keyed.unpersist()
+    out.update(
+        metric="tier2_megahost_salting_speedup",
+        value=round(out["unsalted"]["wall_s"] / out["salted"]["wall_s"], 2),
+        unit="x",
+        sf=_sf_of(sf_dir),
+        scale_mult=scale_mult,
+        body_repeat=body_repeat,
+        skew_frac=skew_frac,
+    )
+    return out
+
+
 def run_scaling_cluster(sf_dir: str) -> dict:
     """North_rule scaling evidence, process-isolated: the same wave job
     on a localhost Spark STANDALONE cluster at 1 worker (N=4 cores)
@@ -492,6 +568,14 @@ def main() -> None:
         n_seen = int(os.environ.get("SPARK_GRAFT_BLOOM_SEEN", "5000000"))
         n_cand = int(os.environ.get("SPARK_GRAFT_BLOOM_CAND", "2000000"))
         print(json.dumps(run_bloom_bench(spark, n_seen, n_cand)))
+    elif "--skew" in sys.argv:
+        from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
+
+        spark = get_spark(app_name="bench-skew")
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
+        br = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "50"))
+        frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
+        print(json.dumps(run_skew(spark, sf_dir, mult, br, frac)))
     elif "--wave-only" in sys.argv:
         from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
 
