@@ -28,12 +28,25 @@ class is swapped for Iceberg ``MERGE INTO``/append on the same
 schemas (the table layout IS Iceberg-partition-shaped: hive-style
 ``iter=K`` directories). Resume = read all ``seen`` iters ≤ K and the
 ``frontier`` of K.
+
+Table maintenance mirrors Iceberg's procedures (required at 10^10-URL
+scale, where frontier/pending snapshots grow per superstep and delta
+dirs accumulate small files): :meth:`SnapshotStore.expire_snapshots`
+bounds per-iteration state to a retention window behind a moving
+``horizon`` (time travel below it becomes unavailable, exactly
+Iceberg's contract; wired into the loop via
+``CrawlConfig.snapshot_keep``), and
+:meth:`SnapshotStore.rewrite_data_files` compacts the seen/downloads
+deltas at-or-below the horizon into one merged delta. Pinned in
+tests/test_maintenance.py: maintenance never changes what a retained
+resume point sees.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,10 +82,11 @@ class SnapshotStore:
             metrics.write.mode("overwrite").parquet(f"{self.root}/metrics/iter={it}")
         self._commit_meta(it)
 
-    def _commit_meta(self, it: int) -> None:
+    def _commit_meta(self, it: int, horizon: int | None = None) -> None:
+        h = self.horizon() if horizon is None else horizon
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json")
         with os.fdopen(fd, "w") as f:
-            json.dump({"iter": it}, f)
+            json.dump({"iter": it, "horizon": h}, f)
         os.replace(tmp, f"{self.root}/_meta.json")  # atomic commit pointer
 
     # -- resume -------------------------------------------------------------
@@ -83,6 +97,103 @@ class SnapshotStore:
             return None
         with open(meta) as f:
             return json.load(f)["iter"]
+
+    def horizon(self) -> int:
+        """Oldest resumable iteration (0 until expire_snapshots runs)."""
+        meta = f"{self.root}/_meta.json"
+        if not os.path.exists(meta):
+            return 0
+        with open(meta) as f:
+            return json.load(f).get("horizon", 0)
+
+    # -- maintenance (the Iceberg table-maintenance procedures) -------------
+
+    def expire_snapshots(self, keep_last: int) -> int:
+        """``expire_snapshots`` analogue: drop per-iteration state older
+        than the last ``keep_last`` committed iterations, so the store's
+        footprint is O(retained window + deltas) instead of
+        O(iterations) — at a 10^10-URL frontier the full-frontier and
+        retry-queue snapshots are the terms that grow per superstep.
+        Time travel (``resume(as_of=K)``) below the new horizon becomes
+        unavailable — exactly Iceberg's expire contract. The append-only
+        delta tables (``seen``, ``downloads``) are untouched: every
+        retained snapshot still references all of them (compact those
+        with :meth:`rewrite_data_files`). ``metrics`` is kept whole as
+        the permanent per-partition lineage record (O(partitions)/iter —
+        negligible). Single maintenance writer, no concurrent crawl —
+        the same operational contract as Iceberg's procedures. Returns
+        the new horizon.
+        """
+        assert keep_last >= 1
+        last = self.latest_iter()
+        if last is None:
+            return 0
+        new_h = max(self.horizon(), last - keep_last + 1)
+        # a retained iteration may still depend on the newest retry-
+        # queue snapshot BELOW the horizon (pending is only written on
+        # iterations that ran the download machine, and read_pending
+        # walks back): materialize that walk-back result AT the horizon
+        # before dropping it — identical content for every retained read
+        below = [
+            k
+            for k in range(new_h)
+            if os.path.isdir(f"{self.root}/pending/iter={k}")
+        ]
+        if below and not os.path.isdir(f"{self.root}/pending/iter={new_h}"):
+            os.rename(
+                f"{self.root}/pending/iter={below[-1]}",
+                f"{self.root}/pending/iter={new_h}",
+            )
+        for table in ("frontier", "pending"):
+            for k in range(new_h):
+                d = f"{self.root}/{table}/iter={k}"
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+        self._commit_meta(last, horizon=new_h)
+        return new_h
+
+    def rewrite_data_files(self, spark: SparkSession) -> int:
+        """``rewrite_data_files`` (compaction) analogue for the
+        append-only delta tables: merge every ``seen``/``downloads``
+        delta at or below the horizon into ONE delta dir at the horizon.
+        Reads are union-shaped (read_seen/read_downloads), so the merged
+        dir is read-equivalent for every retained iteration; iterations
+        below the horizon are already expired, which is exactly why
+        compaction must never cross it (a merged delta above a live
+        resume point could not be excluded by ``upto``). Bounds the
+        store's file count to O(retained window) where a long crawl
+        otherwise accumulates one small-file dir per superstep — the
+        classic streaming-ingest small-files problem. Returns the number
+        of delta dirs removed.
+        """
+        h = self.horizon()
+        removed = 0
+        for table in ("seen", "downloads"):
+            dirs = [
+                k
+                for k in range(h + 1)
+                if os.path.isdir(f"{self.root}/{table}/iter={k}")
+            ]
+            if len(dirs) <= 1:
+                continue
+            df = spark.read.parquet(
+                *(f"{self.root}/{table}/iter={k}" for k in dirs)
+            )
+            tmp = f"{self.root}/{table}/_compact_tmp"
+            df.write.mode("overwrite").parquet(tmp)
+            bak = f"{self.root}/{table}/_compact_old"
+            target = f"{self.root}/{table}/iter={h}"
+            if os.path.isdir(target):
+                os.rename(target, bak)
+            os.rename(tmp, target)
+            for k in dirs:
+                d = f"{self.root}/{table}/iter={k}"
+                if k != h and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed += 1
+            if os.path.isdir(bak):
+                shutil.rmtree(bak)
+        return removed
 
     def read_seen(self, spark: SparkSession, upto: int) -> DataFrame:
         paths = [

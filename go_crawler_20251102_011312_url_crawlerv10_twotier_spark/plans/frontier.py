@@ -149,6 +149,15 @@ class CrawlConfig:
     # seed set, pass explicit sizing for the EXPECTED final size.
     bloom_shards: int | None = None
     bloom_bits_per_shard: int | None = None
+    # retain only the last K committed snapshots (None = retain all):
+    # after each commit the loop runs the store's expire_snapshots —
+    # the Iceberg table-maintenance analogue — so the checkpoint
+    # footprint stays O(K + deltas) instead of growing a full-frontier
+    # + retry-queue snapshot per superstep. Time travel below the
+    # moving horizon becomes unavailable (exactly Iceberg's expire
+    # contract); delta compaction (rewrite_data_files) stays an
+    # explicit offline op, like Iceberg's procedures.
+    snapshot_keep: int | None = None
 
 
 @dataclass
@@ -555,6 +564,8 @@ def crawl(
                 it, seen_delta, frontier, dl_delta, met_df,
                 downloads_pending=dl_pending,
             )
+            if cfg.snapshot_keep is not None:
+                store.expire_snapshots(cfg.snapshot_keep)
 
         # superseded localCheckpoint blocks (old seen/frontier/dl/bloom
         # states) are only reaped by ContextCleaner after a JVM GC
@@ -605,6 +616,12 @@ def resume(
     if as_of is not None:
         if not 0 <= as_of <= last:
             raise ValueError(f"as_of={as_of} outside committed range 0..{last}")
+        h = store.horizon()
+        if as_of < h:
+            raise ValueError(
+                f"as_of={as_of} expired: snapshots below horizon {h} "
+                "were removed by expire_snapshots()"
+            )
         last = as_of
 
     seen0 = store.read_seen(spark, last)
