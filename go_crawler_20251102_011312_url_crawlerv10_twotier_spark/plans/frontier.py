@@ -124,6 +124,15 @@ class CrawlConfig:
     # full-corpus shuffle it saves is the single largest data movement
     # in the job.
     dedupe_corpus: bool = True
+    # the pages table is already keyed (url_norm, html) — normalized,
+    # body-capped, unique — e.g. a bucketed corpus table written by
+    # sources.bucketed.write_bucketed_corpus. The crawl then joins on
+    # the STORED url_norm column as-is: re-normalizing (a semantic
+    # no-op — idempotence is property-pinned) would wrap the bucket
+    # column in an expression and destroy the scan's hash
+    # outputPartitioning, forcing the corpus exchange the bucketing
+    # exists to eliminate. Pair with dedupe_corpus=False.
+    corpus_pre_keyed: bool = False
     # enforce robots.txt rules found in the corpus (operators/robots).
     # Default False: the REFERENCE ignores robots (IgnoreRobotsTxt,
     # crawler_twotier.go:56), so equivalence runs must too; the
@@ -169,7 +178,11 @@ class CrawlResult:
 
 
 def _prepare_pages(
-    pages: DataFrame, url_col: str, html_col: str, dedupe: bool = True
+    pages: DataFrame,
+    url_col: str,
+    html_col: str,
+    dedupe: bool = True,
+    pre_keyed: bool = False,
 ) -> DataFrame:
     """Key the corpus by the compat-normalized URL and pre-truncate
     bodies to the 5 MB cap (a scan-side projection, done once).
@@ -183,6 +196,11 @@ def _prepare_pages(
     broadcast_frontier or a bucketed table so the join needs no
     corpus-side exchange.
     """
+    if pre_keyed:
+        # bucketed/pre-keyed corpus: url_norm is the stored bucket
+        # column — select it UNWRAPPED so the scan's hash partitioning
+        # survives to the fetch join (see CrawlConfig.corpus_pre_keyed)
+        return pages.select("url_norm", "html")
     proj = pages.select(
         _norm(F.col(url_col)).alias("url_norm"),
         F.substring(F.col(html_col), 1, MAX_BODY_SIZE).alias("html"),
@@ -270,7 +288,13 @@ def crawl(
     cfg = cfg or CrawlConfig()
     store = SnapshotStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
-    corpus = _prepare_pages(pages, url_col, html_col, dedupe=cfg.dedupe_corpus)
+    corpus = _prepare_pages(
+        pages,
+        url_col,
+        html_col,
+        dedupe=cfg.dedupe_corpus,
+        pre_keyed=cfg.corpus_pre_keyed,
+    )
     if cfg.cache_corpus:
         level = (
             StorageLevel.MEMORY_AND_DISK
