@@ -302,6 +302,51 @@ def q_crawl_frontier_bfs(spark, sf_dir):
     return res.seen.select("url_norm", "depth")
 
 
+def q_crawl_frontier_bucketed(spark, sf_dir):
+    """Flagship over a BUCKETED corpus table (sources/bucketed.py):
+    the corpus is materialized bucketBy(url_norm), and the crawl joins
+    on the stored bucket column (corpus_pre_keyed) as a sort-merge
+    join with broadcasting off — the gate executes the
+    zero-corpus-exchange scan path end-to-end (plan pinned in
+    tests/test_bucketed.py) and must reproduce the exact BFS the
+    in-memory flagship computes (same DuckDB recursive-CTE oracle)."""
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        bucketed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gate-bucketed-")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed.write_bucketed_corpus(
+            pagesrc.synth_clean_pages(spark, sf_dir),
+            "gate_bucketed_corpus",
+            tmp + "/corpus",
+            n_buckets=8,
+        )
+        seeds = spark.sql(pagesrc.seeds_sql())
+        res = crawl(
+            spark,
+            bucketed.read_bucketed_corpus(spark, "gate_bucketed_corpus"),
+            seeds,
+            CrawlConfig(
+                corpus_pre_keyed=True,
+                dedupe_corpus=False,
+                broadcast_frontier=False,
+            ),
+        )
+        # the loop drives every superstep eagerly (localCheckpoint), so
+        # seen is materialized — safe to drop the table + files now
+        return res.seen.select("url_norm", "depth")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS gate_bucketed_corpus")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_tier2_extract_text(spark, sf_dir):
     """M7 tier-2 fetch-and-extract (downloader.go:110-222 + the
     tokenize-stage text contract): salted-host repartition +
@@ -968,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docs_slow": q_extract_docs_slow,
         "is_document_url": q_is_document_url,
         "crawl_frontier_bfs": q_crawl_frontier_bfs,
+        "crawl_frontier_bucketed": q_crawl_frontier_bucketed,
         "tier2_extract_text": q_tier2_extract_text,
         "download_state": q_download_state,
         "download_state_store": q_download_state_store,
@@ -1143,7 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END"
     )
-    return {
+    out = {
         "url_normalize_compat": f"""
 WITH synth AS ({URL_SYNTH_SQL})
 SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth
@@ -1781,3 +1827,9 @@ SELECT doc_id, mime, 16 AS n_features,
 FROM allf
 """,
     }
+    # the bucketed-corpus crawl computes the same BFS: the variation
+    # under test is physical (bucketed scan, zero corpus-side
+    # exchange), which the independent logical oracle cannot and need
+    # not see — identical SQL, separately executed gate
+    out["crawl_frontier_bucketed"] = out["crawl_frontier_bfs"]
+    return out
