@@ -47,7 +47,20 @@ def parse_args(argv):
     p.add_argument("--use-bloom", action="store_true",
                    help="route the seen probe through the sharded-Bloom prefilter")
     p.add_argument("--politeness-salts", type=int, default=16)
+    p.add_argument("--corpus-pre-keyed", action="store_true",
+                   help="pages table is already (url_norm, html) — normalized,"
+                   " body-capped, unique (e.g. a bucketed corpus written by"
+                   " sources.bucketed.write_bucketed_corpus); joins on the"
+                   " stored column so a bucketed scan's partitioning reaches"
+                   " the fetch join (zero corpus-side exchange)")
+    p.add_argument("--no-broadcast-frontier", action="store_true",
+                   help="sort-merge the fetch join instead of broadcasting the"
+                   " scheduled frontier (set at 10^10-scale iteration sizes)")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--snapshot-keep", type=int, default=None,
+                   help="retain only the last K committed snapshots"
+                   " (expire_snapshots after each commit; time travel below"
+                   " the moving horizon becomes unavailable)")
     p.add_argument("--resume", action="store_true", help="continue from the latest snapshot")
     p.add_argument("--output", default=None, help="write final seen/downloads parquet here")
     p.add_argument("--url-col", default="url")
@@ -85,8 +98,12 @@ def main(argv=None) -> int:
         global_budget=args.global_budget,
         politeness_salts=args.politeness_salts,
         checkpoint_dir=args.checkpoint_dir,
+        snapshot_keep=args.snapshot_keep,
         respect_robots=args.respect_robots,
         use_bloom=args.use_bloom,
+        corpus_pre_keyed=args.corpus_pre_keyed,
+        dedupe_corpus=not args.corpus_pre_keyed,
+        broadcast_frontier=not args.no_broadcast_frontier,
     )
     host_ranks = (
         spark.read.parquet(args.host_ranks_parquet)
