@@ -165,29 +165,48 @@ class SnapshotStore:
         otherwise accumulates one small-file dir per superstep — the
         classic streaming-ingest small-files problem. Returns the number
         of delta dirs removed.
+
+        Crash contract (this is rename-based, not an atomic snapshot
+        commit like real Iceberg): an interrupted compaction must be
+        RE-RUN before the store is read again — the recovery preamble
+        restores a pre-swap horizon delta from ``_compact_old``, and
+        the rewrite dedupes full rows, which heals the
+        swap-done-sources-not-yet-removed window (deltas are
+        row-disjoint by construction, so exact-duplicate rows can only
+        be crash artifacts). Pinned in tests/test_maintenance.py.
         """
         h = self.horizon()
         removed = 0
         for table in ("seen", "downloads"):
+            base = f"{self.root}/{table}"
+            tmp = f"{base}/_compact_tmp"
+            bak = f"{base}/_compact_old"
+            target = f"{base}/iter={h}"
+            # recovery from a prior interrupted run: _compact_old is
+            # the authoritative pre-swap horizon delta — restore it if
+            # the swap never completed; a leftover _compact_tmp is
+            # stale either way and gets recomputed
+            if os.path.isdir(bak):
+                if not os.path.isdir(target):
+                    os.rename(bak, target)
+                else:
+                    shutil.rmtree(bak)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
             dirs = [
-                k
-                for k in range(h + 1)
-                if os.path.isdir(f"{self.root}/{table}/iter={k}")
+                k for k in range(h + 1) if os.path.isdir(f"{base}/iter={k}")
             ]
             if len(dirs) <= 1:
                 continue
             df = spark.read.parquet(
-                *(f"{self.root}/{table}/iter={k}" for k in dirs)
-            )
-            tmp = f"{self.root}/{table}/_compact_tmp"
+                *(f"{base}/iter={k}" for k in dirs)
+            ).dropDuplicates()
             df.write.mode("overwrite").parquet(tmp)
-            bak = f"{self.root}/{table}/_compact_old"
-            target = f"{self.root}/{table}/iter={h}"
             if os.path.isdir(target):
                 os.rename(target, bak)
             os.rename(tmp, target)
             for k in dirs:
-                d = f"{self.root}/{table}/iter={k}"
+                d = f"{base}/iter={k}"
                 if k != h and os.path.isdir(d):
                     shutil.rmtree(d)
                     removed += 1

@@ -90,6 +90,41 @@ def test_expire_then_compact_preserve_retained_resume(spark, ck_run):
     assert _state(res2) == final
 
 
+def test_compaction_crash_recovery(spark, ck_run, tmp_path):
+    """rewrite_data_files' crash contract: re-running an interrupted
+    compaction restores exactly the pre-compaction data — both crash
+    windows (pre-swap: horizon delta parked in _compact_old; post-swap:
+    merged target coexists with not-yet-removed source dirs, i.e.
+    duplicated rows)."""
+    import shutil as sh
+
+    ck, _ = ck_run
+    store = SnapshotStore(ck)
+    if store.horizon() == 0:  # order-independent: expire+compact first
+        store.expire_snapshots(keep_last=3)
+        store.rewrite_data_files(spark)
+    h = store.horizon()
+    last = store.latest_iter()
+    want = sorted(
+        tuple(r) for r in store.read_seen(spark, last).collect()
+    )
+
+    # window 1 (crash between swap renames): iter=h parked as
+    # _compact_old, target missing, stale tmp left behind
+    sh.move(f"{ck}/seen/iter={h}", f"{ck}/seen/_compact_old")
+    os.makedirs(f"{ck}/seen/_compact_tmp")
+    store.rewrite_data_files(spark)
+    got = sorted(tuple(r) for r in store.read_seen(spark, last).collect())
+    assert got == want
+
+    # window 2 (crash before source-dir removal): a source delta
+    # coexists with the merged target — its rows are duplicated
+    sh.copytree(f"{ck}/seen/iter={h}", f"{ck}/seen/iter={max(0, h - 1)}")
+    assert store.rewrite_data_files(spark) >= 1
+    got = sorted(tuple(r) for r in store.read_seen(spark, last).collect())
+    assert got == want  # exact-duplicate crash artifacts deduped away
+
+
 def test_snapshot_keep_bounds_store_in_the_loop(spark, ck_run, tmp_path):
     _, final = ck_run
     ck = str(tmp_path / "ck2")
