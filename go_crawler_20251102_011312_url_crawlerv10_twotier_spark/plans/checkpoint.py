@@ -129,6 +129,13 @@ class SnapshotStore:
         if last is None:
             return 0
         new_h = max(self.horizon(), last - keep_last + 1)
+        # commit the horizon FIRST: every state below it is thereby
+        # forbidden to readers (resume raises), so a crash anywhere in
+        # the file mutations below leaves only harmless extra files
+        # that the next run removes. The reverse order would have a
+        # window where a still-"resumable" below-horizon iteration
+        # reads a relocated (stale) retry queue.
+        self._commit_meta(last, horizon=new_h)
         # a retained iteration may still depend on the newest retry-
         # queue snapshot BELOW the horizon (pending is only written on
         # iterations that ran the download machine, and read_pending
@@ -149,7 +156,6 @@ class SnapshotStore:
                 d = f"{self.root}/{table}/iter={k}"
                 if os.path.isdir(d):
                     shutil.rmtree(d)
-        self._commit_meta(last, horizon=new_h)
         return new_h
 
     def rewrite_data_files(self, spark: SparkSession) -> int:
