@@ -809,6 +809,19 @@ def q_lsh_dup_pairs(spark, sf_dir):
     return dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH pairs -> connected components -> canonical keep-list: the
+    operator a dedup pass actually applies (drop every non-canonical
+    doc). Impl: alternating large-star/small-star (O(log^2 n) rounds,
+    edges-only shuffles); oracle: DuckDB recursive-CTE transitive
+    closure — exact but quadratic per component, the small-scale
+    cross-check for the scalable algorithm."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
+    pairs = dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
+    return dedup.dup_clusters(docs, pairs)
+
+
 def q_simhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text")
@@ -1035,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_span_dedup": q_ngram_span_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
@@ -1114,6 +1128,32 @@ WITH toks AS (
 )
 SELECT id, {aggs} FROM toks WHERE w <> '' GROUP BY id
 """.strip()
+
+
+# shared between the lsh_dup_pairs gate and the dedup_clusters oracle
+# (clusters = transitive closure over EXACTLY this pair set)
+def _lsh_pairs_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_select(8)}),
+banded AS (
+  SELECT id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS bkey FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS bkey FROM sig
+),
+capped AS (
+  SELECT id, band, bkey FROM (
+    SELECT id, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn
+    FROM banded
+  ) WHERE rn <= 64
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+GROUP BY a.id, b.id
+""".strip()
+
+
+_LSH_PAIRS_SQL = _lsh_pairs_sql()
 
 
 def _hamming_bands_sql(src: str, bits: int = 60, max_hamming: int = 6) -> str:
@@ -1479,23 +1519,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd USING (doc_id)
 """,
         "minhash_signatures": _minhash_select(8),
-        "lsh_dup_pairs": f"""
-WITH sig AS ({_minhash_select(8)}),
-banded AS (
-  SELECT id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS bkey FROM sig
-  UNION ALL
-  SELECT id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS bkey FROM sig
+        "lsh_dup_pairs": _LSH_PAIRS_SQL,
+        # transitive closure via recursive CTE — exact but quadratic
+        # per component; the small-scale twin of the impl's
+        # large-star/small-star (which never materializes a closure)
+        "dedup_clusters": f"""
+WITH RECURSIVE
+pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
 ),
-capped AS (
-  SELECT id, band, bkey FROM (
-    SELECT id, band, bkey,
-           row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn
-    FROM banded
-  ) WHERE rn <= 64
-)
-SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
-FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
-GROUP BY a.id, b.id
+lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN lab l USING (doc_id)
 """,
         "simhash": _simhash_sql(60),
         "jaccard_pairs": """

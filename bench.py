@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "ngram_span_dedup",
     "minhash_signatures",
     "lsh_dup_pairs",
+    "dedup_clusters",
     "simhash",
     "embedding_topk",
     "ann_topk_bucketed",

@@ -764,3 +764,137 @@ def ngram_span_stats(
             .alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dup clustering (the step after pair emission:
+# a training-data dedup keeps ONE doc per near-dup component, so the
+# pair set has to become a (doc -> canonical) map)
+# ---------------------------------------------------------------------------
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set: (count, sum of
+    xxhash64(u,v)). Two cheap aggregates — the per-iteration
+    convergence test, instead of a full set-difference join."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) accumulator: a plain long sum overflows under
+        # ANSI mode once the edge count * hash magnitude crosses 2^63
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return (row["n"] or 0, int(row["s"] or 0))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair set via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the shuffle-bounded
+    CC algorithm: O(log^2 n) rounds, and every round touches only the
+    current edge set (one groupBy for per-node minima + one join back),
+    never materializing a component.
+
+    large-star: every node u computes m = min(neighbors + itself) and
+    re-points each STRICTLY LARGER neighbor at m. small-star: each
+    edge oriented high->low; node u re-points its smaller neighbors
+    (and itself) at their minimum. Both strictly shrink a potential
+    function, so termination is guaranteed; we stop when the edge-set
+    checksum is stable (a converged edge set is exactly the star
+    (v -> component-min) for every non-min v).
+
+    Scale shape: no step is quadratic in component size — a component
+    of B nodes contributes <= B edges per round (vs B^2 for the
+    closure), which is what makes this the 100 TB path where a
+    recursive/transitive-closure formulation (the DuckDB oracle) is
+    the small-scale cross-check only. Each round is localCheckpointed:
+    iterative lineage otherwise doubles per round and re-plans the
+    whole history.
+
+    Returns (id, cluster_id) for every node appearing in ``pairs``,
+    cluster_id = the component's minimum node id.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_checksum(edges)
+    for _ in range(max_iters):
+        # large-star: symmetrize, per-node min, re-point larger neighbors
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: orient high->low, per-node min over smaller
+        # neighbors, re-point them (and u itself) at that min
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(mins2, "u")
+            .select(F.col("v").alias("node"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("node"), F.col("m")))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: edges = (v, component_min) for every non-min v; roots
+    # label themselves. groupBy-min over the symmetric view covers both.
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("id"), F.least("mv", "u").alias("cluster_id"))
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Canonicalize a near-dup pair set into a keep-list over ``docs``:
+    every doc gets its component's min id as cluster_id (itself when it
+    appears in no pair), and is_canonical marks the one doc per
+    cluster a dedup pass keeps. This is the operator a 100 TB pipeline
+    actually runs after LSH/SimHash pair emission — pairs alone don't
+    say WHICH copies to drop; transitive closure does (A~B, B~C drops
+    both B and C even though (A,C) was never emitted).
+
+    Output: (doc_id, cluster_id, is_canonical), one row per doc.
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col, max_iters=max_iters)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )

@@ -213,3 +213,55 @@ def test_ngram_span_stats_whitespace_and_self_dup(spark):
     # d0 distinct 2-grams: "w1 w2","w2 w1"; d1: "w1 w2","w2 w1" -> all shared
     assert got[0] == (2, 2)
     assert got[1] == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# connected components / dup_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,7} via a path + {10,11}; 5 isolated (absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_path_chain(spark):
+    # worst case for naive propagation: a long path — star ops still
+    # converge (O(log^2 n) rounds), and every node labels to the min
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert len(cc) == n + 1 and set(cc.values()) == {0}
+
+
+def test_connected_components_reversed_and_dup_edges(spark):
+    # symmetrization: edge direction and duplicates must not matter
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 5), (9, 5), (9, 5)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert cc == {2: 2, 5: 2, 9: 2}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_dup_clusters_keeplist(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 4), (2, 3)], "id_a long, id_b long")
+    rows = {r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in dedup.dup_clusters(docs, pairs).collect()}
+    # transitive: 4 joins 0's cluster through 1 even with no (0,4) pair
+    assert rows == {
+        0: (0, True), 1: (0, False), 4: (0, False),
+        2: (2, True), 3: (2, False),
+        5: (5, True),  # isolated doc is its own canonical
+    }
