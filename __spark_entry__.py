@@ -38,6 +38,7 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
     fetch,
     multimodal,
     politeness,
+    sampling,
     similarity,
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
@@ -931,6 +932,23 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", textstats.fingerprint("text").alias("fp"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style composite keep/drop with per-rule flags and a
+    first-failing-rule reason — map-only, no shuffle (textstats.
+    quality_filter docstring has the 100 TB argument)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.quality_filter(docs)
+
+
+def q_training_mix(spark, sf_dir):
+    """Deterministic stratified training-mix sampler over the stored
+    lang column: md5-bucket threshold per stratum + inverse-propensity
+    weight. Map-only; reproducible under any partitioning (pinned by
+    tests/test_sampling.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.training_mix_sample(docs)
+
+
 def q_events_rollup(spark, sf_dir):
     """Metrics-table rollup shape (A3-A5) over the events stream table.
     Value sum uses milli-units summed as integers (order-independent);
@@ -1061,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
+        "quality_filter": q_quality_filter,
+        "training_mix": q_training_mix,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -1128,6 +1148,16 @@ WITH toks AS (
 )
 SELECT id, {aggs} FROM toks WHERE w <> '' GROUP BY id
 """.strip()
+
+
+def _mix_rate_case(col: str) -> str:
+    """Per-mille rate CASE from sampling.DEFAULT_MIX_PERMILLE — built
+    from the SAME dict the Spark operator uses, so policy edits can't
+    drift the oracle."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sampling.DEFAULT_MIX_PERMILLE.items()
+    )
+    return f"CASE {col} {whens} ELSE {sampling.DEFAULT_PERMILLE} END"
 
 
 # shared between the lsh_dup_pairs gate and the dedup_clusters oracle
@@ -1728,6 +1758,54 @@ FROM c
         "fingerprint": """
 SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        "quality_filter": f"""
+WITH c AS (
+  SELECT doc_id,
+    {ws_count} AS n_words,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS n_distinct,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(lower(text), '{textstats.LANG_MARKERS["en"]}')) AS stop
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words, stop,
+    CASE WHEN n_words > 0 THEN CAST(n_distinct AS DOUBLE) / n_words ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl
+  FROM c
+),
+r AS (
+  SELECT doc_id, n_words, distinct_ratio, mean_wl,
+    n_words >= {textstats.QF_MIN_WORDS} AS r_min_words,
+    stop >= {textstats.QF_MIN_STOP_HITS} AS r_stopwords,
+    distinct_ratio >= CAST({textstats.QF_MIN_DISTINCT_RATIO} AS DOUBLE) AS r_repetition,
+    mean_wl >= {textstats.QF_WORDLEN_RANGE[0]} AND mean_wl <= {textstats.QF_WORDLEN_RANGE[1]} AS r_word_length
+  FROM m
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  round(distinct_ratio, 6) AS distinct_ratio,
+  round(mean_wl, 6) AS mean_wl,
+  r_min_words, r_stopwords, r_repetition, r_word_length,
+  (r_min_words AND r_stopwords AND r_repetition AND r_word_length) AS keep,
+  CASE WHEN NOT r_min_words THEN 'min_words'
+       WHEN NOT r_stopwords THEN 'stopwords'
+       WHEN NOT r_repetition THEN 'repetition'
+       WHEN NOT r_word_length THEN 'word_length'
+       ELSE 'ok' END AS reason
+FROM r
+""",
+        "training_mix": f"""
+WITH b AS (
+  SELECT doc_id, lang AS stratum,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS bucket,
+    CAST({_mix_rate_case('lang')} AS INT) AS rate_permille
+  FROM documents
+)
+SELECT doc_id, stratum, bucket, rate_permille,
+  bucket < rate_permille AS keep,
+  round(CAST(1000 AS DOUBLE) / rate_permille, 6) AS weight
+FROM b
 """,
         "events_rollup": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "quality_score",
+    "quality_filter",
+    "training_mix",
     "fingerprint",
     "events_rollup",
 ]

@@ -91,3 +91,82 @@ def fingerprint(text) -> Column:
     text — the exact-dedup key robust to spacing differences."""
     text = F.col(text) if isinstance(text, str) else text
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# Composite document quality filter (C4 / Gopher-rule style)
+# ---------------------------------------------------------------------------
+
+# Thresholds chosen to discriminate on the synthetic fixture (words
+# 10-99, distinct-ratio ~0.5 mean) while keeping the published shape:
+# C4 keeps pages with enough words; Gopher drops pages with too few
+# stopword hits, heavy word repetition, or degenerate word lengths.
+QF_MIN_WORDS = 30
+QF_MIN_STOP_HITS = 2
+QF_MIN_DISTINCT_RATIO = 0.45
+QF_WORDLEN_RANGE = (3.0, 12.0)
+QF_RULES = ("min_words", "stopwords", "repetition", "word_length")
+
+
+def quality_filter(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document keep/drop decision from composable C4/Gopher-style
+    rules, with the measurements exposed so a pipeline can re-threshold
+    without recomputing:
+
+    - min_words: >= QF_MIN_WORDS whitespace tokens (C4 length floor)
+    - stopwords: >= QF_MIN_STOP_HITS English-marker stopword hits
+      (Gopher's "must contain 2 of the stop list")
+    - repetition: distinct-word ratio >= QF_MIN_DISTINCT_RATIO
+      (Gopher's repetition family, collapsed to the unigram form)
+    - word_length: mean non-space word length in QF_WORDLEN_RANGE
+
+    keep = all rules pass; reason = FIRST failing rule in QF_RULES
+    order ('ok' when kept) — a single scan, all whole-stage-codegen
+    column expressions (split/array_distinct/regexp_count), no UDF and
+    no shuffle at all: at 100 TB this is a map-only pass whose cost is
+    the parquet read itself.
+
+    Output: (doc_id, n_words, distinct_ratio, mean_wl,
+    r_min_words, r_stopwords, r_repetition, r_word_length, keep,
+    reason).
+    """
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    toks = F.split(trimmed, r"\s+")
+    n_words = F.when(trimmed == "", 0).otherwise(F.size(toks))
+    n_distinct = F.when(trimmed == "", 0).otherwise(F.size(F.array_distinct(toks)))
+    n_nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    distinct_ratio = F.when(
+        n_words > 0, n_distinct.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    mean_wl = F.when(
+        n_words > 0, n_nonspace.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS["en"]))
+
+    r_min_words = n_words >= F.lit(QF_MIN_WORDS)
+    r_stopwords = stop_hits >= F.lit(QF_MIN_STOP_HITS)
+    r_repetition = distinct_ratio >= F.lit(QF_MIN_DISTINCT_RATIO)
+    r_word_length = (mean_wl >= F.lit(QF_WORDLEN_RANGE[0])) & (
+        mean_wl <= F.lit(QF_WORDLEN_RANGE[1])
+    )
+    keep = r_min_words & r_stopwords & r_repetition & r_word_length
+    reason = (
+        F.when(~r_min_words, F.lit("min_words"))
+        .when(~r_stopwords, F.lit("stopwords"))
+        .when(~r_repetition, F.lit("repetition"))
+        .when(~r_word_length, F.lit("word_length"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(mean_wl, 6).alias("mean_wl"),
+        r_min_words.alias("r_min_words"),
+        r_stopwords.alias("r_stopwords"),
+        r_repetition.alias("r_repetition"),
+        r_word_length.alias("r_word_length"),
+        keep.alias("keep"),
+        reason.alias("reason"),
+    )

@@ -43,3 +43,46 @@ def test_fingerprint_whitespace_invariant(spark):
     fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+# ---------------------------------------------------------------------------
+# quality_filter
+# ---------------------------------------------------------------------------
+
+
+def _qdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_quality_filter_rules_and_reason_order(spark):
+    good = "the and of to is " + " ".join(f"word{i}" for i in range(30))
+    rows = {
+        r.doc_id: r
+        for r in T.quality_filter(
+            _qdocs(
+                spark,
+                [
+                    good,                     # passes everything
+                    "the and of to is",       # too few words -> min_words
+                    "xylophone quartz " * 20, # no stopwords -> stopwords
+                    "the is " + "word " * 60, # heavy repeats -> repetition
+                ],
+            )
+        ).collect()
+    }
+    assert rows[0].keep and rows[0].reason == "ok"
+    assert not rows[1].keep and rows[1].reason == "min_words"
+    assert not rows[2].keep and rows[2].reason == "stopwords"
+    assert not rows[3].keep and rows[3].reason == "repetition"
+    # reason is the FIRST failing rule: doc 1 also fails stopwords? no —
+    # it has 5 stop hits; build one failing min_words AND repetition
+    multi = T.quality_filter(_qdocs(spark, ["the the the the"])).collect()[0]
+    assert multi.reason == "min_words"  # ordered before repetition
+
+
+def test_quality_filter_empty_text(spark):
+    r = T.quality_filter(_qdocs(spark, [""])).collect()[0]
+    assert r.n_words == 0 and not r.keep and r.reason == "min_words"
+    assert r.distinct_ratio == 0.0 and r.mean_wl == 0.0
