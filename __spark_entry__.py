@@ -940,6 +940,41 @@ def q_quality_filter(spark, sf_dir):
     return textstats.quality_filter(docs)
 
 
+def q_corpus_refine(spark, sf_dir):
+    """The composed training-data pipeline over the corpus: keep docs
+    that (a) pass the quality filter, (b) are their near-dup cluster's
+    canonical representative, and (c) fall in the stratified mix
+    sample — emitting (doc_id, stratum, n_tokens, weight), i.e. the
+    table a tokenizer shards. One gate pinning that the components
+    compose (same thresholds, same hash policy) — the oracle nests the
+    three component oracles verbatim.
+
+    Scale shape: quality + mix are map-only predicates that Catalyst
+    pushes into the scan side of the joins; the only heavy lifting is
+    the dedup clustering the pipeline needs anyway."""
+    docs = load(spark, sf_dir, "documents")
+    qf = textstats.quality_filter(docs).filter("keep").select("doc_id")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
+    pairs = dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
+    canon = dedup.dup_clusters(docs, pairs).filter("is_canonical").select("doc_id")
+    mix = (
+        sampling.training_mix_sample(docs)
+        .filter("keep")
+        .select("doc_id", "stratum", "weight")
+    )
+    return (
+        docs.join(qf, "doc_id")
+        .join(canon, "doc_id")
+        .join(mix, "doc_id")
+        .select(
+            "doc_id",
+            "stratum",
+            textstats.token_count_ws("text").cast("long").alias("n_tokens"),
+            "weight",
+        )
+    )
+
+
 def q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sampler over the stored
     lang column: md5-bucket threshold per stratum + inverse-propensity
@@ -1081,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "quality_filter": q_quality_filter,
         "training_mix": q_training_mix,
+        "corpus_refine": q_corpus_refine,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -1259,6 +1295,72 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END"
     )
+    # component SQL reused verbatim by the corpus_refine composition —
+    # one definition per operator, so the composed oracle can't drift
+    qf_sql = f"""
+WITH c AS (
+  SELECT doc_id,
+    {ws_count} AS n_words,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS n_distinct,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(lower(text), '{textstats.LANG_MARKERS["en"]}')) AS stop
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words, stop,
+    CASE WHEN n_words > 0 THEN CAST(n_distinct AS DOUBLE) / n_words ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl
+  FROM c
+),
+r AS (
+  SELECT doc_id, n_words, distinct_ratio, mean_wl,
+    n_words >= {textstats.QF_MIN_WORDS} AS r_min_words,
+    stop >= {textstats.QF_MIN_STOP_HITS} AS r_stopwords,
+    distinct_ratio >= CAST({textstats.QF_MIN_DISTINCT_RATIO} AS DOUBLE) AS r_repetition,
+    mean_wl >= {textstats.QF_WORDLEN_RANGE[0]} AND mean_wl <= {textstats.QF_WORDLEN_RANGE[1]} AS r_word_length
+  FROM m
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  round(distinct_ratio, 6) AS distinct_ratio,
+  round(mean_wl, 6) AS mean_wl,
+  r_min_words, r_stopwords, r_repetition, r_word_length,
+  (r_min_words AND r_stopwords AND r_repetition AND r_word_length) AS keep,
+  CASE WHEN NOT r_min_words THEN 'min_words'
+       WHEN NOT r_stopwords THEN 'stopwords'
+       WHEN NOT r_repetition THEN 'repetition'
+       WHEN NOT r_word_length THEN 'word_length'
+       ELSE 'ok' END AS reason
+FROM r
+""".strip()
+    mix_sql = f"""
+WITH b AS (
+  SELECT doc_id, lang AS stratum,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS bucket,
+    CAST({_mix_rate_case('lang')} AS INT) AS rate_permille
+  FROM documents
+)
+SELECT doc_id, stratum, bucket, rate_permille,
+  bucket < rate_permille AS keep,
+  round(CAST(1000 AS DOUBLE) / rate_permille, 6) AS weight
+FROM b
+""".strip()
+    clusters_sql = f"""
+WITH RECURSIVE
+pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+),
+lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN lab l USING (doc_id)
+""".strip()
     out = {
         "url_normalize_compat": f"""
 WITH synth AS ({URL_SYNTH_SQL})
@@ -1553,22 +1655,7 @@ FROM documents d LEFT JOIN pd USING (doc_id)
         # transitive closure via recursive CTE — exact but quadratic
         # per component; the small-scale twin of the impl's
         # large-star/small-star (which never materializes a closure)
-        "dedup_clusters": f"""
-WITH RECURSIVE
-pairs AS ({_LSH_PAIRS_SQL}),
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-          UNION SELECT id_b AS u, id_a AS v FROM pairs),
-reach(u, v) AS (
-  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
-  UNION
-  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
-),
-lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
-SELECT d.doc_id,
-  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
-FROM documents d LEFT JOIN lab l USING (doc_id)
-""",
+        "dedup_clusters": clusters_sql,
         "simhash": _simhash_sql(60),
         "jaccard_pairs": """
 WITH base AS (
@@ -1759,53 +1846,19 @@ FROM c
 SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
 FROM documents
 """,
-        "quality_filter": f"""
-WITH c AS (
-  SELECT doc_id,
-    {ws_count} AS n_words,
-    CASE WHEN trim(text) = '' THEN 0
-         ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS n_distinct,
-    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
-    len(regexp_extract_all(lower(text), '{textstats.LANG_MARKERS["en"]}')) AS stop
-  FROM documents
-),
-m AS (
-  SELECT doc_id, n_words, stop,
-    CASE WHEN n_words > 0 THEN CAST(n_distinct AS DOUBLE) / n_words ELSE 0.0 END AS distinct_ratio,
-    CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl
-  FROM c
-),
-r AS (
-  SELECT doc_id, n_words, distinct_ratio, mean_wl,
-    n_words >= {textstats.QF_MIN_WORDS} AS r_min_words,
-    stop >= {textstats.QF_MIN_STOP_HITS} AS r_stopwords,
-    distinct_ratio >= CAST({textstats.QF_MIN_DISTINCT_RATIO} AS DOUBLE) AS r_repetition,
-    mean_wl >= {textstats.QF_WORDLEN_RANGE[0]} AND mean_wl <= {textstats.QF_WORDLEN_RANGE[1]} AS r_word_length
-  FROM m
-)
-SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-  round(distinct_ratio, 6) AS distinct_ratio,
-  round(mean_wl, 6) AS mean_wl,
-  r_min_words, r_stopwords, r_repetition, r_word_length,
-  (r_min_words AND r_stopwords AND r_repetition AND r_word_length) AS keep,
-  CASE WHEN NOT r_min_words THEN 'min_words'
-       WHEN NOT r_stopwords THEN 'stopwords'
-       WHEN NOT r_repetition THEN 'repetition'
-       WHEN NOT r_word_length THEN 'word_length'
-       ELSE 'ok' END AS reason
-FROM r
-""",
-        "training_mix": f"""
-WITH b AS (
-  SELECT doc_id, lang AS stratum,
-    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS bucket,
-    CAST({_mix_rate_case('lang')} AS INT) AS rate_permille
-  FROM documents
-)
-SELECT doc_id, stratum, bucket, rate_permille,
-  bucket < rate_permille AS keep,
-  round(CAST(1000 AS DOUBLE) / rate_permille, 6) AS weight
-FROM b
+        "quality_filter": qf_sql,
+        "training_mix": mix_sql,
+        # full-pipeline composition: each component subquery is the
+        # SAME string as its standalone oracle above
+        "corpus_refine": f"""
+WITH qf AS (SELECT doc_id FROM ({qf_sql}) WHERE keep),
+cl AS (SELECT doc_id FROM ({clusters_sql}) WHERE is_canonical),
+mix AS (SELECT doc_id, stratum, weight FROM ({mix_sql}) WHERE keep)
+SELECT d.doc_id, mix.stratum,
+  CAST({ws_count} AS BIGINT) AS n_tokens,
+  mix.weight
+FROM documents d
+JOIN qf USING (doc_id) JOIN cl USING (doc_id) JOIN mix USING (doc_id)
 """,
         "events_rollup": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

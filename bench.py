@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "quality_score",
     "quality_filter",
     "training_mix",
+    "corpus_refine",
     "fingerprint",
     "events_rollup",
 ]
