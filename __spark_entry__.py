@@ -796,6 +796,17 @@ def q_ngram_span_dedup(spark, sf_dir):
     )
 
 
+def q_ngram_span_removal(spark, sf_dir):
+    """The removal step the contamination stats feed (dedup.
+    ngram_span_scrub): drop every token covered by a cross-document
+    duplicated 8-gram and rebuild the cleaned text. Same hash-vs-
+    string oracle relationship as ngram_span_dedup — and the oracle
+    reconstructs clean_text independently (string_agg ORDER BY pos),
+    so position bookkeeping is value-checked, not just counts."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_span_scrub(docs, "doc_id", "text", n=8)
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, "doc_id", "text", k=8)
@@ -1099,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "ngram_span_dedup": q_ngram_span_dedup,
+        "ngram_span_removal": q_ngram_span_removal,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1649,6 +1661,41 @@ SELECT d.doc_id,
              THEN CAST(pd.dup_grams AS DOUBLE) / pd.n_grams
              ELSE 0.0 END, 6) AS dup_frac
 FROM documents d LEFT JOIN pd USING (doc_id)
+""",
+        "ngram_span_removal": """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS s(i)
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 7], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i)
+  WHERE len(t) >= 8
+),
+dgr AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram) WHERE c > 1
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + u.o AS pos
+  FROM g JOIN dgr USING (gram), LATERAL unnest(generate_series(0, 7)) AS u(o)
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok FROM tok ANTI JOIN cov USING (doc_id, pos)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.t) AS BIGINT) AS n_tokens,
+  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
 """,
         "minhash_signatures": _minhash_select(8),
         "lsh_dup_pairs": _LSH_PAIRS_SQL,

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "metrics_rollup",
     "dedup_exact",
     "ngram_span_dedup",
+    "ngram_span_removal",
     "minhash_signatures",
     "lsh_dup_pairs",
     "dedup_clusters",

@@ -898,3 +898,100 @@ def dup_clusters(
             ),
         )
     )
+
+
+def ngram_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The removal step :func:`ngram_span_stats` measures: delete every
+    token covered by a cross-document duplicated n-gram span (Lee et
+    al. 2021 run exactly this over their training sets) and rebuild the
+    cleaned document. A token at position p is contaminated iff some
+    duplicated gram starts in [p-n+1, p]; survivors are re-joined with
+    single spaces (whitespace normalizes — the oracle defines the same
+    contract).
+
+    Output: (doc_id, n_tokens, n_removed, clean_text), one row per doc
+    (docs with < n tokens pass through untouched, modulo whitespace
+    normalization).
+
+    Scale shape: same key discipline as ngram_span_stats — gram TEXT
+    never shuffles, only (id, pos, xxhash64) triples; the duplicated-
+    gram set is derived with one aggregate window (no pairs), coverage
+    is an explode of at most n positions per contaminated gram, and
+    the doc rebuild is a single groupBy(id) with an array_sort over
+    collected (pos, tok) structs — tokens of one doc meet again
+    exactly once. Stages keyed by id (coverage distinct, anti-join,
+    rebuild) reuse one hash partitioning back to back, so AQE plans
+    them without re-exchanging.
+    """
+    from pyspark.sql import Window
+
+    trimmed = F.trim(F.col(text_col))
+    toks = F.split(trimmed, r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(trimmed == "", F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("toks"),
+    )
+    # gram rows WITH start position (0-based), hash-keyed
+    g = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - F.lit(n)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("toks", i + 1, n))
+                        ).alias("ghash"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,ghash:bigint>>"))
+        ).alias("gp"),
+    ).select("id", F.col("gp.pos").alias("pos"), F.col("gp.ghash").alias("ghash"))
+    # duplicated grams: > 1 distinct doc contains the gram
+    dup = (
+        g.dropDuplicates(["id", "ghash"])
+        .withColumn("nd", F.count("*").over(Window.partitionBy("ghash")))
+        .filter(F.col("nd") > 1)
+        .select("ghash")
+        .distinct()
+    )
+    covered = (
+        g.join(dup, "ghash")
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + F.lit(n - 1))).alias("pos"))
+        .distinct()
+    )
+    tok_rows = base.select(
+        "id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -265,3 +265,49 @@ def test_dup_clusters_keeplist(spark):
         2: (2, True), 3: (2, False),
         5: (5, True),  # isolated doc is its own canonical
     }
+
+
+def test_ngram_span_scrub_removes_shared_spans(spark):
+    # docs 0 and 1 share an 8-token span; doc 2 is clean
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} unique tail zero"),
+            (1, f"one lead {shared} unique tail"),
+            (2, "totally different words that never repeat anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.ngram_span_scrub(docs, n=8).collect()}
+    # the shared region is alpha..theta PLUS the common continuation
+    # "unique tail" (overlapping grams like "beta..theta unique" are
+    # also cross-doc dups) -> 10 covered tokens per doc
+    assert rows[0].n_tokens == 11 and rows[0].n_removed == 10
+    assert rows[0].clean_text == "zero"
+    assert rows[1].n_tokens == 12 and rows[1].n_removed == 10
+    assert rows[1].clean_text == "one lead"
+    assert rows[2].n_removed == 0
+    assert rows[2].clean_text == "totally different words that never repeat anywhere else"
+
+
+def test_ngram_span_scrub_overlapping_spans(spark):
+    # two docs identical for 9 tokens -> two overlapping dup grams,
+    # coverage union = 9 tokens, not 16
+    nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    docs = spark.createDataFrame(
+        [(0, f"{nine} x0"), (1, f"{nine} y1")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dedup.ngram_span_scrub(docs, n=8).collect()}
+    assert rows[0].n_removed == 9 and rows[0].clean_text == "x0"
+    assert rows[1].n_removed == 9 and rows[1].clean_text == "y1"
+
+
+def test_ngram_span_scrub_short_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "short doc"), (1, ""), (2, "  spaced   out  ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.ngram_span_scrub(docs, n=8).collect()}
+    assert rows[0].n_removed == 0 and rows[0].clean_text == "short doc"
+    assert rows[1].n_tokens == 0 and rows[1].clean_text == ""
+    assert rows[2].clean_text == "spaced out"  # whitespace normalizes
