@@ -1,0 +1,65 @@
+"""Training-shard sink: the write side of the corpus refinery.
+
+After corpus_refine produces (doc_id, stratum, n_tokens, weight), a
+tokenizer wants the corpus as stratum-partitioned parquet shards of
+bounded size, plus a manifest it can schedule from without listing
+files. This sink is deliberately plain Spark — partitionBy for the
+directory layout, maxRecordsPerFile for the shard bound — because at
+100 TB those are the two knobs that matter and both are executed
+distributed (no driver-side file juggling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    stratum_col: str = "stratum",
+    max_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Write ``df`` as ``path/{stratum_col}=X/part-*.parquet`` with at
+    most ``max_records_per_file`` rows per shard, then write a
+    ``_manifest`` parquet next to it (one row per stratum: docs,
+    tokens, weighted tokens) computed from a RE-READ of the written
+    files — the manifest certifies what landed on disk, not what the
+    input plan claimed.
+
+    Returns the manifest DataFrame.
+
+    Scale notes: ``repartition(stratum)`` before ``partitionBy`` keeps
+    every task writing to ONE directory (without it, each of the W
+    input tasks opens a file per stratum → W×S small files);
+    ``maxRecordsPerFile`` then re-splits oversized strata inside the
+    task, which is how the per-shard bound holds without a second
+    shuffle. A skewed stratum (English is always >50 %) therefore
+    lands on one task — callers with that profile should salt:
+    ``repartition(N, stratum, pmod(hash(doc_id), N))`` keeps both the
+    directory layout and the parallelism. Manifest aggregation is one
+    map-side-partial groupBy over the re-read.
+    """
+    (
+        df.repartition(F.col(stratum_col))
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(stratum_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    manifest = written.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum(F.col("n_tokens") * F.col("weight")), 6).alias(
+            "weighted_tokens"
+        ),
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_manifest")
+    )
+    return spark.read.parquet(os.path.join(path, "_manifest"))

@@ -311,3 +311,57 @@ def test_ngram_span_scrub_short_and_empty_docs(spark):
     assert rows[0].n_removed == 0 and rows[0].clean_text == "short doc"
     assert rows[1].n_tokens == 0 and rows[1].clean_text == ""
     assert rows[2].clean_text == "spaced out"  # whitespace normalizes
+
+
+def test_connected_components_vs_union_find_random_graphs(spark):
+    """Randomized cross-check: star-op CC == sequential union-find on
+    seeded random graphs (mixed density, self-loops, dup edges)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(8):
+        n_nodes = rng.randint(5, 80)
+        n_edges = rng.randint(0, 120)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        # union-find reference
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for a, b in edges:
+            if a != b:
+                for v in (a, b):
+                    r = find(v)
+                    while parent[r] != r:
+                        r = parent[r]
+                    expected[v] = r
+        # min-root canonicalization: map each root to min member
+        comp_members = {}
+        for v, r in expected.items():
+            comp_members.setdefault(r, set()).add(v)
+        expected = {
+            v: min(members)
+            for r, members in comp_members.items()
+            for v in members
+        }
+
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}: {sorted(got.items())[:10]}"
