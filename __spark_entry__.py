@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 42 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 55 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -986,6 +986,32 @@ def q_corpus_refine(spark, sf_dir):
     )
 
 
+def q_training_shards(spark, sf_dir):
+    """The sink end of the pipeline: shard the refined corpus as
+    stratum-partitioned, record-bounded parquet (sources/shards.py)
+    and return the manifest the sink certifies from a RE-READ of the
+    written files. The oracle aggregates the corpus_refine oracle per
+    stratum, so a pass pins that the round trip through the on-disk
+    layout (partitionBy dirs, maxRecordsPerFile splits, _manifest
+    exclusion) loses and invents nothing."""
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        shards,
+    )
+
+    out = tempfile.mkdtemp(prefix="gate_shards_")
+    try:
+        manifest = shards.write_training_shards(
+            q_corpus_refine(spark, sf_dir), out, max_records_per_file=100
+        )
+        # materialize before the files vanish (driver collects later)
+        return manifest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sampler over the stored
     lang column: md5-bucket threshold per stratum + inverse-propensity
@@ -1129,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "training_mix": q_training_mix,
         "corpus_refine": q_corpus_refine,
+        "training_shards": q_training_shards,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -1372,6 +1399,16 @@ SELECT d.doc_id,
   coalesce(l.cluster_id, d.doc_id) AS cluster_id,
   coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN lab l USING (doc_id)
+""".strip()
+    refine_sql = f"""
+WITH qf AS (SELECT doc_id FROM ({qf_sql}) WHERE keep),
+cl AS (SELECT doc_id FROM ({clusters_sql}) WHERE is_canonical),
+mix AS (SELECT doc_id, stratum, weight FROM ({mix_sql}) WHERE keep)
+SELECT d.doc_id, mix.stratum,
+  CAST({ws_count} AS BIGINT) AS n_tokens,
+  mix.weight
+FROM documents d
+JOIN qf USING (doc_id) JOIN cl USING (doc_id) JOIN mix USING (doc_id)
 """.strip()
     out = {
         "url_normalize_compat": f"""
@@ -1897,15 +1934,18 @@ FROM documents
         "training_mix": mix_sql,
         # full-pipeline composition: each component subquery is the
         # SAME string as its standalone oracle above
-        "corpus_refine": f"""
-WITH qf AS (SELECT doc_id FROM ({qf_sql}) WHERE keep),
-cl AS (SELECT doc_id FROM ({clusters_sql}) WHERE is_canonical),
-mix AS (SELECT doc_id, stratum, weight FROM ({mix_sql}) WHERE keep)
-SELECT d.doc_id, mix.stratum,
-  CAST({ws_count} AS BIGINT) AS n_tokens,
-  mix.weight
-FROM documents d
-JOIN qf USING (doc_id) JOIN cl USING (doc_id) JOIN mix USING (doc_id)
+        "corpus_refine": refine_sql,
+        # the shard sink's manifest must equal the refined table's
+        # per-stratum aggregates — i.e. writing, bounding, and
+        # re-reading the files loses nothing
+        "training_shards": f"""
+WITH refined AS ({refine_sql})
+SELECT stratum,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(CAST(round(weight * 1000000) AS BIGINT) * n_tokens) AS BIGINT)
+    / 1000000.0 AS weighted_tokens
+FROM refined GROUP BY stratum
 """,
         "events_rollup": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

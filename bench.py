@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "quality_filter",
     "training_mix",
     "corpus_refine",
+    "training_shards",
     "fingerprint",
     "events_rollup",
 ]

@@ -52,12 +52,14 @@ def write_training_shards(
     )
     spark = df.sparkSession
     written = spark.read.parquet(path)
+    # weighted tokens summed in integer micro-units: float sums are
+    # partition-order-dependent, and a manifest that certifies files
+    # must not depend on who read them in what order
+    micro = F.round(F.col("weight") * 1000000).cast("long") * F.col("n_tokens")
     manifest = written.groupBy(stratum_col).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.round(F.sum(F.col("n_tokens") * F.col("weight")), 6).alias(
-            "weighted_tokens"
-        ),
+        (F.sum(micro) / F.lit(1000000.0)).alias("weighted_tokens"),
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_manifest")
