@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 55 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 56 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -1061,6 +1061,20 @@ def q_recrawl_change_rates(spark, sf_dir):
     return recrawl_change_rates(snaps)
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness-driven revisit scheduler (ranks.recrawl_schedule):
+    staleness = change_rate x seconds-since-last-capture (batch clock
+    = the table's newest ts), top per_host_budget urls per host. The
+    oracle replays the lag window, the scalar max, and the per-host
+    row_number in DuckDB."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_schedule,
+    )
+
+    snaps = _synth(spark, sf_dir, RECRAWL_SQL)
+    return recrawl_schedule(snaps, per_host_budget=8)
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing (multimodal.sample_frames): fixed-grid
     chunking of the payload, every 4th 256-byte frame kept, one row
@@ -1148,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "latest_snapshot": q_latest_snapshot,
         "recrawl_change_rates": q_recrawl_change_rates,
+        "recrawl_schedule": q_recrawl_schedule,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -1862,6 +1877,41 @@ SELECT url_norm, n_versions, n_changes,
   round(CASE WHEN n_versions > 1
         THEN n_changes / (n_versions - 1.0) ELSE 0.0 END, 6) AS change_rate
 FROM agg
+""",
+        # revisit scheduler: same lag window + the batch clock (table
+        # max ts) + a per-host budget row_number; age subtraction makes
+        # any epoch/timezone convention cancel on both engines
+        "recrawl_schedule": f"""
+WITH s AS ({RECRAWL_SQL}),
+lagged AS (
+  SELECT url_norm, warc_ts, content_md5,
+    lag(content_md5) OVER (PARTITION BY url_norm ORDER BY warc_ts) AS prev
+  FROM s
+),
+agg AS (
+  SELECT url_norm,
+    CAST(count(*) AS INT) AS n_versions,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> content_md5 THEN 1 ELSE 0 END) AS INT) AS n_changes,
+    max(warc_ts) AS last_ts
+  FROM lagged GROUP BY url_norm
+),
+clk AS (SELECT max(warc_ts) AS now_ts FROM s),
+sc AS (
+  SELECT url_norm,
+    regexp_extract(url_norm, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+    n_versions, n_changes,
+    round(CASE WHEN n_versions > 1
+          THEN n_changes / (n_versions - 1.0) ELSE 0.0 END, 6) AS change_rate,
+    CAST(epoch(now_ts) AS BIGINT) - CAST(epoch(last_ts) AS BIGINT) AS age_s
+  FROM agg, clk
+)
+SELECT url_norm, host, n_versions, n_changes, change_rate, age_s,
+  change_rate * age_s AS staleness, rank
+FROM (
+  SELECT sc.*, CAST(row_number() OVER (
+      PARTITION BY host ORDER BY change_rate * age_s DESC, url_norm) AS INT) AS rank
+  FROM sc
+) WHERE rank <= 8
 """,
         # newest version per page: row_number over the same synthetic
         # multi-version set; ts crosses the gate as epoch BIGINT

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "download_state",
     "latest_snapshot",
     "recrawl_change_rates",
+    "recrawl_schedule",
     "stream_host_budget",
     "url_resolve",
     "format_bytes",

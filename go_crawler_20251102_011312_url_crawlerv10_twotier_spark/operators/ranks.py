@@ -153,6 +153,19 @@ def recrawl_change_rates(
     the aggregate that follows reuses the same hash partitioning, so
     the whole operator is ONE shuffle on the url key.
     """
+    return _change_stats(snapshots, key_col, ts_col, content_col).drop(
+        "_last_ts"
+    )
+
+
+def _change_stats(
+    snapshots: DataFrame, key_col: str, ts_col: str, content_col: str
+) -> DataFrame:
+    """Shared body of :func:`recrawl_change_rates` /
+    :func:`recrawl_schedule` — per-url version/change counts plus the
+    url's newest capture ts (``_last_ts``). One shuffle on the url
+    key: the lag window and the aggregate reuse the same hash
+    partitioning."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
     d = snapshots.withColumn("_prev", F.lag(content_col).over(w))
     agg = d.groupBy(key_col).agg(
@@ -165,6 +178,7 @@ def recrawl_change_rates(
         )
         .cast("int")
         .alias("n_changes"),
+        F.max(ts_col).alias("_last_ts"),
     )
     return agg.withColumn(
         "change_rate",
@@ -175,4 +189,67 @@ def recrawl_change_rates(
             ).otherwise(F.lit(0.0)),
             6,
         ),
+    )
+
+
+def recrawl_schedule(
+    snapshots: DataFrame,
+    per_host_budget: int = 2,
+    key_col: str = "url_norm",
+    ts_col: str = "warc_ts",
+    content_col: str = "content_md5",
+) -> DataFrame:
+    """Freshness-driven revisit scheduler: rank every url by its
+    expected number of MISSED changes since its last capture and keep
+    the ``per_host_budget`` stalest urls per host — the next recrawl
+    wave, already respecting the same per-host politeness bound the
+    frontier scheduler enforces.
+
+    Exact semantics (twinned by the ``recrawl_schedule`` gate oracle):
+
+    * per-url stats as :func:`recrawl_change_rates`, plus ``last_ts``
+      (the url's newest capture)
+    * ``now`` = max ts over the WHOLE snapshot table — the batch
+      clock is the latest observed capture, never wall-clock, so the
+      schedule is deterministic and resumable
+    * ``age_s`` = now − last_ts in whole seconds
+    * ``staleness`` = change_rate × age_s — the first-order expected
+      change count under a Poisson page-change model (the classic
+      revisit-policy estimate; pages that change often AND haven't
+      been fetched recently float to the top)
+    * per-host ``row_number`` over (staleness DESC, url ASC), kept
+      while ≤ ``per_host_budget``
+
+    Scale shape: one shuffle on the url key (window + same-key agg),
+    one scalar max whose exchange moves a single pre-aggregated row
+    per partition (partial→final; the 1-row result is broadcast
+    back), and one shuffle on host for the budget window — window
+    state is bounded by a host's url count, output by the budget.
+    """
+    stats = _change_stats(snapshots, key_col, ts_col, content_col)
+    now = snapshots.agg(F.max(ts_col).alias("_now"))
+    # scalar-subquery attach: PySpark has no scalar-subquery API, so
+    # the 1-row clock rides a broadcast cross join — the plan is a
+    # BroadcastNestedLoopJoin whose build side is a scalar aggregate,
+    # i.e. one row to every task, never a blow-up (a constant-key
+    # equi-join folds back to exactly this plan anyway)
+    scored = (
+        stats.crossJoin(F.broadcast(now))
+        .select(
+            key_col,
+            host_of_col(F.col(key_col)).alias("host"),
+            "n_versions",
+            "n_changes",
+            "change_rate",
+            (F.unix_timestamp("_now") - F.unix_timestamp("_last_ts")).alias(
+                "age_s"
+            ),
+        )
+        .withColumn("staleness", F.col("change_rate") * F.col("age_s"))
+    )
+    wh = Window.partitionBy("host").orderBy(
+        F.col("staleness").desc(), F.col(key_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(wh)).filter(
+        F.col("rank") <= per_host_budget
     )

@@ -60,10 +60,26 @@ def test_no_cartesian_or_nested_loop_joins(plans):
     precisely so this holds; the corpus synthesis inlines its row count
     as a literal (sources/pages.py clean_pages_sql n_rows) for the same
     reason — the scalar-CTE form planned a BNLJ into every consumer.
+
+    Exemption: a BroadcastNestedLoopJoin whose build side is a SCALAR
+    aggregate (HashAggregate(keys=[]) under the broadcast — at most one
+    row) is the scalar-subquery attach (recrawl_schedule's batch
+    clock): one row shipped to every task, structurally unable to blow
+    up. A plan is exempt only if EVERY BNLJ in it broadcasts a scalar.
     """
+    scalar_build = re.compile(
+        r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
+        r"[^\n]*HashAggregate\(keys=\[\]"
+    )
+
+    def benign(p: str) -> bool:
+        n_bnlj = p.count("BroadcastNestedLoopJoin")
+        return n_bnlj > 0 and n_bnlj == len(scalar_build.findall(p))
+
     offenders = {
         n: p for n, p in plans.items()
-        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+        if "CartesianProduct" in p
+        or ("BroadcastNestedLoopJoin" in p and not benign(p))
     }
     assert not offenders, f"nested-loop plans in: {sorted(offenders)}"
 
@@ -76,14 +92,16 @@ def test_no_single_partition_exchange(plans):
     (operators/politeness.py) — an all-to-one exchange is the one plan
     shape that cannot survive 100 TB.
 
-    Exemption: Catalyst's runtime Bloom-filter join optimization
-    (spark.sql.optimizer.runtime.bloomFilter) plans a scalar subquery
-    whose final bloom_filter_agg sits on an Exchange SinglePartition —
-    that moves one pre-aggregated Bloom buffer per partition, not rows,
-    so it is the partial→final pattern this test exists to protect.
+    Exemption: scalar aggregates. Catalyst's runtime Bloom-filter join
+    optimization plans a scalar subquery whose final bloom_filter_agg
+    sits on an Exchange SinglePartition, and recrawl_schedule's batch
+    clock (max ts over the table) finalizes a partial_max the same way
+    — both move one pre-aggregated row per partition, not data rows,
+    i.e. the partial→final pattern this test exists to protect.
     """
     bloom_final = re.compile(
-        r"Exchange SinglePartition[^\n]*\n[^\n]*partial_bloom_filter_agg"
+        r"Exchange SinglePartition[^\n]*\n[^\n]*"
+        r"partial_(?:bloom_filter_agg|max\()"
     )
     offenders = {
         n for n, p in plans.items()

@@ -123,3 +123,69 @@ def test_pagerank_budgeted_crawl_reaches_same_urls(spark):
     a = {r.url_norm for r in free.seen.select("url_norm").collect()}
     b = {r.url_norm for r in ranked.seen.select("url_norm").collect()}
     assert a == b
+
+
+def _snaps(spark, rows):
+    return spark.createDataFrame(
+        rows, "url_norm string, warc_ts timestamp, content_md5 string"
+    )
+
+
+def test_recrawl_schedule_ranks_by_staleness_and_caps_per_host(spark):
+    from datetime import datetime as dt
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_schedule,
+    )
+
+    t = lambda s: dt(2025, 1, 1, 0, s // 60, s % 60)  # noqa: E731
+    rows = [
+        # hostA/hot: changes every fetch, last seen t=10 -> rate 1.0, age 50
+        ("https://a.example/hot", t(0), "v1"),
+        ("https://a.example/hot", t(5), "v2"),
+        ("https://a.example/hot", t(10), "v3"),
+        # hostA/warm: 1 change in 2 intervals, last t=20 -> rate .5, age 40
+        ("https://a.example/warm", t(0), "x"),
+        ("https://a.example/warm", t(15), "x"),
+        ("https://a.example/warm", t(20), "y"),
+        # hostA/static: never changes -> staleness 0.0
+        ("https://a.example/static", t(0), "s"),
+        ("https://a.example/static", t(30), "s"),
+        # hostB/only: single version -> rate 0, staleness 0, still rank 1
+        ("https://b.example/only", t(60), "q"),  # also sets now=60
+    ]
+    out = recrawl_schedule(_snaps(spark, rows), per_host_budget=2)
+    got = {r.url_norm: r for r in out.collect()}
+    # budget: hostA has 3 urls, only 2 survive; the zero-staleness
+    # static page is the one cut
+    assert set(got) == {
+        "https://a.example/hot",
+        "https://a.example/warm",
+        "https://b.example/only",
+    }
+    hot, warm = got["https://a.example/hot"], got["https://a.example/warm"]
+    assert (hot.rank, warm.rank) == (1, 2)
+    assert hot.staleness == 1.0 * 50 and warm.staleness == 0.5 * 40
+    assert hot.age_s == 50 and warm.age_s == 40
+    only = got["https://b.example/only"]
+    assert (only.rank, only.staleness, only.n_versions) == (1, 0.0, 1)
+
+
+def test_recrawl_schedule_ties_break_by_url(spark):
+    from datetime import datetime as dt
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_schedule,
+    )
+
+    t = lambda s: dt(2025, 1, 1, 0, 0, s)  # noqa: E731
+    # two urls on one host with IDENTICAL staleness -> url ASC wins
+    rows = [
+        ("https://h.example/b", t(0), "1"),
+        ("https://h.example/b", t(10), "2"),
+        ("https://h.example/a", t(0), "1"),
+        ("https://h.example/a", t(10), "2"),
+    ]
+    out = recrawl_schedule(_snaps(spark, rows), per_host_budget=1)
+    rows_out = out.collect()
+    assert len(rows_out) == 1 and rows_out[0].url_norm == "https://h.example/a"
