@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 56 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 57 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -778,6 +778,26 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs, "doc_id", "text")
 
 
+def q_benchmark_contamination(spark, sf_dir):
+    """Eval-set decontamination (dedup.benchmark_contamination): the
+    benchmark corpus is the doc_id % 17 == 0 slice of documents (an
+    eval set verbatim-leaked into training), and every doc gets the
+    fraction of its distinct 8-gram spans found in that set plus a
+    contaminated flag at 0.05. The leaked docs themselves score ~1.0;
+    everything else only via genuinely shared spans. Hash-vs-string
+    grouping keeps the gate collision-blind (see q_ngram_span_dedup)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    c = dedup.benchmark_contamination(docs, bench, n=8, threshold=0.05)
+    return c.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "bench_grams",
+        "contamination",
+        "contaminated",
+    )
+
+
 def q_ngram_span_dedup(spark, sf_dir):
     """Exact substring-level dedup (operators/dedup.ngram_span_stats):
     per-document count/fraction of distinct 8-token spans that occur
@@ -1150,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "ngram_span_dedup": q_ngram_span_dedup,
+        "benchmark_contamination": q_benchmark_contamination,
         "ngram_span_removal": q_ngram_span_removal,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1690,6 +1711,37 @@ FROM documents GROUP BY md5(text)
 """,
         # grams compared as STRINGS here vs xxhash64 keys in the impl —
         # the oracle is collision-blind, the impl documents the risk
+        # decontamination: bench grams derived from the same dg CTE
+        # (the bench fixture is a slice of documents); gram STRINGS
+        # here vs xxhash64 in the impl — collision-blind
+        "benchmark_contamination": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i)
+  WHERE len(t) >= 8
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+bset AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 0),
+pd AS (
+  SELECT dg.doc_id, count(*) AS n_grams,
+    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bench_grams
+  FROM dg LEFT JOIN bset b ON dg.gram = b.gram
+  GROUP BY dg.doc_id
+),
+sel AS (
+  SELECT d.doc_id,
+    CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+    CAST(coalesce(pd.bench_grams, 0) AS BIGINT) AS bench_grams,
+    round(CASE WHEN coalesce(pd.n_grams, 0) > 0
+               THEN CAST(pd.bench_grams AS DOUBLE) / pd.n_grams
+               ELSE 0.0 END, 6) AS contamination
+  FROM documents d LEFT JOIN pd USING (doc_id)
+)
+SELECT *, contamination > 0.05 AS contaminated FROM sel
+""",
         "ngram_span_dedup": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "metrics_rollup",
     "dedup_exact",
     "ngram_span_dedup",
+    "benchmark_contamination",
     "ngram_span_removal",
     "minhash_signatures",
     "lsh_dup_pairs",

@@ -696,6 +696,94 @@ def jaccard_pairs(
     return out
 
 
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct ``(id, xxhash64(gram))`` pairs over whitespace-token
+    n-gram sliding windows — built entirely JVM-side (split →
+    transform over a sequence → concat_ws slices, no UDF) so only
+    16-byte keys ever leave the stage. Shared front end of
+    :func:`ngram_span_stats` and :func:`benchmark_contamination`."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # sequence(a, b) DESCENDS when b < a — guard short docs explicitly
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(windows).alias("gram"))
+        .select("id", F.xxhash64("gram").alias("ghash"))
+        .dropDuplicates(["id", "ghash"])
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Eval-set decontamination: for every training document, the
+    fraction of its distinct n-gram spans that occur verbatim in the
+    BENCHMARK corpus, plus a ``contaminated`` flag at ``threshold`` —
+    the pre-training hygiene step that keeps test sets out of the
+    training mix (the n-gram-overlap method GPT-3 App. C popularized;
+    Dolma/FineWeb pipelines run the same shape).
+
+    Output: (id, n_grams, bench_grams, contamination, contaminated).
+    Docs with fewer than ``n`` tokens have no grams and are clean by
+    definition. The flag is computed from the ROUNDED rate so the
+    decision is engine-reproducible.
+
+    Scale shape: both sides reduce to distinct gram hashes before any
+    join. Eval corpora are tiny next to a 100 TB training corpus, so
+    the benchmark gram set is explicitly broadcast — the probe is
+    map-side, no shuffle of the training grams beyond the per-doc
+    groupBy they already need; a gram shared by B docs costs B rows.
+    """
+    bench_text_col = bench_text_col or text_col
+    doc_grams = _gram_hashes(docs, id_col, text_col, n)
+    bench_set = (
+        _gram_hashes(bench, id_col, bench_text_col, n)
+        .select("ghash")
+        .dropDuplicates(["ghash"])
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_set), "ghash", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("bigint")).alias(
+                "bench_grams"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("bench_grams", F.lit(0)).alias("bench_grams"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.col("bench_grams") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+        )
+        .withColumn("contaminated", F.col("contamination") > F.lit(threshold))
+    )
+
+
 def ngram_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -727,20 +815,7 @@ def ngram_span_stats(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # sequence(a, b) DESCENDS when b < a — guard short docs explicitly
-    windows = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dg = (
-        df.select(F.col(id_col).alias("id"), F.explode(windows).alias("gram"))
-        .select("id", F.xxhash64("gram").alias("ghash"))
-        .dropDuplicates(["id", "ghash"])
-    )
+    dg = _gram_hashes(df, id_col, text_col, n)
     nd = dg.withColumn(
         "nd", F.count("*").over(Window.partitionBy("ghash"))
     )

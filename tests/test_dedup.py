@@ -365,3 +365,34 @@ def test_connected_components_vs_union_find_random_graphs(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial}: {sorted(got.items())[:10]}"
+
+
+def test_benchmark_contamination_flags_leaked_docs(spark):
+    """A doc verbatim-contained in the bench set scores 1.0; disjoint
+    docs score 0.0; partial overlap counts exactly the shared grams."""
+    mk = lambda i: " ".join(f"w{i}t{j}" for j in range(12))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (0, mk(0)),                       # leaked verbatim
+            (1, mk(1)),                       # clean
+            (2, mk(0) + " " + mk(1)),         # half leaked
+            (3, "too short"),                 # no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, mk(0))], "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in dedup.benchmark_contamination(
+            docs, bench, n=8, threshold=0.3
+        ).collect()
+    }
+    # 12 tokens -> 5 distinct 8-grams per mk() block
+    assert (out[0].n_grams, out[0].bench_grams) == (5, 5)
+    assert out[0].contamination == 1.0 and out[0].contaminated
+    assert out[1].bench_grams == 0 and not out[1].contaminated
+    # doc 2 has 24 tokens -> 17 grams; the 5 grams inside the mk(0)
+    # prefix match, the boundary-crossing ones don't
+    assert (out[2].n_grams, out[2].bench_grams) == (17, 5)
+    assert not out[2].contaminated  # 5/17 = 0.294 < 0.3
+    assert (out[3].n_grams, out[3].contamination) == (0, 0.0)
