@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 57 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 58 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -1006,6 +1006,23 @@ def q_corpus_refine(spark, sf_dir):
     )
 
 
+def q_source_quality_rollup(spark, sf_dir):
+    """Domain-level curation table (operators/curation.py): per-source
+    doc/token counts, quality-filter keep rate, mean quality score
+    (micro-unit sums — order-independent) and near-dup rate from the
+    LSH clustering — the table a curator thresholds to drop whole
+    domains before per-doc work. Oracle = the per-doc component
+    oracles rolled up per source."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
+    pairs = dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
+    return curation.source_quality_rollup(docs, pairs)
+
+
 def q_training_shards(spark, sf_dir):
     """The sink end of the pipeline: shard the refined corpus as
     stratum-partitioned, record-bounded parquet (sources/shards.py)
@@ -1192,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "corpus_refine": q_corpus_refine,
         "training_shards": q_training_shards,
+        "source_quality_rollup": q_source_quality_rollup,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -1435,6 +1453,23 @@ SELECT d.doc_id,
   coalesce(l.cluster_id, d.doc_id) AS cluster_id,
   coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN lab l USING (doc_id)
+""".strip()
+    qscore_sql = f"""
+WITH c AS (
+  SELECT doc_id,
+    length(text) AS n,
+    {ws_count} AS words,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+    len(regexp_extract_all(lower(text), '{textstats.LANG_MARKERS["en"]}')) AS stop
+  FROM documents
+)
+SELECT doc_id,
+  round(0.4 * least(n / 500.0, 1.0)
+      + 0.2 * least(punct * 10.0 / greatest(words, 1), 1.0)
+      + 0.2 * least(stop * 5.0 / greatest(words, 1), 1.0)
+      + 0.2 * (CASE WHEN n / greatest(words, 1) >= 3 AND n / greatest(words, 1) <= 12
+               THEN 1.0 ELSE 0.0 END), 6) AS score
+FROM c
 """.strip()
     refine_sql = f"""
 WITH qf AS (SELECT doc_id FROM ({qf_sql}) WHERE keep),
@@ -2011,22 +2046,31 @@ SELECT doc_id,
   len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}')) AS n_bpe
 FROM documents
 """,
-        "quality_score": f"""
-WITH c AS (
-  SELECT doc_id,
-    length(text) AS n,
-    {ws_count} AS words,
-    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
-    len(regexp_extract_all(lower(text), '{textstats.LANG_MARKERS["en"]}')) AS stop
-  FROM documents
+        "quality_score": qscore_sql,
+        # domain-level curation: the per-doc component oracles above
+        # (score, keep, canonicality) rolled up per source with
+        # float-free aggregation (micro-units + integer-count rates)
+        "source_quality_rollup": f"""
+WITH q AS ({qscore_sql}),
+qf AS (SELECT doc_id, keep FROM ({qf_sql})),
+cl AS (SELECT doc_id, is_canonical FROM ({clusters_sql})),
+base AS (
+  SELECT d.doc_id, d.source,
+    CAST({ws_count} AS BIGINT) AS tok,
+    CAST(round(q.score * 1000000) AS BIGINT) AS q_micro,
+    qf.keep, cl.is_canonical
+  FROM documents d
+  JOIN q USING (doc_id) JOIN qf USING (doc_id) JOIN cl USING (doc_id)
 )
-SELECT doc_id,
-  round(0.4 * least(n / 500.0, 1.0)
-      + 0.2 * least(punct * 10.0 / greatest(words, 1), 1.0)
-      + 0.2 * least(stop * 5.0 / greatest(words, 1), 1.0)
-      + 0.2 * (CASE WHEN n / greatest(words, 1) >= 3 AND n / greatest(words, 1) <= 12
-               THEN 1.0 ELSE 0.0 END), 6) AS score
-FROM c
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    / CAST(count(*) AS BIGINT) AS keep_rate,
+  CAST(sum(q_micro) AS BIGINT) / (count(*) * 1000000.0) AS mean_quality,
+  CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT)
+    / CAST(count(*) AS BIGINT) AS dup_rate
+FROM base GROUP BY source
 """,
         "fingerprint": """
 SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "training_mix",
     "corpus_refine",
     "training_shards",
+    "source_quality_rollup",
     "fingerprint",
     "events_rollup",
 ]

@@ -1,0 +1,76 @@
+"""Domain-level corpus curation: per-source aggregate signals.
+
+Web-scale training pipelines don't only filter documents — they drop
+whole DOMAINS whose aggregate quality is bad (C4's blocklists,
+FineWeb's URL/domain filtering, Gopher's per-source mix decisions all
+consume a table of this shape). This module rolls the engine's
+per-document signals (quality filter, quality score, near-dup
+canonicality, token counts) up to one row per source so a curator can
+threshold on keep-rate / duplication-rate / mean quality before any
+per-document work runs at full scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import quality_filter, quality_score, token_count_ws
+from .dedup import dup_clusters
+
+
+def source_quality_rollup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One curation row per source: ``(source, n_docs, n_tokens,
+    keep_rate, mean_quality, dup_rate)``.
+
+    * ``keep_rate`` — fraction of the source's docs passing the
+      C4/Gopher-style :func:`quality_filter`
+    * ``mean_quality`` — mean composite :func:`quality_score`
+    * ``dup_rate`` — fraction of docs that are NOT their near-dup
+      cluster's canonical representative (``pairs`` = any (id_a,
+      id_b) pair set, e.g. ``dedup.lsh_dup_pairs`` output)
+
+    Scale shape: the quality signals are map-only column expressions
+    folded into the scan; the two attach joins are id-keyed; the
+    rollup itself is ONE map-side-partial groupBy on source. The
+    aggregation is float-free — quality scores sum as integer
+    micro-units and the rates divide exact integer counts at the end
+    — so the result is partition-order-independent (the property the
+    gate oracle hashes).
+    """
+    qf = quality_filter(docs, id_col, text_col).select(id_col, "keep")
+    canon = dup_clusters(docs, pairs, id_col=id_col).select(
+        F.col("doc_id").alias(id_col), "is_canonical"
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        token_count_ws(F.col(text_col)).cast("long").alias("_tok"),
+        F.round(quality_score(F.col(text_col)) * 1000000)
+        .cast("long")
+        .alias("_q_micro"),
+    )
+    j = base.join(qf, id_col).join(canon, id_col)
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.sum(F.col("keep").cast("long")).alias("_keeps"),
+        F.sum("_q_micro").alias("_q_sum"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("_dups"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("_keeps") / F.col("n_docs")).alias("keep_rate"),
+        (F.col("_q_sum") / (F.col("n_docs") * F.lit(1000000.0))).alias(
+            "mean_quality"
+        ),
+        (F.col("_dups") / F.col("n_docs")).alias("dup_rate"),
+    )
