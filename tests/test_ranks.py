@@ -189,3 +189,61 @@ def test_recrawl_schedule_ties_break_by_url(spark):
     out = recrawl_schedule(_snaps(spark, rows), per_host_budget=1)
     rows_out = out.collect()
     assert len(rows_out) == 1 and rows_out[0].url_norm == "https://h.example/a"
+
+
+def test_recrawl_wave_refetches_through_tier2(spark, sf_small):
+    """Closes the recrawl loop: corpus snapshots -> change rates ->
+    scheduled revisit wave -> tier-2 refetch. The wave's columns feed
+    fetch_and_extract directly, every scheduled url re-fetches 200,
+    and within any host that has changed pages the stalest (changed)
+    page outranks the never-changed ones."""
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        fetch,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_schedule,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        pages,
+    )
+
+    corpus = pages.synth_clean_pages(spark, sf_small)
+    base = corpus.select(
+        F.col("url").alias("url_norm"),
+        "warc_ts",
+        F.md5("html").alias("content_md5"),
+    )
+    changed = F.xxhash64("url_norm") % 3 == 0
+    v2 = base.select(
+        "url_norm",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        F.when(changed, F.md5(F.concat("content_md5", F.lit("x"))))
+        .otherwise(F.col("content_md5"))
+        .alias("content_md5"),
+    )
+    snaps = base.unionByName(v2)
+    wave = recrawl_schedule(snaps, per_host_budget=3).localCheckpoint()
+
+    # changed pages have staleness > 0, unchanged exactly 0 -> any host
+    # with a changed page must lead its wave with one
+    lead = {r.host: r.staleness for r in wave.filter("rank = 1").collect()}
+    hosts_with_changes = {
+        r.host
+        for r in snaps.filter(changed)
+        .select(F.regexp_extract("url_norm", r"^[a-z]+://([^/]+)", 1).alias("host"))
+        .distinct()
+        .collect()
+    }
+    for h in hosts_with_changes:
+        assert lead[h] > 0.0, f"host {h} leads with an unchanged page"
+
+    # the wave feeds tier-2 directly and every url re-fetches from the
+    # live corpus
+    queue = wave.select(F.col("url_norm").alias("url"), "host")
+    out = fetch.fetch_and_extract(
+        queue, corpus.select(F.col("url").alias("url_norm"), "html")
+    ).collect()
+    assert len(out) == wave.count()
+    assert all(r.status == 200 and r.text is not None for r in out)
