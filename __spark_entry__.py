@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 58 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 59 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -1006,6 +1006,19 @@ def q_corpus_refine(spark, sf_dir):
     )
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Tokenizer-prep vocabulary table (curation.vocab_stats): top-100
+    lowercase whitespace tokens by total occurrences with document
+    frequency; (count DESC, token ASC) tiebreak pins the cutoff set.
+    Plan contract: TakeOrderedAndProject, both aggs map-side-partial."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.vocab_stats(docs, top_k=100)
+
+
 def q_source_quality_rollup(spark, sf_dir):
     """Domain-level curation table (operators/curation.py): per-source
     doc/token counts, quality-filter keep rate, mean quality score
@@ -1210,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_refine": q_corpus_refine,
         "training_shards": q_training_shards,
         "source_quality_rollup": q_source_quality_rollup,
+        "vocab_stats": q_vocab_stats,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -2047,6 +2061,21 @@ SELECT doc_id,
 FROM documents
 """,
         "quality_score": qscore_sql,
+        # tokenizer-prep vocabulary: LIMIT under the same deterministic
+        # (count DESC, token ASC) tiebreak the impl's top-k uses
+        "vocab_stats": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+td AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY token, doc_id)
+SELECT token,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM td GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
         # domain-level curation: the per-doc component oracles above
         # (score, keep, canonicality) rolled up per source with
         # float-free aggregation (micro-units + integer-count rates)

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "corpus_refine",
     "training_shards",
     "source_quality_rollup",
+    "vocab_stats",
     "fingerprint",
     "events_rollup",
 ]

@@ -19,6 +19,46 @@ from ..functions.textstats import quality_filter, quality_score, token_count_ws
 from .dedup import dup_clusters
 
 
+def vocab_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics — the frequency table a tokenizer
+    trainer (BPE/unigram) starts from: the ``top_k`` lowercase
+    whitespace tokens by total occurrences, with document frequency.
+
+    Output: ``(token, n_docs, n_occurrences)``, the top_k rows by
+    (n_occurrences DESC, token ASC) — the tiebreak makes the cutoff
+    set deterministic under any partitioning.
+
+    Scale shape: explode → two hash aggregations, both with map-side
+    partials — (token, doc) collapses each doc's repeats locally
+    before anything shuffles, then (token) sums — and the global
+    top-k is TakeOrderedAndProject (per-partition heaps merged on the
+    driver), never a global sort. Nothing here is proportional to the
+    corpus except the first map-side pass.
+    """
+    toks = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    td = toks.groupBy("token", "id").agg(F.count("*").alias("c"))
+    agg = td.groupBy("token").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("c").alias("n_occurrences"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(top_k)
+
+
 def source_quality_rollup(
     docs: DataFrame,
     pairs: DataFrame,

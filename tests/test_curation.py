@@ -31,3 +31,22 @@ def test_source_quality_rollup_hand_case(spark):
     # doc 1 is the non-canonical member of cluster {0, 1}
     assert a.dup_rate == 1 / 3 and b.dup_rate == 0.0
     assert 0.0 < a.mean_quality <= 1.0 and 0.0 < b.mean_quality <= 1.0
+
+
+def test_vocab_stats_counts_and_cutoff(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat and the dog and THE bird"),
+            (1, "cat cat zebra"),
+            (2, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = curation.vocab_stats(docs, top_k=3).collect()
+    # 'the' 3 occurrences in 1 doc; 'cat' 3 occurrences in 2 docs;
+    # 'and' 2 in 1 -> top-3 is [cat|the tie -> 'cat' < 'the'], then and
+    assert [(r.token, r.n_docs, r.n_occurrences) for r in out] == [
+        ("cat", 2, 3),
+        ("the", 1, 3),
+        ("and", 1, 2),
+    ]
