@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 59 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 60 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -262,6 +262,20 @@ def q_route_decision(spark, sf_dir):
     return _synth(spark, sf_dir, ROUTE_SYNTH_SQL).select(
         "id", route_decision_col("url", "body_size").alias("path")
     )
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text table (extract.anchor_texts): one (id, href,
+    anchor) row per well-formed <a> element over the clean corpus —
+    two JVM regexp group passes zipped positionally, the html column
+    never leaves the scan. Oracle runs the identical pattern with
+    DuckDB's parallel unnest."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        anchor_texts,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return anchor_texts(pages)
 
 
 def q_extract_links_fast(spark, sf_dir):
@@ -1177,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_bytes": q_format_bytes,
         "route_decision": q_route_decision,
         "extract_links_fast": q_extract_links_fast,
+        "anchor_texts": q_anchor_texts,
         "extract_docs_slow": q_extract_docs_slow,
         "is_document_url": q_is_document_url,
         "crawl_frontier_bfs": q_crawl_frontier_bfs,
@@ -1542,6 +1557,15 @@ SELECT id, {_route_case('url', 'body_size')} AS path FROM synth
         "extract_links_fast": f"""
 WITH p AS ({pagesrc.clean_pages_sql()})
 SELECT id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link FROM p
+""",
+        # parallel unnest zips the two group extractions positionally,
+        # matching the impl's arrays_zip + explode
+        "anchor_texts": f"""
+WITH p AS ({pagesrc.clean_pages_sql()})
+SELECT id,
+  unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href,
+  unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 2)) AS anchor
+FROM p
 """,
         "extract_docs_slow": f"""
 WITH synth AS ({DOCURL_SYNTH_SQL})

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "route_decision",
     "extract_links_fast",
+    "anchor_texts",
     "politeness_budget",
     "politeness_hostrank",
     "host_inlink_ranks",

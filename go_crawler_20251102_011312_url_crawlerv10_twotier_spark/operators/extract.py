@@ -375,3 +375,31 @@ def extract_stage(pages: DataFrame, url_col: str = "url", html_col: str = "html"
         .withColumn("has_nav", F.col("r.has_nav"))
         .drop("r")
     )
+
+
+ANCHOR_PATTERN = r'<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_texts(
+    pages: DataFrame, id_col: str = "id", html_col: str = "html"
+) -> DataFrame:
+    """Anchor-text table ``(id, href, anchor)`` — one row per
+    well-formed ``<a href="...">text</a>`` element. Anchor text is the
+    classic target-side relevance/quality feature (what OTHER pages
+    call a url); the reference's E1/E2 extract hrefs only, so this is
+    a beyond-reference operator with its own deliberate contract: the
+    well-formed subset (double-quoted href, no tags nested inside the
+    anchor), NOT the quirk-exact E1 byte scanner.
+
+    Entirely JVM-side: two regexp_extract_all group passes zipped
+    positionally, one explode — no UDF, and the multi-MB html column
+    never leaves the scan stage (only hrefs and anchor strings do).
+    The gate oracle runs the identical pattern in DuckDB.
+    """
+    html = F.col(html_col)
+    hs = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(1))
+    ts = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(2))
+    return pages.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.arrays_zip(hs.alias("href"), ts.alias("anchor"))).alias("a"),
+    ).select("id", F.col("a.href").alias("href"), F.col("a.anchor").alias("anchor"))

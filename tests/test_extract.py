@@ -125,3 +125,28 @@ def test_fast_slow_divergence_on_relative():
     html = b'<a href="rel">x</a>      '
     assert extract_links_fast_py(html, BASE) == ["https://h.x/dir/page/rel"]
     assert analyze_slow_py(html, BASE)["urls"] == ["https://h.x/dir/rel"]
+
+
+def test_anchor_texts_well_formed_subset(spark):
+    """The documented contract: double-quoted hrefs with tag-free
+    anchor bodies extract; nested tags and single quotes don't."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        anchor_texts,
+    )
+
+    html = (
+        '<a href="https://a/1">plain</a>'
+        '<a class="x" href="https://a/2" rel="nofollow">with attrs</a>'
+        '<a href="https://a/3"><b>nested</b></a>'      # excluded: tag inside
+        "<a href='https://a/4'>single quoted</a>"      # excluded: quoting
+        '<a href="https://a/5"></a>'                   # empty anchor kept
+    )
+    rows = anchor_texts(
+        spark.createDataFrame([(1, html)], "id long, html string")
+    ).collect()
+    got = sorted((r.href, r.anchor) for r in rows)
+    assert got == [
+        ("https://a/1", "plain"),
+        ("https://a/2", "with attrs"),
+        ("https://a/5", ""),
+    ]
