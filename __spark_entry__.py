@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 60 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 61 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -1020,6 +1020,22 @@ def q_corpus_refine(spark, sf_dir):
     )
 
 
+def q_doc_keyterms(spark, sf_dir):
+    """Per-doc distinctive terms (curation.doc_keyterms): top-3 tokens
+    by tf/df — the rational tf-idf rank-equivalent (integer division
+    is engine-bit-identical; log idf could flip ranks by an ulp).
+    Oracle replays tf, df-over-tf, and the per-doc row_number."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kt = curation.doc_keyterms(docs, k=3)
+    return kt.select(
+        F.col("id").alias("doc_id"), "token", "tf", "df", "score", "rank"
+    )
+
+
 def q_vocab_stats(spark, sf_dir):
     """Tokenizer-prep vocabulary table (curation.vocab_stats): top-100
     lowercase whitespace tokens by total occurrences with document
@@ -1239,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "source_quality_rollup": q_source_quality_rollup,
         "vocab_stats": q_vocab_stats,
+        "doc_keyterms": q_doc_keyterms,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -2099,6 +2116,29 @@ SELECT token,
   CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM td GROUP BY token
 ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
+        # per-doc distinctive terms: same tf / df-over-tf / row_number
+        # pipeline; score = tf/df is integer division, engine-identical
+        "doc_keyterms": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+SELECT doc_id, token, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE) / df.df AS score,
+    CAST(row_number() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token ASC
+    ) AS INT) AS rank
+  FROM tf JOIN df USING (token)
+) WHERE rank <= 3
 """,
         # domain-level curation: the per-doc component oracles above
         # (score, keep, canonicality) rolled up per source with

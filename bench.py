@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "training_shards",
     "source_quality_rollup",
     "vocab_stats",
+    "doc_keyterms",
     "fingerprint",
     "events_rollup",
 ]

@@ -12,7 +12,7 @@ per-document work runs at full scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import quality_filter, quality_score, token_count_ws
@@ -57,6 +57,48 @@ def vocab_stats(
     return agg.orderBy(
         F.col("n_occurrences").desc(), F.col("token").asc()
     ).limit(top_k)
+
+
+def doc_keyterms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document distinctive terms: the top ``k`` tokens by
+    ``tf / df`` (term frequency over corpus document frequency — the
+    rank-equivalent of tf·idf for a fixed corpus size, chosen as a
+    RATIONAL score: integer÷integer is bit-identical on any engine,
+    where a log-based idf could drift by an ulp across libms and flip
+    a rank at the rounding boundary). The table feeds corpus
+    exploration, clustering labels, and topic-mix audits.
+
+    Output: ``(id, token, tf, df, score, rank)``, rank ≤ k per doc,
+    ties broken by token ASC so the cutoff is deterministic.
+
+    Scale shape: tf is a map-side-partial (id, token) agg; df
+    aggregates the ALREADY-reduced tf table (never the raw token
+    stream); the attach join and the per-doc row_number window are
+    token- and id-keyed respectively — window state is one doc's
+    vocabulary, never global.
+    """
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df_tbl, "token").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def source_quality_rollup(

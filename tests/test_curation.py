@@ -50,3 +50,29 @@ def test_vocab_stats_counts_and_cutoff(spark):
         ("the", 1, 3),
         ("and", 1, 2),
     ]
+
+
+def test_doc_keyterms_ranks_distinctive_tokens(spark):
+    """Tokens unique to a doc outrank corpus-wide ones; tf breaks the
+    df tie; rank caps at k."""
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare rare unique"),
+            (1, "common rare other"),
+            (2, "common filler words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curation.doc_keyterms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append((r.rank, r.token, r.score))
+    for v in by_doc.values():
+        v.sort()
+    # doc 0: unique (1/1) and rare (2/2 -> 1.0) tie at 1.0 -> token ASC
+    assert [t for _, t, _ in by_doc[0]] == ["rare", "unique"]
+    assert [s for _, _, s in by_doc[0]] == [1.0, 1.0]
+    # doc 1: other (1/1) beats rare (1/2) beats common (1/3)
+    assert [t for _, t, _ in by_doc[1]] == ["other", "rare"]
+    # every doc emits at most k rows
+    assert all(len(v) == 2 for v in by_doc.values())
