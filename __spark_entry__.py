@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 61 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 62 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -177,6 +177,19 @@ RECRAWL_SQL = """
 SELECT 'https://host' || ((d.doc_id % 101) % 7) || '.example/page/' || (d.doc_id % 101) AS url_norm,
   timestamp '2025-01-01 00:00:00' + (d.doc_id * interval '1' second) AS warc_ts,
   md5('v' || (d.doc_id % 303)) AS content_md5
+FROM documents d
+""".strip()
+
+# PII-injected corpus for the redaction gate: every doc_id % 4 class
+# appends one known PII shape to the stored text (shared SQL — the
+# oracle re-synthesizes the identical strings)
+PII_SYNTH_SQL = """
+SELECT d.doc_id,
+  d.text || CASE d.doc_id % 4
+    WHEN 0 THEN ' contact user' || d.doc_id || '@example.com now'
+    WHEN 1 THEN ' call +1 (555) 123-' || (1000 + d.doc_id % 9000) || ' today'
+    WHEN 2 THEN ' server 10.0.' || (d.doc_id % 256) || '.7 logs'
+    ELSE '' END AS text
 FROM documents d
 """.strip()
 
@@ -1020,6 +1033,22 @@ def q_corpus_refine(spark, sf_dir):
     )
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (textstats.redact_pii) over the PII-injected
+    corpus: sequential email → ipv4 → phone scrub with per-kind
+    counts; clean text crosses the gate as md5. Patterns avoid the
+    \\s / \\b corners where Java regex and RE2 diverge."""
+    docs = _synth(spark, sf_dir, PII_SYNTH_SQL)
+    r = textstats.redact_pii(docs)
+    return r.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def q_doc_keyterms(spark, sf_dir):
     """Per-doc distinctive terms (curation.doc_keyterms): top-3 tokens
     by tf/df — the rational tf-idf rank-equivalent (integer division
@@ -1256,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_rollup": q_source_quality_rollup,
         "vocab_stats": q_vocab_stats,
         "doc_keyterms": q_doc_keyterms,
+        "redact_pii": q_redact_pii,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -2116,6 +2146,30 @@ SELECT token,
   CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM td GROUP BY token
 ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
+        # PII redaction: identical rule sequence, each count taken on
+        # the text state the previous rules produced
+        "redact_pii": f"""
+WITH p AS ({PII_SYNTH_SQL}),
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{textstats.PII_RULES[0][1]}')) AS BIGINT) AS n_email,
+    regexp_replace(text, '{textstats.PII_RULES[0][1]}', '<EMAIL>', 'g') AS t1
+  FROM p
+),
+s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t1, '{textstats.PII_RULES[1][1]}')) AS BIGINT) AS n_ipv4,
+    regexp_replace(t1, '{textstats.PII_RULES[1][1]}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    CAST(len(regexp_extract_all(t2, '{textstats.PII_RULES[2][1]}')) AS BIGINT) AS n_phone,
+    regexp_replace(t2, '{textstats.PII_RULES[2][1]}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(t3) AS clean_md5 FROM s3
 """,
         # per-doc distinctive terms: same tf / df-over-tf / row_number
         # pipeline; score = tf/df is integer division, engine-identical

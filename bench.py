@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "source_quality_rollup",
     "vocab_stats",
     "doc_keyterms",
+    "redact_pii",
     "fingerprint",
     "events_rollup",
 ]

@@ -170,3 +170,42 @@ def quality_filter(df, id_col: str = "doc_id", text_col: str = "text"):
         keep.alias("keep"),
         reason.alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene: scrub contact info before the
+# corpus ships to a tokenizer)
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied IN ORDER — emails first so the
+# ip/phone digit patterns never see an address's local part. Patterns
+# deliberately avoid \s and \b subtleties that differ between Java
+# regex (Spark) and RE2 (DuckDB): explicit classes only.
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Scrub emails, IPv4 addresses and phone-shaped digit runs from
+    the text, replacing each with a typed placeholder token, and count
+    what was removed. Rules apply sequentially (each counts against
+    the text state the PREVIOUS rules produced — the oracle defines
+    the identical sequence), so e.g. an already-redacted email can't
+    double-count as a phone.
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, clean_text).
+
+    Map-only Catalyst regexp_replace/regexp_count — no UDF, no
+    shuffle; at 100 TB this rides the same scan as the quality pass.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        F.col(id_col).alias("doc_id"), *counts, cur.alias("clean_text")
+    )

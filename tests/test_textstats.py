@@ -86,3 +86,35 @@ def test_quality_filter_empty_text(spark):
     r = T.quality_filter(_qdocs(spark, [""])).collect()[0]
     assert r.n_words == 0 and not r.keep and r.reason == "min_words"
     assert r.distinct_ratio == 0.0 and r.mean_wl == 0.0
+
+
+def test_redact_pii_sequence_and_counts(spark):
+    """Sequential scrub: placeholders never re-match later rules, and
+    each kind counts exactly its occurrences."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@my-host.org and d@e.io please"),
+            (1, "server 192.168.0.1 and 10.0.0.7 up"),
+            (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+            (3, "clean text only"),
+            (4, "x@y.com at 10.0.0.1 tel +44 123456789 mix"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (got[0].n_email, got[0].clean_text) == (
+        2,
+        "mail <EMAIL> and <EMAIL> please",
+    )
+    assert (got[1].n_ipv4, got[1].clean_text) == (
+        2,
+        "server <IP> and <IP> up",
+    )
+    assert got[2].n_phone == 2
+    assert got[2].clean_text == "call <PHONE> or <PHONE> now"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+    assert got[4].clean_text == "<EMAIL> at <IP> tel <PHONE> mix"
