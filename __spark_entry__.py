@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 62 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 63 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -893,6 +893,56 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(docs, "doc_id", "text", ["source", "lbucket"], 0.5)
 
 
+LSH_RECALL_CONFIGS = (
+    # (label, k, rows_per_band, max_bucket_size)
+    ("k8_b2r4_cap64", 8, 4, 64),       # the production default
+    ("k16_b8r2_cap64", 16, 2, 64),     # more bands, same cap
+    ("k16_b8r2_cap256", 16, 2, 256),   # cap dial
+    ("k16_b8r2_cap1000", 16, 2, 1000),
+)
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Recall of banded MinHash-LSH candidate pairs against the
+    exact-Jaccard >= 0.5 truth set — the dedup recall/cost dial
+    pinned with numbers (ann_recall's twin for the text-dedup
+    family). Two dials: banding (k, rows/band) and the degenerate-
+    bucket cap. On this fixture the CAP dominates — the synthetic
+    corpus is pairwise-dense (small shared vocabulary keeps every
+    band bucket huge), so cap 64 -> ~0.17 recall while cap 1000 ->
+    ~0.99 at identical banding (sf0.01; minhash row agreement itself
+    measured == J, so the loss is purely truncation). All set math is
+    engine-side joins + counts."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "lbucket", F.floor(F.col("n_chars") / F.lit(64)).cast("int")
+    )
+    truth = dedup.jaccard_pairs(
+        docs, "doc_id", "text", ["source", "lbucket"], 0.5
+    ).select("id_a", "id_b")
+    total = truth.agg(F.count("*").cast("int").alias("total"))
+    outs = []
+    for name, k, rpb, cap in LSH_RECALL_CONFIGS:
+        sig = dedup.minhash_signatures(docs, "doc_id", "text", k=k)
+        pairs = dedup.lsh_dup_pairs(
+            sig, k=k, rows_per_band=rpb, max_bucket_size=cap
+        ).select("id_a", "id_b")
+        hits = truth.join(pairs, ["id_a", "id_b"]).agg(
+            F.count("*").cast("int").alias("hits")
+        )
+        outs.append(
+            hits.crossJoin(F.broadcast(total)).select(
+                F.lit(name).alias("config"),
+                "hits",
+                "total",
+                F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -1267,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "lsh_recall": q_lsh_recall,
         "embedding_topk": q_embedding_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "ann_topk_multiprobe": q_ann_topk_multiprobe,
@@ -1365,22 +1416,30 @@ def _mix_rate_case(col: str) -> str:
     return f"CASE {col} {whens} ELSE {sampling.DEFAULT_PERMILLE} END"
 
 
-# shared between the lsh_dup_pairs gate and the dedup_clusters oracle
-# (clusters = transitive closure over EXACTLY this pair set)
-def _lsh_pairs_sql() -> str:
+# shared between the lsh_dup_pairs gate, the dedup_clusters oracle
+# (clusters = transitive closure over EXACTLY this pair set) and the
+# lsh_recall configs
+def _lsh_pairs_sql(k: int = 8, rows_per_band: int = 4, cap: int = 64) -> str:
+    n_bands = k // rows_per_band
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {b} AS band, "
+        + " || '|' || ".join(
+            f"h{b * rows_per_band + i}" for i in range(rows_per_band)
+        )
+        + " AS bkey FROM sig"
+        for b in range(n_bands)
+    )
     return f"""
-WITH sig AS ({_minhash_select(8)}),
+WITH sig AS ({_minhash_select(k)}),
 banded AS (
-  SELECT id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS bkey FROM sig
-  UNION ALL
-  SELECT id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS bkey FROM sig
+  {banded}
 ),
 capped AS (
   SELECT id, band, bkey FROM (
     SELECT id, band, bkey,
            row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn
     FROM banded
-  ) WHERE rn <= 64
+  ) WHERE rn <= {cap}
 )
 SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
 FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
@@ -1556,6 +1615,27 @@ SELECT d.doc_id, mix.stratum,
   mix.weight
 FROM documents d
 JOIN qf USING (doc_id) JOIN cl USING (doc_id) JOIN mix USING (doc_id)
+""".strip()
+    jacc_sql = """
+WITH base AS (
+  SELECT doc_id AS id, text, source, CAST(floor(n_chars / 64.0) AS INT) AS lbucket FROM documents
+),
+toks AS (
+  SELECT DISTINCT id, source, lbucket,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM base
+),
+toks2 AS (SELECT * FROM toks WHERE w <> ''),
+sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks2 a JOIN toks2 b
+    ON a.w = b.w AND a.source = b.source AND a.lbucket = b.lbucket AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
 """.strip()
     out = {
         "url_normalize_compat": f"""
@@ -1928,27 +2008,27 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
         # large-star/small-star (which never materializes a closure)
         "dedup_clusters": clusters_sql,
         "simhash": _simhash_sql(60),
-        "jaccard_pairs": """
-WITH base AS (
-  SELECT doc_id AS id, text, source, CAST(floor(n_chars / 64.0) AS INT) AS lbucket FROM documents
-),
-toks AS (
-  SELECT DISTINCT id, source, lbucket,
-         unnest(string_split_regex(lower(text), '\\s+')) AS w
-  FROM base
-),
-toks2 AS (SELECT * FROM toks WHERE w <> ''),
-sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM toks2 a JOIN toks2 b
-    ON a.w = b.w AND a.source = b.source AND a.lbucket = b.lbucket AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
-""",
+        "jaccard_pairs": jacc_sql,
+        # recall of banded MinHash-LSH vs the exact-Jaccard truth set,
+        # across the banding and bucket-cap dials — one l/h CTE pair
+        # per LSH_RECALL_CONFIGS entry (same tuples drive the impl)
+        "lsh_recall": f"""
+WITH truth AS (SELECT id_a, id_b FROM ({jacc_sql})),
+t AS (SELECT CAST(count(*) AS INT) AS total FROM truth),
+"""
+        + ",\n".join(
+            f"l{i} AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(k, rpb, cap)})),\n"
+            f"h{i} AS (SELECT CAST(count(*) AS INT) AS hits "
+            f"FROM truth JOIN l{i} USING (id_a, id_b))"
+            for i, (_, k, rpb, cap) in enumerate(LSH_RECALL_CONFIGS)
+        )
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS config, h{i}.hits, t.total,\n"
+            f"  round(CAST(h{i}.hits AS DOUBLE) / t.total, 6) AS recall "
+            f"FROM h{i}, t"
+            for i, (name, _, _, _) in enumerate(LSH_RECALL_CONFIGS)
+        ),
         "embedding_topk": """
 SELECT e.vec_id,
   round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),

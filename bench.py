@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "ngram_span_removal",
     "minhash_signatures",
     "lsh_dup_pairs",
+    "lsh_recall",
     "dedup_clusters",
     "simhash",
     "embedding_topk",

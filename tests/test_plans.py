@@ -94,14 +94,15 @@ def test_no_single_partition_exchange(plans):
 
     Exemption: scalar aggregates. Catalyst's runtime Bloom-filter join
     optimization plans a scalar subquery whose final bloom_filter_agg
-    sits on an Exchange SinglePartition, and recrawl_schedule's batch
-    clock (max ts over the table) finalizes a partial_max the same way
-    — both move one pre-aggregated row per partition, not data rows,
-    i.e. the partial→final pattern this test exists to protect.
+    sits on an Exchange SinglePartition; recrawl_schedule's batch
+    clock (max ts over the table) finalizes a partial_max the same
+    way; and the recall gates' hits/total rows finalize a
+    partial_count. All move one pre-aggregated row per partition, not
+    data rows — the partial→final pattern this test exists to protect.
     """
     bloom_final = re.compile(
         r"Exchange SinglePartition[^\n]*\n[^\n]*"
-        r"partial_(?:bloom_filter_agg|max\()"
+        r"partial_(?:bloom_filter_agg|max\(|count\()"
     )
     offenders = {
         n for n, p in plans.items()
