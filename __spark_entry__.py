@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 63 entries, all with
+SURVEY.md §2 (+ the training-data operators) — 64 entries, all with
 DuckDB oracles. Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
@@ -40,6 +40,9 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
     politeness,
     sampling,
     similarity,
+)
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+    PREFIX_PATTERN as _TRAP_PREFIX_PATTERN,
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
     CrawlConfig,
@@ -190,6 +193,27 @@ SELECT d.doc_id,
     WHEN 1 THEN ' call +1 (555) 123-' || (1000 + d.doc_id % 9000) || ' today'
     WHEN 2 THEN ' server 10.0.' || (d.doc_id % 256) || '.7 logs'
     ELSE '' END AS text
+FROM documents d
+""".strip()
+
+# trap-shaped frontier for the crawl-trap gate: two hosts concentrate
+# every url under one prefix (calendar / faceted search), one spreads
+# across sections, one mixes — shared SQL, oracle re-synthesizes it
+TRAP_SYNTH_SQL = """
+SELECT
+  CASE d.doc_id % 5
+    WHEN 0 THEN 'https://cal.example/cal/view?date=2025-' || d.doc_id
+    WHEN 1 THEN 'https://facet.example/shop/list?page=' || (d.doc_id % 7) || '&sort=' || d.doc_id
+    WHEN 2 THEN 'https://ok.example/sec' || (d.doc_id % 17) || '/page/' || d.doc_id
+    WHEN 3 THEN 'https://ok.example/a' || (d.doc_id % 11) || '/b' || (d.doc_id % 13)
+    ELSE 'https://mixed.example/' ||
+      CASE WHEN d.doc_id % 3 = 0 THEN 'cal/day?d=' || d.doc_id
+           ELSE 'art/' || d.doc_id END
+  END AS url_norm,
+  CASE d.doc_id % 5
+    WHEN 0 THEN 'cal.example' WHEN 1 THEN 'facet.example'
+    WHEN 2 THEN 'ok.example' WHEN 3 THEN 'ok.example'
+    ELSE 'mixed.example' END AS host
 FROM documents d
 """.strip()
 
@@ -1083,6 +1107,20 @@ def q_corpus_refine(spark, sf_dir):
     )
 
 
+def q_host_trap_stats(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.py): per-host URL-shape
+    stats over a frontier where two hosts concentrate everything
+    under one prefix (calendar / faceted search) — those flag
+    suspect; the section-spread and mixed hosts don't. Integer-count
+    rates keep the flag engine-independent."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        traps,
+    )
+
+    u = _synth(spark, sf_dir, TRAP_SYNTH_SQL)
+    return traps.host_trap_stats(u)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction (textstats.redact_pii) over the PII-injected
     corpus: sequential email → ipv4 → phone scrub with per-kind
@@ -1337,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
+        "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -2226,6 +2265,31 @@ SELECT token,
   CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM td GROUP BY token
 ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
+        # crawl-trap stats: same prefix regex, integer-count rates,
+        # identical threshold booleans
+        "host_trap_stats": f"""
+WITH u AS ({TRAP_SYNTH_SQL}),
+pp AS (
+  SELECT host,
+    regexp_extract(url_norm, '{_TRAP_PREFIX_PATTERN}', 1) AS prefix,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN contains(url_norm, '?') THEN 1 ELSE 0 END) AS BIGINT) AS nq
+  FROM u GROUP BY host, prefix
+),
+ph AS (
+  SELECT host,
+    CAST(sum(n) AS BIGINT) AS n_urls,
+    CAST(count(*) AS BIGINT) AS n_prefixes,
+    CAST(max(n) AS BIGINT) AS max_prefix_urls,
+    CAST(sum(nq) AS BIGINT) AS n_query
+  FROM pp GROUP BY host
+)
+SELECT host, n_urls, n_prefixes, max_prefix_urls,
+  max_prefix_urls / n_urls AS trap_share,
+  n_query / n_urls AS query_frac,
+  (n_urls >= 20 AND (max_prefix_urls / n_urls >= 0.5 OR n_query / n_urls >= 0.5)) AS suspect
+FROM ph
 """,
         # PII redaction: identical rule sequence, each count taken on
         # the text state the previous rules produced

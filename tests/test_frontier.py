@@ -156,3 +156,29 @@ def test_checkpoint_storage_bounded(spark):
     time.sleep(2)  # non-blocking cleanup drains
     n_blocks = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert n_blocks < 60, f"cached RDD state grew unbounded: {n_blocks}"
+
+
+def test_host_trap_stats_flags_concentrated_hosts(spark):
+    """Calendar-trap host (one prefix) and query-farm host flag
+    suspect; a spread host with the same url count doesn't; small
+    hosts never flag regardless of shape."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        host_trap_stats,
+    )
+
+    rows = (
+        [(f"https://trap.ex/cal/view?d={i}", "trap.ex") for i in range(30)]
+        + [(f"https://ok.ex/s{i % 10}/p/{i}", "ok.ex") for i in range(30)]
+        + [(f"https://tiny.ex/cal/day?d={i}", "tiny.ex") for i in range(5)]
+    )
+    out = {
+        r.host: r
+        for r in host_trap_stats(
+            spark.createDataFrame(rows, "url_norm string, host string")
+        ).collect()
+    }
+    trap, ok, tiny = out["trap.ex"], out["ok.ex"], out["tiny.ex"]
+    assert trap.suspect and trap.trap_share == 1.0 and trap.query_frac == 1.0
+    assert trap.n_prefixes == 1 and trap.max_prefix_urls == 30
+    assert not ok.suspect and ok.n_prefixes == 10 and ok.trap_share == 0.1
+    assert not tiny.suspect  # shape is trappy but below min_urls
