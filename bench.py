@@ -218,12 +218,22 @@ def run_wave(spark, sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
     pages = _replicate(base, ["url", "html"], scale_mult)
     seeds = _replicate(spark.sql(pagesrc.seeds_sql()), ["url"], scale_mult)
     cache_replicas = int(os.environ.get("SPARK_GRAFT_CACHE_REPLICAS", "1"))
+    # granularity dial for the barrier-straggler experiment (BENCH.md
+    # §3a): smaller cached partitions = finer task chains per superstep
+    # = smaller max-over-cores overhang at each barrier
+    part_target = int(os.environ.get("SPARK_GRAFT_PART_TARGET_MB", "64"))
+    part_cap = int(os.environ.get("SPARK_GRAFT_PART_CAP_MULT", "4"))
     t0 = time.time()
     res = crawl(
         spark,
         pages,
         seeds,
-        CrawlConfig(force_path="slow", cache_replicas=cache_replicas),
+        CrawlConfig(
+            force_path="slow",
+            cache_replicas=cache_replicas,
+            partition_target_mb=part_target,
+            partition_cap_mult=part_cap,
+        ),
     )
     wall = time.time() - t0
     fetched = sum(m["fetched"] for m in res.metrics)

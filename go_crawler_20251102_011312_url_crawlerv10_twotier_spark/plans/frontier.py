@@ -158,6 +158,18 @@ class CrawlConfig:
     # seed set, pass explicit sizing for the EXPECTED final size.
     bloom_shards: int | None = None
     bloom_bits_per_shard: int | None = None
+    # corpus cache granularity dial: target bytes per prepared-corpus
+    # partition and the partition-count cap as a multiple of total
+    # cores. Defaults are the measured local-mode sweet spot (64 MB,
+    # 4x — see _prepare_pages). On barrier-synchronized superstep
+    # runs the cap doubles as the STRAGGLER dial: each superstep
+    # waits for the slowest core's task chain, and with K tasks per
+    # core per stage the expected overhang of that max shrinks ~1/K —
+    # so multi-executor waves (where the barrier tail, not per-task
+    # overhead, binds — BENCH.md §3a) can raise the cap / lower the
+    # target to trade per-task overhead for balance.
+    partition_target_mb: int = 64
+    partition_cap_mult: int = 4
     # retain only the last K committed snapshots (None = retain all):
     # after each commit the loop runs the store's expire_snapshots —
     # the Iceberg table-maintenance analogue — so the checkpoint
@@ -183,6 +195,8 @@ def _prepare_pages(
     html_col: str,
     dedupe: bool = True,
     pre_keyed: bool = False,
+    target_mb: int = 64,
+    cap_mult: int = 4,
 ) -> DataFrame:
     """Key the corpus by the compat-normalized URL and pre-truncate
     bodies to the 5 MB cap (a scan-side projection, done once).
@@ -232,7 +246,7 @@ def _prepare_pages(
         )
     except Exception:  # stats unavailable (e.g. local relation edge) — cores rule
         est_bytes = 0
-    n = min(max(par, est_bytes // (64 << 20) + 1), 4 * par)
+    n = min(max(par, est_bytes // (target_mb << 20) + 1), cap_mult * par)
     return proj.repartition(n, "url_norm").dropDuplicates(["url_norm"])
 
 
@@ -294,6 +308,8 @@ def crawl(
         html_col,
         dedupe=cfg.dedupe_corpus,
         pre_keyed=cfg.corpus_pre_keyed,
+        target_mb=cfg.partition_target_mb,
+        cap_mult=cfg.partition_cap_mult,
     )
     if cfg.cache_corpus:
         level = (
