@@ -107,6 +107,18 @@ SELECT 'https://host' || (d.doc_id % 20) || '.example'
 FROM documents d
 """.strip()
 
+# robots bodies with Crawl-delay for the politeness integration: hosts
+# h%3<>2 declare delay h%5+1 seconds in the '*' group; a trailing
+# non-star group with delay 99 must be IGNORED (group handling) and a
+# comment line must not parse. Budgets are closed-form in the oracle.
+CRAWLDELAY_ROBOTS_SQL = f"""
+SELECT 'https://host' || h || '.example/robots.txt' AS url_norm,
+       'User-agent: *' || chr(10) || 'Crawl-delay: ' || (h % 5 + 1) || chr(10)
+       || '# maintenance window pending' || chr(10)
+       || 'User-agent: megabot' || chr(10) || 'Crawl-delay: 99' || chr(10) AS html
+FROM (SELECT DISTINCT {pagesrc._h('doc_id')} AS h FROM documents) WHERE h % 3 <> 2
+""".strip()
+
 # download-state fixture (S6/J2/J3/C5): doc URLs discovered across BFS
 # iterations. doc_id%13=0 rows carry an uppercase path segment (the
 # fetch probe normalizes, the J2 key stays raw); doc_id%2=0 rows are
@@ -783,6 +795,28 @@ def q_politeness_hostrank(spark, sf_dir):
     return scheduled.select("url_norm", "host", "depth")
 
 
+def q_politeness_crawl_delay(spark, sf_dir):
+    """robots Crawl-delay driving the per-host politeness budget
+    (operators/robots.host_crawl_delays + delay_budgets feeding
+    politeness.schedule(host_budgets=...)): a host asking for one
+    request per d seconds gets max(1, floor(window/d)) slots per
+    scheduling window; hosts without a delay keep the default budget.
+    The oracle re-derives budgets from the KNOWN closed-form delay
+    structure — the Spark side actually parses robots bodies."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        delay_budgets,
+        host_crawl_delays,
+    )
+
+    frontier = _synth(spark, sf_dir, FRONTIER_SYNTH_SQL)
+    robots_corpus = _synth(spark, sf_dir, CRAWLDELAY_ROBOTS_SQL)
+    budgets = delay_budgets(host_crawl_delays(robots_corpus), window_s=10.0)
+    scheduled, _ = politeness.schedule(
+        frontier, budget_per_host=7, host_budgets=budgets
+    )
+    return scheduled.select("url_norm", "host", "depth")
+
+
 def q_host_inlink_ranks(spark, sf_dir):
     """Host-rank PRODUCER (operators/ranks.py): in-link count per
     target host from E1-extracted links over the clean corpus — the
@@ -1343,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
+        "politeness_crawl_delay": q_politeness_crawl_delay,
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
         "metrics_rollup": q_metrics_rollup,
@@ -1889,6 +1924,18 @@ r AS (SELECT url_norm, host, depth,
         row_number() OVER (PARTITION BY host ORDER BY priority DESC, depth, url_norm) AS rn
       FROM f)
 SELECT url_norm, host, depth FROM r WHERE rn <= 5
+""",
+        "politeness_crawl_delay": f"""
+WITH f AS ({FRONTIER_SYNTH_SQL}),
+d AS (SELECT DISTINCT {pagesrc._h('doc_id')} AS h FROM documents),
+b AS (SELECT 'host' || h || '.example' AS host,
+        greatest(1, CAST(floor(10.0 / (h % 5 + 1)) AS INT)) AS budget
+      FROM d WHERE h % 3 <> 2),
+r AS (SELECT f.url_norm, f.host, f.depth,
+        row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.depth, f.url_norm) AS rn,
+        coalesce(b.budget, 7) AS budget
+      FROM f LEFT JOIN b ON f.host = b.host)
+SELECT url_norm, host, depth FROM r WHERE rn <= budget
 """,
         "politeness_hostrank": f"""
 WITH f AS ({FRONTIER_SYNTH_SQL}),

@@ -43,6 +43,7 @@ def schedule(
     n_salts: int = DEFAULT_SALTS,
     host_ranks: DataFrame | None = None,
     global_budget: int | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``frontier`` into (scheduled, deferred) under the per-host
     budget. ``frontier`` needs columns: host, url_norm, depth, and
@@ -60,9 +61,9 @@ def schedule(
     engine's other top-K paths. Ties are impossible: url_norm is unique
     within a frontier, so the cut is deterministic.
     """
-    if budget_per_host is None and global_budget is None:
+    if budget_per_host is None and global_budget is None and host_budgets is None:
         return frontier, frontier.limit(0)
-    if budget_per_host is None:
+    if budget_per_host is None and host_budgets is None:
         scheduled = _global_trim(frontier, host_ranks, global_budget)
         deferred = frontier.join(
             scheduled.select("url_norm"), "url_norm", "left_anti"
@@ -72,24 +73,48 @@ def schedule(
     has_priority = "priority" in frontier.columns
     order = _order_cols(has_priority)
 
+    # per-host budget override (e.g. robots Crawl-delay converted via
+    # robots.delay_budgets): hosts in the table use their own budget,
+    # the rest fall back to budget_per_host (None = unbounded). The
+    # table is one small row per host — broadcast, no frontier shuffle.
+    orig_frontier = frontier
+    if host_budgets is not None:
+        default_b = (
+            F.lit(int(budget_per_host))
+            if budget_per_host is not None
+            else F.lit(None).cast("int")
+        )
+        frontier = frontier.join(
+            F.broadcast(
+                host_budgets.select("host", F.col("budget").alias("_hb"))
+            ),
+            "host",
+            "left",
+        ).withColumn("_budget", F.coalesce(F.col("_hb"), default_b)).drop("_hb")
+        keep = lambda rn: F.col("_budget").isNull() | (rn <= F.col("_budget"))  # noqa: E731
+    else:
+        keep = lambda rn: rn <= F.lit(int(budget_per_host))  # noqa: E731
+
     salted = frontier.withColumn(
         "_salt", F.pmod(F.xxhash64("url_norm"), F.lit(n_salts))
     )
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     phase1 = (
         salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= budget_per_host)
+        .filter(keep(F.col("_r1")))
         .drop("_r1")
     )
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = phase1.withColumn("_r2", F.row_number().over(w2)).drop("_salt")
-    scheduled = ranked.filter(F.col("_r2") <= budget_per_host).drop("_r2")
+    scheduled = ranked.filter(keep(F.col("_r2"))).drop("_r2")
+    if host_budgets is not None:
+        scheduled = scheduled.drop("_budget")
     if global_budget is not None:
         scheduled = _global_trim(scheduled, host_ranks, global_budget)
 
     # deferred = frontier minus scheduled (anti-join on the dedup key;
     # url_norm is unique within a frontier by construction)
-    deferred = frontier.join(
+    deferred = orig_frontier.join(
         scheduled.select("url_norm"), "url_norm", "left_anti"
     )
     return scheduled, deferred

@@ -73,6 +73,45 @@ def parse_robots_py(text: str | bytes | None) -> list[tuple[bool, str]]:
     return rules
 
 
+def parse_crawl_delay_py(text: str | bytes | None) -> float | None:
+    """``Crawl-delay`` (seconds) for the ``*`` agent group, or None.
+
+    Not part of RFC 9309 but honored by most large crawlers; the last
+    valid value in a ``*`` group wins (mirrors parse_robots_py's group
+    handling). Non-numeric and negative values are ignored.
+    """
+    if text is None:
+        return None
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="replace")
+    delay: float | None = None
+    in_star_group = False
+    seen_agent_line = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_agent_line:
+                in_star_group = in_star_group or val == "*"
+            else:
+                in_star_group = val == "*"
+            seen_agent_line = True
+        else:
+            seen_agent_line = False
+            if key == "crawl-delay" and in_star_group:
+                try:
+                    v = float(val)
+                except ValueError:
+                    continue
+                if v >= 0:
+                    delay = v
+    return delay
+
+
 def _pattern_to_regex(pattern: str) -> str:
     """RFC 9309 pattern -> anchored regex: '*' = any run, '$' = end."""
     anchored = pattern.endswith("$")
@@ -136,6 +175,54 @@ def robots_rules(
     return robots.select(
         host.alias("host"),
         parse_robots(F.col(body_col).cast("string")).alias("rules"),
+    )
+
+
+def host_crawl_delays(
+    corpus: DataFrame, url_col: str = "url_norm", body_col: str = "html"
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` table from the corpus' /robots.txt rows.
+
+    Output: (host, crawl_delay double) — hosts whose robots.txt sets no
+    delay are omitted. Tiny (≤ one row per host) — broadcast it.
+    """
+
+    @F.pandas_udf("double")
+    def delay_of(body: pd.Series) -> pd.Series:
+        return pd.Series(
+            [parse_crawl_delay_py(b) for b in body], dtype="float64"
+        )
+
+    robots = corpus.filter(F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$"))
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    return (
+        robots.select(
+            host.alias("host"),
+            delay_of(F.col(body_col).cast("string")).alias("crawl_delay"),
+        )
+        .filter(F.col("crawl_delay").isNotNull())
+    )
+
+
+def delay_budgets(
+    delays: DataFrame, window_s: float, cap: int | None = None
+) -> DataFrame:
+    """Convert per-host crawl delays into per-iteration politeness
+    budgets: one frontier iteration models a ``window_s``-second
+    scheduling window, so a host asking for one request per
+    ``crawl_delay`` seconds gets ``max(1, floor(window_s/delay))``
+    slots in it (delay 0 = uncapped ⇒ NULL budget row dropped;
+    ``cap`` bounds hosts with tiny delays).
+
+    Output: (host, budget int) — feed to
+    ``politeness.schedule(host_budgets=...)``.
+    """
+    b = F.floor(F.lit(float(window_s)) / F.col("crawl_delay"))
+    if cap is not None:
+        b = F.least(b, F.lit(int(cap)))
+    return (
+        delays.filter(F.col("crawl_delay") > 0)
+        .select("host", F.greatest(b, F.lit(1)).cast("int").alias("budget"))
     )
 
 

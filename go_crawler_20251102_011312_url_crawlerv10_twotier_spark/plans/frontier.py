@@ -138,6 +138,13 @@ class CrawlConfig:
     # crawler_twotier.go:56), so equivalence runs must too; the
     # north_rule requires the capability, so production runs set True.
     respect_robots: bool = False
+    # robots Crawl-delay → per-host budgets (only with respect_robots):
+    # one frontier iteration models a window of this many seconds, so a
+    # host with Crawl-delay d gets max(1, floor(window/d)) slots per
+    # iteration (operators/robots.delay_budgets). None = ignore delays.
+    crawl_delay_window_s: float | None = None
+    # bound for hosts declaring tiny delays (None = budget_per_host-free)
+    crawl_delay_budget_cap: int | None = None
     # route the J1 seen probe through the sharded-Bloom prefilter
     # (north_rule O4): definitely-new candidates skip the anti-join
     # shuffle entirely; maybes (incl. false positives) fall through to
@@ -325,10 +332,25 @@ def crawl(
         corpus.count()
 
     robots_df = None
+    host_budgets = None
     if cfg.respect_robots:
-        from ..operators.robots import filter_allowed, robots_rules
+        from ..operators.robots import (
+            delay_budgets,
+            filter_allowed,
+            host_crawl_delays,
+            robots_rules,
+        )
 
         robots_df = robots_rules(corpus).localCheckpoint(eager=True)
+        if cfg.crawl_delay_window_s is not None:
+            # robots Crawl-delay → per-host politeness budget for each
+            # scheduling window (operators/robots.delay_budgets); hosts
+            # without a delay keep cfg.budget_per_host
+            host_budgets = delay_budgets(
+                host_crawl_delays(corpus),
+                cfg.crawl_delay_window_s,
+                cap=cfg.crawl_delay_budget_cap,
+            ).localCheckpoint(eager=True)
 
     frontier = _seed_frontier(seeds)
     if robots_df is not None:
@@ -377,7 +399,11 @@ def crawl(
     ncoal = max(4, spark.sparkContext.defaultParallelism)
     while it < cfg.max_iterations:
         t0 = time.time()
-        if cfg.budget_per_host is None and cfg.global_budget is None:
+        if (
+            cfg.budget_per_host is None
+            and cfg.global_budget is None
+            and host_budgets is None
+        ):
             # no politeness budget: everything schedules, nothing defers —
             # skip the window entirely (and its count action)
             scheduled, deferred = frontier, None
@@ -389,6 +415,7 @@ def crawl(
                 cfg.politeness_salts,
                 host_ranks=host_ranks,
                 global_budget=cfg.global_budget,
+                host_budgets=host_budgets,
             )
             n_sched = scheduled.count()
         if n_sched == 0:
@@ -621,7 +648,12 @@ def crawl(
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
 
-        if n_new == 0 and cfg.budget_per_host is None and cfg.global_budget is None:
+        if (
+            n_new == 0
+            and cfg.budget_per_host is None
+            and cfg.global_budget is None
+            and host_budgets is None
+        ):
             break  # frontier exhausted (deferred is empty without budgets)
 
     # mark still-pending downloads (queue drain state, C6)

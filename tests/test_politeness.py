@@ -63,6 +63,47 @@ def test_priority_first(spark):
         assert got_prio == min(n_prio, 3)
 
 
+def test_host_budgets_override_default(spark):
+    f = _frontier(spark, n=200, hosts=4)  # 50 urls/host
+    budgets = spark.createDataFrame(
+        [("h0.x", 2), ("h1.x", 9)], "host string, budget int"
+    )
+    sched, deferred = schedule(f, budget_per_host=5, host_budgets=budgets)
+    per_host = {
+        r.host: r.cnt
+        for r in sched.groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_host == {"h0.x": 2, "h1.x": 9, "h2.x": 5, "h3.x": 5}
+    assert sched.count() + deferred.count() == f.count()
+    assert sched.join(deferred, "url_norm", "inner").count() == 0
+    # the cut picks each host's window-top rows, same order as the
+    # scalar-budget path
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(), F.col("url_norm").asc()
+    )
+    b = {"h0.x": 2, "h1.x": 9, "h2.x": 5, "h3.x": 5}
+    naive = (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.udf(lambda h: b[h], "int")("host"))
+        .drop("rn")
+    )
+    assert {r.url_norm for r in sched.collect()} == {
+        r.url_norm for r in naive.collect()
+    }
+
+
+def test_host_budgets_without_default_leaves_others_unbounded(spark):
+    f = _frontier(spark, n=120, hosts=3)  # 40 urls/host
+    budgets = spark.createDataFrame([("h1.x", 3)], "host string, budget int")
+    sched, deferred = schedule(f, budget_per_host=None, host_budgets=budgets)
+    per_host = {
+        r.host: r.cnt
+        for r in sched.groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_host == {"h0.x": 40, "h1.x": 3, "h2.x": 40}
+    assert deferred.count() == 37
+
+
 def test_priority_order_sorts_within_partitions(spark):
     f = _frontier(spark, n=50, hosts=2)
     out = priority_order(f)

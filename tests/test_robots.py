@@ -2,7 +2,10 @@
 the reference itself ignores robots: crawler_twotier.go:56)."""
 
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+    delay_budgets,
     filter_allowed,
+    host_crawl_delays,
+    parse_crawl_delay_py,
     parse_robots_py,
     robots_allowed_py,
     robots_rules,
@@ -44,6 +47,29 @@ def test_verdict_longest_match_and_tie():
     assert not robots_allowed_py("/tmp/a.pdf", rules)  # wildcard + anchor
     assert robots_allowed_py("/tmp/a.pdfx", rules)  # $ anchored
     assert robots_allowed_py("/anything", [])  # no rules => allow
+
+
+def test_parse_crawl_delay():
+    assert parse_crawl_delay_py(ROBOTS) == 10.0  # inside the * group
+    assert parse_crawl_delay_py(None) is None
+    assert parse_crawl_delay_py("") is None
+    # delay in a non-* group is not ours
+    assert parse_crawl_delay_py("User-agent: bot\nCrawl-delay: 5\n") is None
+    # a later non-* group must not leak its delay into the * group
+    assert (
+        parse_crawl_delay_py(
+            "User-agent: *\nCrawl-delay: 2\nUser-agent: bot\nCrawl-delay: 9\n"
+        )
+        == 2.0
+    )
+    # last valid value in the * group wins
+    assert (
+        parse_crawl_delay_py("User-agent: *\nCrawl-delay: 2\nCrawl-delay: 4.5\n")
+        == 4.5
+    )
+    # junk and negatives ignored
+    assert parse_crawl_delay_py("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay_py("User-agent: *\nCrawl-delay: -3\n") is None
 
 
 def test_verdict_allow_wins_equal_length():
@@ -95,3 +121,69 @@ def test_crawl_respects_robots(spark):
     res2 = crawl(spark, pages, seeds, CrawlConfig())
     seen2 = {r.url_norm for r in res2.seen.collect()}
     assert "https://s.example/blocked/x" in seen2 and "https://s.example/leak" in seen2
+
+
+def _delay_site(spark):
+    """Two hosts cross-linking a fan of pages; slow.example asks for one
+    request per 5 s, fast.example declares no delay."""
+    fan = "".join(f'<a href="/p{i}">l</a>' for i in range(6))
+    rows = [
+        ("https://slow.example/robots.txt", "User-agent: *\nCrawl-delay: 5\n"),
+        (
+            "https://slow.example/",
+            f'<html><body>{fan}<a href="https://fast.example/">x</a></body></html>',
+        ),
+        ("https://fast.example/", f"<html><body>{fan}</body></html>"),
+    ] + [
+        (f"https://{h}.example/p{i}", "<html><body>leaf</body></html>")
+        for h in ("slow", "fast")
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_crawl_delay_extraction_and_budgets(spark):
+    corpus = _delay_site(spark).selectExpr("url as url_norm", "html")
+    delays = {r.host: r.crawl_delay for r in host_crawl_delays(corpus).collect()}
+    assert delays == {"slow.example": 5.0}
+    budgets = {
+        r.host: r.budget
+        for r in delay_budgets(host_crawl_delays(corpus), window_s=10.0).collect()
+    }
+    assert budgets == {"slow.example": 2}  # floor(10/5)
+    # cap and the >=1 floor
+    capped = {
+        r.host: r.budget
+        for r in delay_budgets(
+            host_crawl_delays(corpus), window_s=100.0, cap=7
+        ).collect()
+    }
+    assert capped == {"slow.example": 7}
+    tiny = {
+        r.host: r.budget
+        for r in delay_budgets(host_crawl_delays(corpus), window_s=1.0).collect()
+    }
+    assert tiny == {"slow.example": 1}
+
+
+def test_crawl_honors_crawl_delay_budgets(spark):
+    pages = _delay_site(spark)
+    seeds = spark.createDataFrame([("https://slow.example/", 0)], "url string, depth int")
+    throttled = crawl(
+        spark,
+        pages,
+        seeds,
+        CrawlConfig(respect_robots=True, crawl_delay_window_s=10.0),
+    )
+    free = crawl(spark, pages, seeds, CrawlConfig(respect_robots=True))
+    # deferral only delays discovery: the final url set is identical
+    assert {r.url_norm for r in throttled.seen.collect()} == {
+        r.url_norm for r in free.seen.collect()
+    }
+    # but the slow host is held to floor(10/5)=2 fetches per iteration
+    # (6 leaf pages / 2 ≥ 3 extra supersteps), so the throttled crawl
+    # needs strictly more iterations while fetching the same pages
+    assert throttled.iterations > free.iterations
+    assert sum(m["fetched"] for m in throttled.metrics) == sum(
+        m["fetched"] for m in free.metrics
+    )
