@@ -119,6 +119,36 @@ SELECT 'https://host' || h || '.example/robots.txt' AS url_norm,
 FROM (SELECT DISTINCT {pagesrc._h('doc_id')} AS h FROM documents) WHERE h % 3 <> 2
 """.strip()
 
+# sitemap corpus: h%4=0 hosts carry a urlset sitemap (3 entries, one
+# without lastmod, messy whitespace) PLUS a second sitemap repeating
+# sm/0 with a LATER lastmod (max-dedup coverage); h%4=2 hosts carry a
+# sitemapindex pointing at a child whose name does NOT match the
+# sitemap pattern (exercises the index-resolution join). Closed-form
+# entry structure — the oracle re-derives it without parsing XML.
+SITEMAP_CORPUS_SQL = f"""
+WITH hosts AS (SELECT DISTINCT {pagesrc._h('doc_id')} AS h FROM documents)
+SELECT 'https://host' || h || '.example/sitemap.xml' AS url_norm,
+  '<urlset>' || chr(10)
+  || ' <url><loc>https://host' || h || '.example/sm/0</loc><lastmod>2026-01-01</lastmod></url>' || chr(10)
+  || ' <url>' || chr(10) || '  <loc>  https://host' || h || '.example/sm/1 </loc>' || chr(10)
+  || '  <lastmod>2026-01-02</lastmod>' || chr(10) || ' </url>' || chr(10)
+  || ' <url><loc>https://host' || h || '.example/sm/2</loc></url>' || chr(10)
+  || '</urlset>' AS html
+FROM hosts WHERE h % 4 = 0
+UNION ALL
+SELECT 'https://host' || h || '.example/sitemap-extra.xml',
+  '<urlset><url><loc>https://host' || h || '.example/sm/0</loc><lastmod>2026-02-01</lastmod></url></urlset>'
+FROM hosts WHERE h % 4 = 0
+UNION ALL
+SELECT 'https://host' || h || '.example/sitemap.xml',
+  '<sitemapindex><sitemap><loc>https://host' || h || '.example/parts/a.xml</loc></sitemap></sitemapindex>'
+FROM hosts WHERE h % 4 = 2
+UNION ALL
+SELECT 'https://host' || h || '.example/parts/a.xml',
+  '<urlset><url><loc>https://host' || h || '.example/smx/0</loc></url><url><loc>https://host' || h || '.example/smx/1</loc></url></urlset>'
+FROM hosts WHERE h % 4 = 2
+""".strip()
+
 # download-state fixture (S6/J2/J3/C5): doc URLs discovered across BFS
 # iterations. doc_id%13=0 rows carry an uppercase path segment (the
 # fetch probe normalizes, the J2 key stays raw); doc_id%2=0 rows are
@@ -817,6 +847,20 @@ def q_politeness_crawl_delay(spark, sf_dir):
     return scheduled.select("url_norm", "host", "depth")
 
 
+def q_sitemap_seeds(spark, sf_dir):
+    """Sitemap ingestion (operators/sitemaps.py — engine-native; the
+    reference link-walks only): urlset entries + one resolved index
+    level, deduped on (host, loc) keeping max lastmod. Spark side does
+    real XML-shaped extraction (pure Catalyst regexp — zero Python);
+    the oracle re-derives the closed-form entry structure."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sitemaps import (
+        sitemap_seeds,
+    )
+
+    corpus = _synth(spark, sf_dir, SITEMAP_CORPUS_SQL)
+    return sitemap_seeds(corpus).select("host", "loc", "lastmod")
+
+
 def q_host_inlink_ranks(spark, sf_dir):
     """Host-rank PRODUCER (operators/ranks.py): in-link count per
     target host from E1-extracted links over the clean corpus — the
@@ -1378,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
         "politeness_crawl_delay": q_politeness_crawl_delay,
+        "sitemap_seeds": q_sitemap_seeds,
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
         "metrics_rollup": q_metrics_rollup,
@@ -1924,6 +1969,24 @@ r AS (SELECT url_norm, host, depth,
         row_number() OVER (PARTITION BY host ORDER BY priority DESC, depth, url_norm) AS rn
       FROM f)
 SELECT url_norm, host, depth FROM r WHERE rn <= 5
+""",
+        "sitemap_seeds": f"""
+WITH d AS (SELECT DISTINCT {pagesrc._h('doc_id')} AS h FROM documents),
+u AS (SELECT h, 0 AS k FROM d WHERE h % 4 = 0
+      UNION ALL SELECT h, 1 FROM d WHERE h % 4 = 0
+      UNION ALL SELECT h, 2 FROM d WHERE h % 4 = 0),
+x AS (SELECT h, 0 AS k FROM d WHERE h % 4 = 2
+      UNION ALL SELECT h, 1 FROM d WHERE h % 4 = 2)
+SELECT 'host' || h || '.example' AS host,
+       'https://host' || h || '.example/sm/' || k AS loc,
+       CASE WHEN k = 0 THEN '2026-02-01'
+            WHEN k = 1 THEN '2026-01-02' END AS lastmod
+FROM u
+UNION ALL
+SELECT 'host' || h || '.example',
+       'https://host' || h || '.example/smx/' || k,
+       NULL
+FROM x
 """,
         "politeness_crawl_delay": f"""
 WITH f AS ({FRONTIER_SYNTH_SQL}),

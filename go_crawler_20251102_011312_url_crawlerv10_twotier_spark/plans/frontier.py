@@ -138,6 +138,11 @@ class CrawlConfig:
     # crawler_twotier.go:56), so equivalence runs must too; the
     # north_rule requires the capability, so production runs set True.
     respect_robots: bool = False
+    # merge every URL the corpus' sitemap documents enumerate into the
+    # seed frontier at depth 0 (operators/sitemaps.sitemap_seeds, one
+    # index level resolved). Off by default: the reference discovers by
+    # link-walking only, and BFS-depth equivalence runs must too.
+    discover_sitemaps: bool = False
     # robots Crawl-delay → per-host budgets (only with respect_robots):
     # one frontier iteration models a window of this many seconds, so a
     # host with Crawl-delay d gets max(1, floor(window/d)) slots per
@@ -352,6 +357,14 @@ def crawl(
                 cap=cfg.crawl_delay_budget_cap,
             ).localCheckpoint(eager=True)
 
+    if cfg.discover_sitemaps:
+        from ..operators.sitemaps import sitemap_seeds as _sm_seeds
+
+        seeds = seeds.select("url", "depth").unionByName(
+            _sm_seeds(corpus).select(
+                F.col("loc").alias("url"), F.lit(0).alias("depth")
+            )
+        )
     frontier = _seed_frontier(seeds)
     if robots_df is not None:
         frontier = filter_allowed(frontier, robots_df)
