@@ -1231,6 +1231,20 @@ def q_doc_keyterms(spark, sf_dir):
     )
 
 
+def q_unigram_commonness(spark, sf_dir):
+    """CCNet-style LM filtering, exact-arithmetic twin
+    (curation.unigram_commonness): per-doc mean unigram probability
+    under the corpus' own token distribution + hapax rate. Integer
+    sums, one final double division — bit-identical across engines
+    where a log-prob would drift by an ulp."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.unigram_commonness(docs)
+
+
 def q_vocab_stats(spark, sf_dir):
     """Tokenizer-prep vocabulary table (curation.vocab_stats): top-100
     lowercase whitespace tokens by total occurrences with document
@@ -1453,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "source_quality_rollup": q_source_quality_rollup,
         "vocab_stats": q_vocab_stats,
+        "unigram_commonness": q_unigram_commonness,
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
         "host_trap_stats": q_host_trap_stats,
@@ -2363,6 +2378,25 @@ FROM documents
         "quality_score": qscore_sql,
         # tokenizer-prep vocabulary: LIMIT under the same deterministic
         # (count DESC, token ASC) tiebreak the impl's top-k uses
+        "unigram_commonness": """
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY id, token),
+cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+pd AS (SELECT id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * cnt) AS BIGINT) AS sum_cnt,
+         CAST(sum(CASE WHEN cnt <= 1 THEN tf ELSE 0 END) AS BIGINT) AS rare_occ
+       FROM tf JOIN cnt USING (token) GROUP BY id)
+SELECT id, n_tokens, sum_cnt,
+  sum_cnt / (n_tokens * tot.total) AS mean_p,
+  rare_occ / CAST(n_tokens AS DOUBLE) AS rare_rate
+FROM pd, tot
+""",
         "vocab_stats": """
 WITH toks AS (
   SELECT doc_id,

@@ -101,6 +101,69 @@ def doc_keyterms(
     )
 
 
+def unigram_commonness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 1,
+) -> DataFrame:
+    """Per-document language-model commonness score — the exact-
+    arithmetic stand-in for CCNet-style LM-perplexity filtering: score
+    each doc by how common its tokens are in the corpus' own unigram
+    distribution. Junk (boilerplate hashes, base64, mojibake) scores
+    near zero; fluent text scores high.
+
+    Output per doc: ``(id, n_tokens, sum_cnt, mean_p, rare_rate)`` —
+    ``mean_p`` is the mean unigram probability of the doc's token
+    occurrences, ``sum_cnt = Σ_t tf_t · corpuscount_t`` its exact
+    integer numerator, ``rare_rate`` the fraction of occurrences whose
+    token appears ≤ ``rare_max`` times corpus-wide (hapax rate at the
+    default). The arithmetic-mean-of-probabilities form is chosen over
+    mean log-prob deliberately: every step is integer sums + ONE final
+    double division (bit-identical on any engine), where ln() drifts
+    by an ulp across libms — the same rational-twin discipline as
+    :func:`doc_keyterms`.
+
+    Scale shape: explode → map-side-partial (id, token) tf agg; the
+    corpus count table aggregates the ALREADY-reduced tf table; the
+    attach join is token-keyed (common tokens fan out across
+    partitions but each (id, token) row joins once); the corpus total
+    is a broadcast scalar attach. Nothing is proportional to the raw
+    token stream after the first map-side pass.
+    """
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tf.join(cnt, "token")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("sum_cnt"),
+            F.sum(
+                F.when(F.col("cnt") <= rare_max, F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_rare_occ"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "id",
+        "n_tokens",
+        "sum_cnt",
+        (F.col("sum_cnt") / (F.col("n_tokens") * F.col("total"))).alias(
+            "mean_p"
+        ),
+        (F.col("_rare_occ") / F.col("n_tokens")).alias("rare_rate"),
+    )
+
+
 def source_quality_rollup(
     docs: DataFrame,
     pairs: DataFrame,

@@ -76,3 +76,29 @@ def test_doc_keyterms_ranks_distinctive_tokens(spark):
     assert [t for _, t, _ in by_doc[1]] == ["other", "rare"]
     # every doc emits at most k rows
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_unigram_commonness_hand_case(spark):
+    """Corpus: 'the the cat' + 'the zxq' -> counts: the=3, cat=1,
+    zxq=1, total=5. Exact rational expectations per doc."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the the cat"),
+            (1, "the zxq"),
+            (2, ""),  # empty text never emits a row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in curation.unigram_commonness(docs).collect()}
+    assert set(out) == {0, 1}
+    d0, d1 = out[0], out[1]
+    # doc 0: tokens (the, the, cat) -> sum_cnt = 3+3+1 = 7, n=3
+    assert (d0.n_tokens, d0.sum_cnt) == (3, 7)
+    assert d0.mean_p == 7 / (3 * 5)
+    assert d0.rare_rate == 1 / 3  # cat is a hapax
+    # doc 1: tokens (the, zxq) -> sum_cnt = 3+1 = 4, n=2
+    assert (d1.n_tokens, d1.sum_cnt) == (2, 4)
+    assert d1.mean_p == 4 / (2 * 5)
+    assert d1.rare_rate == 1 / 2  # zxq is a hapax
+    # junk doc scores strictly below the fluent one
+    assert d1.mean_p < d0.mean_p or d1.rare_rate > d0.rare_rate
