@@ -1245,6 +1245,19 @@ def q_unigram_commonness(spark, sf_dir):
     return curation.unigram_commonness(docs)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals (curation.repetition_stats):
+    per-doc duplicate-line fractions (count- and char-weighted) and
+    top-bigram dominance. Integer sums, one double division per
+    fraction — bit-identical across engines."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs)
+
+
 def q_vocab_stats(spark, sf_dir):
     """Tokenizer-prep vocabulary table (curation.vocab_stats): top-100
     lowercase whitespace tokens by total occurrences with document
@@ -1468,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_rollup": q_source_quality_rollup,
         "vocab_stats": q_vocab_stats,
         "unigram_commonness": q_unigram_commonness,
+        "repetition_stats": q_repetition_stats,
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
         "host_trap_stats": q_host_trap_stats,
@@ -2378,6 +2392,55 @@ FROM documents
         "quality_score": qscore_sql,
         # tokenizer-prep vocabulary: LIMIT under the same deterministic
         # (count DESC, token ASC) tiebreak the impl's top-k uses
+        # Gopher repetition: fractions are single double divisions of
+        # integer sums, so the values are engine-bit-identical; the
+        # output is driven off the line-stats side (LEFT JOIN bigrams)
+        # exactly like the impl
+        "repetition_stats": """
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents WHERE trim(text) <> ''
+),
+rawlines AS (
+  SELECT id, trim(unnest(string_split(text, chr(10)))) AS line FROM base
+),
+pl AS (
+  SELECT id, line, count(*) AS c FROM rawlines WHERE line <> ''
+  GROUP BY id, line
+),
+ls AS (
+  SELECT id,
+    CAST(sum(c) AS BIGINT) AS n_lines,
+    CAST(count(*) AS BIGINT) AS d_lines,
+    CAST(sum(c * length(line)) AS BIGINT) AS tot_chars,
+    CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_chars
+  FROM pl GROUP BY id
+),
+toks AS (
+  SELECT id,
+    string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM base
+),
+bigr AS (
+  SELECT id,
+    unnest(list_transform(generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks WHERE len(ts) >= 2
+),
+bs AS (
+  SELECT id,
+    CAST(max(c) AS BIGINT) AS top_c,
+    CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM (SELECT id, bigram, count(*) AS c FROM bigr GROUP BY id, bigram)
+  GROUP BY id
+)
+SELECT ls.id, n_lines,
+  (n_lines - d_lines) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+  dup_chars / CAST(tot_chars AS DOUBLE) AS dup_line_char_frac,
+  COALESCE(n_bigrams, 0) AS n_bigrams,
+  CASE WHEN n_bigrams > 0 THEN top_c / CAST(n_bigrams AS DOUBLE)
+       ELSE 0.0 END AS top_bigram_frac
+FROM ls LEFT JOIN bs ON ls.id = bs.id
+""",
         "unigram_commonness": """
 WITH toks AS (
   SELECT doc_id AS id,

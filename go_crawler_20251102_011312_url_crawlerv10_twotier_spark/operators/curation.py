@@ -164,6 +164,91 @@ def unigram_commonness(
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals — the two
+    repetition families `textstats.quality_filter`'s collapsed
+    unigram rule approximates: duplicate LINES (boilerplate menus,
+    scraped table rows) and a dominating top BIGRAM (keyword-stuffed
+    spam). Rahimi et al.'s Gopher rules threshold exactly these;
+    this emits the measurements so the thresholds stay a curator
+    decision.
+
+    Output per non-blank doc: ``(id, n_lines, dup_line_frac,
+    dup_line_char_frac, n_bigrams, top_bigram_frac)`` —
+    ``dup_line_frac`` = fraction of non-empty line occurrences that
+    repeat an identical earlier line, ``dup_line_char_frac`` the same
+    weighted by characters, ``top_bigram_frac`` = occurrences of the
+    most frequent lowercase whitespace bigram over all bigram
+    occurrences (0.0 for single-token docs). Every fraction is ONE
+    double division of exact integer sums — bit-identical across
+    engines, same rational-twin discipline as
+    :func:`unigram_commonness`.
+
+    Scale shape: both signals reduce map-side on (id, line) /
+    (id, bigram) before anything shuffles; the bigram window is
+    id-partitioned (state = one document's token stream, bounded by
+    the F3 body cap upstream). Nothing is all-pairs and nothing is
+    proportional to the corpus after the first partial aggregation.
+    """
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    lines = (
+        base.select(
+            "id", F.explode(F.split("text", "\n")).alias("raw")
+        )
+        .select("id", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("_distinct"),
+        F.sum(F.col("c") * F.length("line")).alias("_tot_chars"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias("_dup_chars"),
+    )
+    toks = base.select(
+        "id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "token"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "id", F.concat_ws(" ", "token", "nxt").alias("bigram")
+        )
+    )
+    bstats = (
+        bigrams.groupBy("id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_top_c"), F.sum("c").alias("_n_bigrams"))
+    )
+    return line_stats.join(bstats, "id", "left").select(
+        "id",
+        "n_lines",
+        (
+            (F.col("n_lines") - F.col("_distinct")) / F.col("n_lines")
+        ).alias("dup_line_frac"),
+        (F.col("_dup_chars") / F.col("_tot_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        F.coalesce(F.col("_n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.when(
+            F.col("_n_bigrams") > 0, F.col("_top_c") / F.col("_n_bigrams")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def source_quality_rollup(
     docs: DataFrame,
     pairs: DataFrame,

@@ -102,3 +102,31 @@ def test_unigram_commonness_hand_case(spark):
     assert d1.rare_rate == 1 / 2  # zxq is a hapax
     # junk doc scores strictly below the fluent one
     assert d1.mean_p < d0.mean_p or d1.rare_rate > d0.rare_rate
+
+
+def test_repetition_stats_hand_case(spark):
+    """Doc 0: 4 non-empty lines, 'nav menu' repeated twice (8 chars
+    per copy); bigrams of 'a b a b a' -> 'a b' x2, 'b a' x2 -> top 2/4.
+    Doc 1: single token, no bigrams. Doc 2: blank, no row."""
+    docs = spark.createDataFrame(
+        [
+            (0, "nav menu\nbody text here\n\nnav menu\nfooter"),
+            (1, "solo"),
+            (2, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in curation.repetition_stats(docs).collect()}
+    assert set(out) == {0, 1}
+    d0 = out[0]
+    assert d0.n_lines == 4
+    assert d0.dup_line_frac == 1 / 4  # one repeat occurrence of 4
+    # chars: nav menu(8)x2 + body text here(14) + footer(6) = 36; dup = 8
+    assert d0.dup_line_char_frac == 8 / 36
+    # tokens: nav menu body text here nav menu footer -> 7 bigrams,
+    # 'nav menu' appears twice -> 2/7
+    assert d0.n_bigrams == 7
+    assert d0.top_bigram_frac == 2 / 7
+    d1 = out[1]
+    assert (d1.n_lines, d1.n_bigrams) == (1, 0)
+    assert d1.dup_line_frac == 0.0 and d1.top_bigram_frac == 0.0

@@ -96,13 +96,15 @@ def test_no_single_partition_exchange(plans):
     optimization plans a scalar subquery whose final bloom_filter_agg
     sits on an Exchange SinglePartition; recrawl_schedule's batch
     clock (max ts over the table) finalizes a partial_max the same
-    way; and the recall gates' hits/total rows finalize a
-    partial_count. All move one pre-aggregated row per partition, not
-    data rows — the partial→final pattern this test exists to protect.
+    way; the recall gates' hits/total rows finalize a partial_count;
+    and unigram_commonness' corpus-token total finalizes a
+    partial_sum over the already-reduced per-token count table. All
+    move one pre-aggregated row per partition, not data rows — the
+    partial→final pattern this test exists to protect.
     """
     bloom_final = re.compile(
         r"Exchange SinglePartition[^\n]*\n[^\n]*"
-        r"partial_(?:bloom_filter_agg|max\(|count\()"
+        r"partial_(?:bloom_filter_agg|max\(|count\(|sum\()"
     )
     offenders = {
         n for n, p in plans.items()
