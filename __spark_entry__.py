@@ -238,6 +238,22 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# messy-rendering corpus for the normalization gate: each doc_id % 5
+# class appends one whitespace/control/NBSP pathology via chr()
+# (codes <= 160 only — Spark's chr is mod-256, so higher codepoints
+# would diverge between the engines; NFC itself is pytest-pinned on
+# decomposed fixtures the shared SQL cannot portably express)
+NORM_SYNTH_SQL = """
+SELECT d.doc_id,
+  CASE d.doc_id % 5
+    WHEN 0 THEN d.text || ' tab' || chr(9) || 'and' || chr(9) || chr(10) || 'newline runs'
+    WHEN 1 THEN d.text || ' ding' || chr(7) || 'bat' || chr(11) || chr(127) || '!'
+    WHEN 2 THEN d.text || ' x' || chr(160) || 'y' || chr(160) || chr(160) || 'z'
+    WHEN 3 THEN '  ' || d.text || '   '
+    ELSE d.text END AS text
+FROM documents d
+""".strip()
+
 # trap-shaped frontier for the crawl-trap gate: two hosts concentrate
 # every url under one prefix (calendar / faceted search), one spreads
 # across sections, one mixes — shared SQL, oracle re-synthesizes it
@@ -1215,6 +1231,23 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode/whitespace canonicalization (textstats.normalize_text)
+    over the messy-rendering corpus: NFC → NBSP→space → control strip
+    → whitespace collapse → trim, the pre-dedup pass every text-keyed
+    operator depends on. Normalized text crosses the gate as md5; the
+    oracle replays the identical step sequence in RE2."""
+    docs = _synth(spark, sf_dir, NORM_SYNTH_SQL)
+    r = textstats.normalize_text(docs)
+    return r.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        "n_before",
+        "n_after",
+        "changed",
+    )
+
+
 def q_doc_keyterms(spark, sf_dir):
     """Per-doc distinctive terms (curation.doc_keyterms): top-3 tokens
     by tf/df — the rational tf-idf rank-equivalent (integer division
@@ -1484,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
+        "text_normalize": q_text_normalize,
         "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
@@ -2521,6 +2555,30 @@ s3 AS (
   FROM s2
 )
 SELECT doc_id, n_email, n_ipv4, n_phone, md5(t3) AS clean_md5 FROM s3
+""",
+        # text canonicalization: replay the exact step SEQUENCE (NFC →
+        # NBSP→space → zero-width strip → control strip → ws collapse →
+        # trim). RE2 \x{...} escapes inside single-quoted SQL reach the
+        # regex engine verbatim (DuckDB strings don't process
+        # backslashes), matching the Java-regex classes char-for-char
+        "text_normalize": f"""
+WITH p AS ({NORM_SYNTH_SQL}),
+n AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          replace(nfc_normalize(text), chr(160), ' '),
+          '[\\x{{200b}}\\x{{200c}}\\x{{200d}}\\x{{feff}}]', '', 'g'),
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+      '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+  FROM p
+)
+SELECT doc_id, md5(norm_text) AS norm_md5,
+  CAST(length(text) AS BIGINT) AS n_before,
+  CAST(length(norm_text) AS BIGINT) AS n_after,
+  norm_text <> text AS changed
+FROM n
 """,
         # per-doc distinctive terms: same tf / df-over-tf / row_number
         # pipeline; score = tf/df is integer division, engine-identical

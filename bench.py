@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "vocab_stats",
     "doc_keyterms",
     "redact_pii",
+    "text_normalize",
     "host_trap_stats",
     "fingerprint",
     "events_rollup",

@@ -1,15 +1,24 @@
 """Text analysis for a training-data pipeline: language ID, quality
-scoring, token counting, fingerprinting.
+scoring, token counting, fingerprinting, PII redaction, Unicode
+normalization.
 
-All pure Catalyst column expressions (regexp/length/CASE — whole-stage
-codegen, no UDFs), deliberately kept within the SQL dialect subset the
-DuckDB oracle shares, so every one of these is oracle-checked.
+Pure Catalyst column expressions (regexp/length/CASE — whole-stage
+codegen) everywhere except the one step that genuinely needs Python
+(NFC composition in ``normalize_text`` — an Arrow-batched pandas UDF
+that short-circuits ASCII rows at C speed), deliberately kept within
+the SQL dialect subset the DuckDB oracle shares, so every one of these
+is oracle-checked.
 """
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # marker stopwords per language (tiny n-gram-free heuristic; the point
 # is the *operator shape* — a real model swaps in via the same column)
@@ -208,4 +217,69 @@ def redact_pii(df, id_col: str = "doc_id", text_col: str = "text"):
         cur = F.regexp_replace(cur, pat, repl)
     return df.select(
         F.col(id_col).alias("doc_id"), *counts, cur.alias("clean_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode / whitespace canonicalization (the pre-dedup normalization
+# pass: fingerprints, n-gram dedup and MinHash all key on text bytes,
+# so two renderings of the same content must normalize identically
+# BEFORE any of them run)
+# ---------------------------------------------------------------------------
+
+# stripped entirely: zero-width space/joiners + BOM (invisible, but
+# they split tokens and break exact-hash dedup)
+ZERO_WIDTH_CLASS = "[\u200b\u200c\u200d\ufeff]"
+# stripped entirely: C0 controls except \t \n \r, plus DEL — these
+# never carry content in web text and upset downstream tokenizers
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# collapsed to one space: explicit class, NOT \s (Java regex and RE2
+# disagree on \s membership — \x0B is stripped above instead)
+WS_RUN = "[ \t\n\r]+"
+
+
+@pandas_udf(T.StringType())  # DataType object: parses without a live session
+def nfc_text(s: pd.Series) -> pd.Series:
+    """NFC composition, Arrow-batched. ASCII rows (the overwhelming
+    majority of web text) short-circuit via ``str.isascii`` — a C-level
+    check — so the Python cost is paid only where composition can
+    actually change bytes."""
+    return s.map(
+        lambda x: x
+        if x is None or x.isascii()
+        else unicodedata.normalize("NFC", x)
+    )
+
+
+def normalize_text(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonicalize document text: NFC composition, NBSP → space,
+    zero-width chars stripped, non-whitespace C0 controls + DEL
+    stripped, whitespace runs collapsed to single spaces, trimmed.
+
+    Order matters and is part of the contract (the oracle replays the
+    identical sequence): NFC first (so composed chars are what the
+    later classes see), invisible/control strips BEFORE the collapse
+    (a control char between spaces must yield ONE space, not two).
+
+    Output: (doc_id, norm_text, n_before, n_after, changed).
+
+    Map-only: one Arrow hop for NFC (self-gating on ASCII), then
+    Catalyst regexp_replace/trim — no shuffle; at 100 TB this rides
+    the same scan as the quality pass, and feeds every dedup operator
+    (`fingerprint`, `ngram_span_stats`, `minhash_signatures`) a
+    rendering-independent key space.
+    """
+    raw = F.col(text_col)
+    c = nfc_text(raw)
+    c = F.regexp_replace(c, "\u00a0", " ")
+    c = F.regexp_replace(c, ZERO_WIDTH_CLASS, "")
+    c = F.regexp_replace(c, CONTROL_CLASS, "")
+    c = F.regexp_replace(c, WS_RUN, " ")
+    c = F.trim(c)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        c.alias("norm_text"),
+        F.length(raw).cast("bigint").alias("n_before"),
+        F.length(c).cast("bigint").alias("n_after"),
+        (c != raw).alias("changed"),
     )

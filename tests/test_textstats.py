@@ -118,3 +118,62 @@ def test_redact_pii_sequence_and_counts(spark):
     assert got[2].clean_text == "call <PHONE> or <PHONE> now"
     assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
     assert got[4].clean_text == "<EMAIL> at <IP> tel <PHONE> mix"
+
+
+def test_normalize_text_semantics(spark):
+    """Pin the full canonicalization contract, including the NFC cases
+    the shared-SQL gate fixture cannot portably express (decomposed
+    accents, non-Latin scripts) and the ordering subtlety that a
+    control char BETWEEN spaces yields one space, not two."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "café menu"),  # decomposed -> composed é (5->4 chars)
+            (1, "a \x07 b"),  # control between spaces -> ONE space
+            (2, "x​Y﻿z"),  # zero-width stripped, tokens fuse
+            (3, "  tabs\t\tand\nnewlines  "),
+            (4, "nb sp  run"),  # NBSP -> space, runs collapse
+            (5, "already clean"),
+            (6, "का café"),  # NFC-stable Devanagari + composed é
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert got[0].norm_text == "café menu"
+    assert (got[0].n_before, got[0].n_after, got[0].changed) == (10, 9, True)
+    assert got[1].norm_text == "a b"
+    assert got[2].norm_text == "xYz"
+    assert got[3].norm_text == "tabs and newlines"
+    assert got[4].norm_text == "nb sp run"
+    assert got[5].norm_text == "already clean" and not got[5].changed
+    assert got[6].norm_text == "का café" and not got[6].changed
+    assert got[7].norm_text == "" and not got[7].changed
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) — the property every
+    downstream text-keyed operator relies on."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, " a b \tć \x01d​ "),
+            (1, "plain"),
+        ],
+        "doc_id long, text string",
+    )
+    once = normalize_text(docs)
+    twice = normalize_text(once, text_col="norm_text")
+    pairs = (
+        once.alias("a")
+        .join(twice.alias("b"), "doc_id")
+        .select("a.norm_text", "b.norm_text")
+        .collect()
+    )
+    assert all(p[0] == p[1] for p in pairs)
