@@ -254,6 +254,19 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# the DuckDB replay of textstats.normalize_text's step sequence —
+# shared verbatim by the text_normalize and fingerprint_normalized
+# oracles so the two can't drift apart
+_NORM_CHAIN_SQL = (
+    "trim(regexp_replace("
+    "regexp_replace("
+    "regexp_replace("
+    "replace(nfc_normalize(text), chr(160), ' '), "
+    "'[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'), "
+    "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+    "'[ \\t\\n\\r]+', ' ', 'g'))"
+)
+
 # trap-shaped frontier for the crawl-trap gate: two hosts concentrate
 # every url under one prefix (calendar / faceted search), one spreads
 # across sections, one mixes — shared SQL, oracle re-synthesizes it
@@ -1248,6 +1261,27 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_fingerprint_normalized(spark, sf_dir):
+    """Rendering-independent dedup keys: the exact-dedup fingerprint
+    computed on raw vs normalized text over the messy-rendering
+    corpus. ``key_fixed`` marks docs where normalization changes the
+    key — NBSP/control/zero-width/padding renderings that ws-collapse
+    alone cannot unify. Map-only composition (normalize_text passes
+    fp_raw through — no re-join)."""
+    docs = _synth(spark, sf_dir, NORM_SYNTH_SQL).withColumn(
+        "fp_raw", textstats.fingerprint("text")
+    )
+    n = textstats.normalize_text(docs, keep=("fp_raw",))
+    return n.select(
+        "doc_id",
+        "fp_raw",
+        textstats.fingerprint("norm_text").alias("fp_norm"),
+        (F.col("fp_raw") != textstats.fingerprint("norm_text")).alias(
+            "key_fixed"
+        ),
+    )
+
+
 def q_doc_keyterms(spark, sf_dir):
     """Per-doc distinctive terms (curation.doc_keyterms): top-3 tokens
     by tf/df — the rational tf-idf rank-equivalent (integer division
@@ -1518,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
         "text_normalize": q_text_normalize,
+        "fingerprint_normalized": q_fingerprint_normalized,
         "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
@@ -2564,14 +2599,7 @@ SELECT doc_id, n_email, n_ipv4, n_phone, md5(t3) AS clean_md5 FROM s3
         "text_normalize": f"""
 WITH p AS ({NORM_SYNTH_SQL}),
 n AS (
-  SELECT doc_id, text,
-    trim(regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          replace(nfc_normalize(text), chr(160), ' '),
-          '[\\x{{200b}}\\x{{200c}}\\x{{200d}}\\x{{feff}}]', '', 'g'),
-        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
-      '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+  SELECT doc_id, text, {_NORM_CHAIN_SQL} AS norm_text
   FROM p
 )
 SELECT doc_id, md5(norm_text) AS norm_md5,
@@ -2579,6 +2607,25 @@ SELECT doc_id, md5(norm_text) AS norm_md5,
   CAST(length(norm_text) AS BIGINT) AS n_after,
   norm_text <> text AS changed
 FROM n
+""",
+        # raw-vs-normalized fingerprint pair: the norm chain is the
+        # SAME string as text_normalize's (one definition, no drift).
+        # fingerprint's Java \s includes \x0B; RE2's does not — and the
+        # class-1 synth rows inject chr(11) — so the oracle spells out
+        # Java's exact \s set instead of using RE2's '\s'
+        "fingerprint_normalized": f"""
+WITH p AS ({NORM_SYNTH_SQL}),
+n AS (
+  SELECT doc_id, text, {_NORM_CHAIN_SQL} AS norm_text
+  FROM p
+),
+fp AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(text, '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g'))) AS fp_raw,
+    md5(lower(regexp_replace(norm_text, '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g'))) AS fp_norm
+  FROM n
+)
+SELECT doc_id, fp_raw, fp_norm, fp_raw <> fp_norm AS key_fixed FROM fp
 """,
         # per-doc distinctive terms: same tf / df-over-tf / row_number
         # pipeline; score = tf/df is integer division, engine-identical

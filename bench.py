@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "doc_keyterms",
     "redact_pii",
     "text_normalize",
+    "fingerprint_normalized",
     "host_trap_stats",
     "fingerprint",
     "events_rollup",

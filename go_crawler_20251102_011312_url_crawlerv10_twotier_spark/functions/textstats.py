@@ -251,7 +251,9 @@ def nfc_text(s: pd.Series) -> pd.Series:
     )
 
 
-def normalize_text(df, id_col: str = "doc_id", text_col: str = "text"):
+def normalize_text(
+    df, id_col: str = "doc_id", text_col: str = "text", keep: tuple = ()
+):
     """Canonicalize document text: NFC composition, NBSP → space,
     zero-width chars stripped, non-whitespace C0 controls + DEL
     stripped, whitespace runs collapsed to single spaces, trimmed.
@@ -261,7 +263,9 @@ def normalize_text(df, id_col: str = "doc_id", text_col: str = "text"):
     later classes see), invisible/control strips BEFORE the collapse
     (a control char between spaces must yield ONE space, not two).
 
-    Output: (doc_id, norm_text, n_before, n_after, changed).
+    Output: (doc_id, *keep, norm_text, n_before, n_after, changed) —
+    ``keep`` passes extra columns through so compositions (e.g. a
+    raw-vs-normalized fingerprint pair) stay map-only, no re-join.
 
     Map-only: one Arrow hop for NFC (self-gating on ASCII), then
     Catalyst regexp_replace/trim — no shuffle; at 100 TB this rides
@@ -278,6 +282,7 @@ def normalize_text(df, id_col: str = "doc_id", text_col: str = "text"):
     c = F.trim(c)
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(k) for k in keep],
         c.alias("norm_text"),
         F.length(raw).cast("bigint").alias("n_before"),
         F.length(c).cast("bigint").alias("n_after"),

@@ -177,3 +177,36 @@ def test_normalize_text_idempotent(spark):
         .collect()
     )
     assert all(p[0] == p[1] for p in pairs)
+
+
+def test_fingerprint_normalized_unifies_renderings(spark):
+    """Two renderings of the same content (padding, NBSP, controls,
+    zero-width) must share one fp_norm while their fp_raw differ —
+    the rendering-independent dedup-key contract."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        fingerprint,
+        normalize_text,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "  the quick\tbrown  fox  "),  # padding/tabs
+            (2, "the quick brown fox"),  # NBSP
+            (3, "the quick\x07 brown fox"[:3] + " quick brown fox"),
+            (4, "the quick brown​ fox"),  # zero-width
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.withColumn("fp_raw", fingerprint("text"))
+    n = normalize_text(docs, keep=("fp_raw",))
+    rows = n.select(
+        "doc_id", "fp_raw", fingerprint("norm_text").alias("fp_norm")
+    ).collect()
+    got = {r.doc_id: r for r in rows}
+    assert len({r.fp_norm for r in rows}) == 1  # all unify
+    for i in (1, 2, 4):
+        assert got[i].fp_raw != got[0].fp_raw  # raw keys miss
+        assert got[i].fp_norm == got[0].fp_norm
