@@ -1325,6 +1325,36 @@ def q_repetition_stats(spark, sf_dir):
     return curation.repetition_stats(docs)
 
 
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing, per shard
+    (curation.sequence_pack): doc offsets in the shard token stream
+    and the training-sequence indices each doc lands in. Per-SHARD
+    packing is the 100 TB design — a global token stream needs a
+    global prefix sum (all-to-one), and real pipelines pack per
+    output shard anyway. One shard-keyed window, integer arithmetic
+    only — bit-identical across engines."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.sequence_pack(docs, seq_len=256, shard_docs=64)
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-shard packing audit (curation.pack_stats): sequence count,
+    tail padding waste, boundary-crossing docs — the no-silent-caps
+    companion measuring what per-shard packing trades for
+    parallelism."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    packed = curation.sequence_pack(docs, seq_len=256, shard_docs=64)
+    return curation.pack_stats(packed, seq_len=256)
+
+
 def q_vocab_stats(spark, sf_dir):
     """Tokenizer-prep vocabulary table (curation.vocab_stats): top-100
     lowercase whitespace tokens by total occurrences with document
@@ -1547,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "source_quality_rollup": q_source_quality_rollup,
         "vocab_stats": q_vocab_stats,
+        "sequence_pack": q_sequence_pack,
+        "pack_stats": q_pack_stats,
         "unigram_commonness": q_unigram_commonness,
         "repetition_stats": q_repetition_stats,
         "doc_keyterms": q_doc_keyterms,
@@ -2541,6 +2573,61 @@ SELECT token,
   CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM td GROUP BY token
 ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
+        # per-shard concat-and-chunk packing: same shard key (integer
+        # div), same ordered window cumsum, same integer sequence
+        # arithmetic — the window sum is cast back to BIGINT (DuckDB
+        # widens to HUGEINT)
+        "sequence_pack": f"""
+WITH b AS (
+  SELECT doc_id, doc_id // 64 AS shard,
+    CAST({ws_count} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         - n_tokens AS BIGINT) AS tok_start
+  FROM b
+),
+s AS (
+  SELECT doc_id, shard, n_tokens, tok_start,
+    tok_start // 256 AS first_seq,
+    CASE WHEN n_tokens = 0 THEN tok_start // 256
+         ELSE (tok_start + n_tokens - 1) // 256 END AS last_seq
+  FROM c
+)
+SELECT doc_id, shard, n_tokens, tok_start, first_seq, last_seq,
+  last_seq > first_seq AS spans_boundary
+FROM s
+""",
+        "pack_stats": f"""
+WITH b AS (
+  SELECT doc_id, doc_id // 64 AS shard,
+    CAST({ws_count} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         - n_tokens AS BIGINT) AS tok_start
+  FROM b
+),
+s AS (
+  SELECT shard, n_tokens,
+    tok_start // 256 AS first_seq,
+    CASE WHEN n_tokens = 0 THEN tok_start // 256
+         ELSE (tok_start + n_tokens - 1) // 256 END AS last_seq
+  FROM c
+)
+SELECT shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+  CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_spanning,
+  CAST((max(last_seq) + 1) * 256 - sum(n_tokens) AS BIGINT) AS pad_tokens
+FROM s GROUP BY shard
 """,
         # crawl-trap stats: same prefix regex, integer-count rates,
         # identical threshold booleans

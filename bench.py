@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "training_shards",
     "source_quality_rollup",
     "vocab_stats",
+    "sequence_pack",
     "doc_keyterms",
     "redact_pii",
     "text_normalize",

@@ -304,3 +304,89 @@ def source_quality_rollup(
         ),
         (F.col("_dups") / F.col("n_docs")).alias("dup_rate"),
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = 256,
+    shard_docs: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing, sharded.
+
+    Documents are concatenated in ``id`` order and cut into
+    fixed-``seq_len`` training sequences — but PER SHARD (a fixed
+    ``id div shard_docs`` bucket), not globally. That is deliberate:
+    a single global token stream needs a global prefix sum whose last
+    shard depends on every earlier one — an all-to-one step this
+    engine bans (BENCH.md §5) — and no real pipeline wants it anyway:
+    packing is always done per output shard/worker so shards stay
+    independently writable and re-packable. The cost is one partial
+    tail sequence per shard (the usual padding waste, measured by
+    ``pack_stats``); the win is that every shard packs in parallel
+    with bounded state and the layout is stable under any partitioning
+    and under re-runs over a subset of shards.
+
+    One shuffle (the shard-keyed window); window state = one shard's
+    docs. Output, one row per document:
+    ``(doc_id, shard, n_tokens, tok_start, first_seq, last_seq,
+    spans_boundary)`` — ``tok_start`` is the doc's offset in its
+    shard's token stream, ``first_seq``/``last_seq`` the shard-local
+    sequence indices it lands in, ``spans_boundary`` whether it
+    crosses a sequence cut (loss-masking cares).
+    """
+    w = Window.partitionBy("shard").orderBy(id_col)
+    # `div` = exact 64-bit integer division (a double-based floor
+    # rounds above 2^53 — real corpus ids get there)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"{id_col} div {shard_docs}").alias("shard"),
+        token_count_ws(text_col).cast("bigint").alias("n_tokens"),
+    )
+    c = base.withColumn(
+        "tok_start",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+    )
+    first_seq = F.expr(f"tok_start div {seq_len}")
+    # an empty doc occupies no tokens: pin it to the sequence at its
+    # offset rather than computing floor((tok_start-1)/L)
+    last_seq = F.when(F.col("n_tokens") == 0, first_seq).otherwise(
+        F.expr(f"(tok_start + n_tokens - 1) div {seq_len}")
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_start",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq > first_seq).alias("spans_boundary"),
+    )
+
+
+def pack_stats(packed: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Per-shard packing audit for ``sequence_pack`` output: sequence
+    count, tail padding waste, boundary-crossing docs. The no-silent-
+    caps companion — per-shard packing trades one partial tail
+    sequence per shard for parallelism; this measures that trade.
+
+    One map-side-partial agg over the packed table (reuses its shard
+    key — no extra wide shuffle).
+    """
+    agg = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max(F.col("last_seq") + 1).alias("n_seqs"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_spanning"),
+    )
+    return agg.select(
+        "shard",
+        "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_seqs").cast("bigint").alias("n_seqs"),
+        F.col("n_spanning").cast("bigint").alias("n_spanning"),
+        (F.col("n_seqs") * seq_len - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+    )

@@ -130,3 +130,63 @@ def test_repetition_stats_hand_case(spark):
     d1 = out[1]
     assert (d1.n_lines, d1.n_bigrams) == (1, 0)
     assert d1.dup_line_frac == 0.0 and d1.top_bigram_frac == 0.0
+
+
+def test_sequence_pack_hand_case(spark):
+    """Closed-form packing: 3-token docs into 4-token sequences inside
+    one shard — offsets, sequence indices and boundary flags are all
+    hand-computable."""
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)] + [(4, "  "), (5, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in curation.sequence_pack(
+            docs, seq_len=4, shard_docs=100
+        ).collect()
+    }
+    # token stream: doc0 [0,3) doc1 [3,6) doc2 [6,9) doc3 [9,12)
+    assert (got[0].tok_start, got[0].first_seq, got[0].last_seq) == (0, 0, 0)
+    assert not got[0].spans_boundary
+    assert (got[1].tok_start, got[1].first_seq, got[1].last_seq) == (3, 0, 1)
+    assert got[1].spans_boundary
+    assert (got[2].first_seq, got[2].last_seq) == (1, 2)
+    assert (got[3].first_seq, got[3].last_seq) == (2, 2)
+    # blank doc: zero tokens, pinned to its offset's sequence
+    assert (got[4].n_tokens, got[4].first_seq, got[4].last_seq) == (0, 3, 3)
+    assert not got[4].spans_boundary
+    assert got[5].tok_start == 12
+
+
+def test_sequence_pack_partitioning_invariant(spark):
+    """The layout must not depend on input partitioning — the property
+    that makes per-shard packing re-runnable over any subset."""
+    docs = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "repeat('w ', CAST(id % 7 + 1 AS INT)) AS text"
+    )
+    a = curation.sequence_pack(docs.repartition(1), seq_len=16, shard_docs=32)
+    b = curation.sequence_pack(
+        docs.repartition(13, "text"), seq_len=16, shard_docs=32
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_stats_accounting(spark):
+    """Per-shard audit: pad_tokens = n_seqs*L - n_tokens, and the
+    spanning count matches the per-doc flags."""
+    docs = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "repeat('t ', CAST(id % 5 + 1 AS INT)) AS text"
+    )
+    packed = curation.sequence_pack(docs, seq_len=8, shard_docs=25)
+    stats = {r.shard: r for r in curation.pack_stats(packed, seq_len=8).collect()}
+    per_doc = packed.collect()
+    assert set(stats) == {0, 1, 2, 3}
+    for shard, s in stats.items():
+        mine = [r for r in per_doc if r.shard == shard]
+        assert s.n_docs == len(mine)
+        assert s.n_tokens == sum(r.n_tokens for r in mine)
+        assert s.n_seqs == max(r.last_seq for r in mine) + 1
+        assert s.n_spanning == sum(r.spans_boundary for r in mine)
+        assert s.pad_tokens == s.n_seqs * 8 - s.n_tokens
+        assert 0 <= s.pad_tokens < 8  # tail waste bounded by one seq
