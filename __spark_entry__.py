@@ -815,6 +815,50 @@ def q_stream_host_budget_multibatch(spark, sf_dir):
     return spark.sql("SELECT host, url, seq, scheduled FROM host_budget_mb_gate")
 
 
+def q_stream_seen_dedup(spark, sf_dir):
+    """Streaming URL-seen set (streaming/feed.py stream_seen_dedup):
+    J1's crawl-seen dedup in live form via
+    dropDuplicatesWithinWatermark keyed on xxhash64(url_norm). The
+    feed forces ~50 re-discoveries per URL (event_id % 200); exactly
+    one row per distinct URL may pass. Gate projects url_norm only
+    (functionally determined by the key — deterministic regardless of
+    which duplicate row wins; the key hash itself is Spark-specific).
+    Watermark is set beyond the feed's ts span so no state evicts;
+    eviction + cross-batch semantics are pytest-pinned
+    (tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        stream_seen_dedup,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.stateful import (
+        run_bounded,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="feed_seen_")
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        F.concat(
+            F.lit("http://"),
+            F.col("event_type"),
+            F.lit(".example/u"),
+            (F.col("event_id") % 200).cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("discovered_ts"),
+    ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+
+    feed = spark.readStream.schema(
+        "url string, discovered_ts timestamp"
+    ).parquet(feed_dir)
+    q = run_bounded(
+        stream_seen_dedup(feed, watermark="3650 days"), "seen_dedup_gate"
+    )
+    q.awaitTermination()
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    return spark.sql("SELECT url_norm FROM seen_dedup_gate")
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: hamming(fp_a, fp_b) <= 6 inside
     (source, length-bucket) blocks, via pigeonhole multi-band blocking
@@ -1542,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_host_rates": q_stream_host_rates,
         "stream_host_budget": q_stream_host_budget,
         "stream_host_budget_multibatch": q_stream_host_budget_multibatch,
+        "stream_seen_dedup": q_stream_seen_dedup,
         "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
@@ -2067,6 +2112,15 @@ numbered AS (
   FROM feed
 )
 SELECT host, url, seq, (seq <= 300) AS scheduled FROM numbered
+""",
+        # streaming seen set: exactly one row per distinct normalized
+        # URL (the compat normalizer's oracle twin, DISTINCT'ed)
+        "stream_seen_dedup": """
+SELECT DISTINCT
+  lower(regexp_replace(
+    'http://' || event_type || '.example/u' || CAST(event_id % 200 AS VARCHAR),
+    '[#?].*$', '')) AS url_norm
+FROM events
 """,
         # banded + capped twin of hamming_neardup_pairs: same 7 disjoint
         # bit bands, same deterministic 64-smallest-ids cut per

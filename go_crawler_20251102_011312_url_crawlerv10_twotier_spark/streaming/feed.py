@@ -51,3 +51,39 @@ def run_to_memory_sink(agg: DataFrame, name: str = "host_rates"):
         .start()
     )
     return q
+
+
+def stream_seen_dedup(
+    feed: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-seen set: the J1 crawl-seen anti-join
+    (operators/dedup.py seen_anti_join, north_rule "bloom/cuckoo
+    URL-seen") in live form — each discovered URL passes exactly once,
+    re-discoveries within the watermark are dropped by keyed state.
+
+    ``dropDuplicatesWithinWatermark`` keys state by
+    ``xxhash64(url_norm)`` (the same key the batch seen set and the
+    Bloom shards use) and evicts entries older than the watermark —
+    bounded state by contract, which is what makes a 10^10-URL live
+    feed feasible: the FULL seen set lives in the batch tables; the
+    stream deduplicates the re-discovery burst (the overwhelmingly
+    common duplicate) and the downstream batch anti-join stays
+    authoritative for the long tail. State per entry is one key hash;
+    skew is host-free (hash-partitioned by key).
+
+    Output is the projection ``(url_key, url_norm)`` — both
+    functionally determined by the dedup key, so the emitted set is
+    deterministic even though WHICH duplicate row wins is not.
+    """
+    from ..functions.urlnorm import normalize_url_compat_col
+
+    keyed = feed.select(
+        F.col("discovered_ts"),
+        normalize_url_compat_col(F.col("url")).alias("url_norm"),
+    ).withColumn("url_key", F.xxhash64("url_norm"))
+    return (
+        keyed.withWatermark("discovered_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_key"])
+        .select("url_key", "url_norm")
+    )

@@ -33,6 +33,7 @@ DRIVER_LOOP = {
     "stream_host_rates",
     "stream_host_budget",
     "stream_host_budget_multibatch",
+    "stream_seen_dedup",
     # eager sink: writes shards + re-reads the manifest; the write-side
     # plan (one writer per stratum dir) is pinned by tests/test_shards
     "training_shards",

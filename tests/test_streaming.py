@@ -94,3 +94,92 @@ def test_stream_host_rates(spark):
         out = spark.sql("SELECT host, sum(discovered) AS n FROM t_host_rates GROUP BY host").collect()
         got = {r.host: r.n for r in out}
         assert got == {"h0.x": 20, "h1.x": 20}
+
+
+def test_stream_seen_dedup_single_batch(spark):
+    """One availableNow batch: each distinct normalized URL passes
+    exactly once, fragments/queries collapse onto their base URL."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        stream_seen_dedup,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.stateful import (
+        run_bounded,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            ("http://a.x/p", "2026-01-01 00:00:00"),
+            ("http://a.x/p#frag", "2026-01-01 00:00:01"),
+            ("http://a.x/p?q=1", "2026-01-01 00:00:02"),
+            ("HTTP://A.X/q", "2026-01-01 00:00:03"),
+            ("http://a.x/q", "2026-01-01 00:00:04"),
+            ("http://b.x/r", "2026-01-01 00:00:05"),
+        ]
+        spark.createDataFrame(rows, "url string, ts string").selectExpr(
+            "url", "CAST(ts AS timestamp) AS discovered_ts"
+        ).coalesce(1).write.parquet(d + "/feed")
+        feed = spark.readStream.schema(
+            "url string, discovered_ts timestamp"
+        ).parquet(d + "/feed")
+        q = run_bounded(stream_seen_dedup(feed, watermark="1 hour"), "t_seen1")
+        q.awaitTermination(120)
+        out = sorted(r.url_norm for r in spark.sql("SELECT * FROM t_seen1").collect())
+        assert out == ["http://a.x/p", "http://a.x/q", "http://b.x/r"]
+
+
+def test_stream_seen_dedup_state_survives_and_evicts(spark):
+    """Across micro-batches (maxFilesPerTrigger=1, file mtimes pinned):
+    a re-discovery in batch 2 INSIDE the watermark is dropped (state
+    survived the boundary); a re-discovery in batch 3 arriving after
+    the watermark passed the key's eviction point is re-emitted —
+    dropDuplicatesWithinWatermark's documented bounded-state
+    contract, which is exactly why a 10^10-URL live feed is feasible
+    (the batch anti-join stays authoritative for the long tail)."""
+    import os
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        stream_seen_dedup,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.stateful import (
+        run_bounded,
+    )
+
+    def _write(d, name, rows, mtime):
+        tmp = d + "/tmp_" + name
+        spark.createDataFrame(rows, "url string, ts string").selectExpr(
+            "url", "CAST(ts AS timestamp) AS discovered_ts"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.makedirs(d + "/feed", exist_ok=True)
+        dst = d + "/feed/" + name + ".parquet"
+        os.rename(tmp + "/" + part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    with tempfile.TemporaryDirectory() as d:
+        # batch 1: first sighting of /p at t=0
+        _write(d, "000", [("http://a.x/p", "2026-01-01 00:00:00")], 1_700_000_000)
+        # batch 2: re-discovery at t=+30s — watermark (1 min) has not
+        # passed t0+1min, state alive -> dropped
+        _write(d, "001", [("http://a.x/p", "2026-01-01 00:00:30")], 1_700_000_100)
+        # batch 3: advance event time far past /p's expiry. Eviction is
+        # LAZY: the in-effect watermark lags one batch and expired
+        # state is only reaped at the end of the batch where the lagged
+        # watermark passes it — so batch 4's /p still matches
+        # expired-but-unevicted state and is dropped, and only batch
+        # 5's /p (state reaped at batch 4's end) is re-emitted.
+        _write(d, "002", [("http://a.x/other", "2026-01-01 01:00:00")], 1_700_000_200)
+        _write(d, "003", [("http://a.x/p", "2026-01-01 01:00:01")], 1_700_000_300)
+        _write(d, "004", [("http://a.x/p", "2026-01-01 01:00:02")], 1_700_000_400)
+        feed = (
+            spark.readStream.schema("url string, discovered_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/feed")
+        )
+        q = run_bounded(stream_seen_dedup(feed, watermark="1 minute"), "t_seen2")
+        q.awaitTermination(240)
+        out = [r.url_norm for r in spark.sql("SELECT * FROM t_seen2").collect()]
+        assert sorted(out) == [
+            "http://a.x/other",
+            "http://a.x/p",
+            "http://a.x/p",  # re-emitted after eviction: twice total
+        ]
