@@ -336,7 +336,8 @@ def sequence_pack(
     sequence indices it lands in, ``spans_boundary`` whether it
     crosses a sequence cut (loss-masking cares).
     """
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # base renames id_col -> doc_id, so the window orders by the alias
+    w = Window.partitionBy("shard").orderBy("doc_id")
     # `div` = exact 64-bit integer division (a double-based floor
     # rounds above 2^53 — real corpus ids get there)
     base = docs.select(
