@@ -1258,6 +1258,24 @@ def q_corpus_refine(spark, sf_dir):
     )
 
 
+def q_corpus_pack(spark, sf_dir):
+    """The pipeline's last stage: the refined corpus (quality ∧
+    canonical ∧ mix — q_corpus_refine's exact DataFrame) packed into
+    training sequences (curation.sequence_pack, tokens_col reuses
+    refine's n_tokens — no second text scan). Sparse doc_ids are the
+    point: sequence offsets are defined over the SURVIVING docs in id
+    order within each shard, so the oracle nests the refine oracle
+    verbatim and packs its output."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    refined = q_corpus_refine(spark, sf_dir)
+    return curation.sequence_pack(
+        refined, seq_len=256, shard_docs=64, tokens_col="n_tokens"
+    )
+
+
 def q_host_trap_stats(spark, sf_dir):
     """Crawl-trap detection (operators/traps.py): per-host URL-shape
     stats over a frontier where two hosts concentrate everything
@@ -1619,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "training_mix": q_training_mix,
         "corpus_refine": q_corpus_refine,
+        "corpus_pack": q_corpus_pack,
         "training_shards": q_training_shards,
         "source_quality_rollup": q_source_quality_rollup,
         "vocab_stats": q_vocab_stats,
@@ -2825,6 +2844,29 @@ FROM documents
         # full-pipeline composition: each component subquery is the
         # SAME string as its standalone oracle above
         "corpus_refine": refine_sql,
+        # refined corpus -> training sequences: the refine oracle
+        # nested VERBATIM, its survivors packed with the same shard
+        # key / window cumsum / integer sequence arithmetic as
+        # sequence_pack's oracle
+        "corpus_pack": f"""
+WITH refined AS ({refine_sql}),
+c AS (
+  SELECT doc_id, doc_id // 64 AS shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+         - n_tokens AS BIGINT) AS tok_start
+  FROM refined
+),
+s AS (
+  SELECT doc_id, shard, n_tokens, tok_start,
+    tok_start // 256 AS first_seq,
+    CASE WHEN n_tokens = 0 THEN tok_start // 256
+         ELSE (tok_start + n_tokens - 1) // 256 END AS last_seq
+  FROM c
+)
+SELECT doc_id, shard, n_tokens, tok_start, first_seq, last_seq,
+  last_seq > first_seq AS spans_boundary
+FROM s
+""",
         # the shard sink's manifest must equal the refined table's
         # per-stratum aggregates — i.e. writing, bounding, and
         # re-reading the files loses nothing

@@ -312,6 +312,7 @@ def sequence_pack(
     shard_docs: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing, sharded.
 
@@ -338,12 +339,20 @@ def sequence_pack(
     """
     # base renames id_col -> doc_id, so the window orders by the alias
     w = Window.partitionBy("shard").orderBy("doc_id")
+    # ``tokens_col`` reuses an upstream count (e.g. corpus_refine's
+    # n_tokens) instead of re-tokenizing — at 100 TB the recount is a
+    # full second text scan
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else token_count_ws(text_col)
+    )
     # `div` = exact 64-bit integer division (a double-based floor
     # rounds above 2^53 — real corpus ids get there)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.expr(f"{id_col} div {shard_docs}").alias("shard"),
-        token_count_ws(text_col).cast("bigint").alias("n_tokens"),
+        toks.cast("bigint").alias("n_tokens"),
     )
     c = base.withColumn(
         "tok_start",
