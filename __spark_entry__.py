@@ -267,6 +267,21 @@ _NORM_CHAIN_SQL = (
     "'[ \\t\\n\\r]+', ' ', 'g'))"
 )
 
+# multilingual corpus for the script-profile gate: UTF-8 literals in
+# the shared SQL (both engines parse string literals as UTF-8 — unlike
+# chr(), whose semantics diverge above 160)
+SCRIPT_SYNTH_SQL = """
+SELECT d.doc_id,
+  CASE d.doc_id % 6
+    WHEN 0 THEN d.text || ' Привет мир'
+    WHEN 1 THEN d.text || ' 你好世界'
+    WHEN 2 THEN d.text || ' γειά σου κόσμε'
+    WHEN 3 THEN d.text || ' مرحبا بالعالم'
+    WHEN 4 THEN 'Привет 你好 mix Ω' || d.text
+    ELSE d.text END AS text
+FROM documents d
+""".strip()
+
 # trap-shaped frontier for the crawl-trap gate: two hosts concentrate
 # every url under one prefix (calendar / faceted search), one spreads
 # across sections, one mixes — shared SQL, oracle re-synthesizes it
@@ -1323,6 +1338,17 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_script_profile(spark, sf_dir):
+    """Per-doc Unicode-script profile (textstats.script_profile) over
+    the multilingual corpus: per-block char counts + dominant script.
+    lang_id's stopword heuristic only sees Latin-script languages;
+    this is the curation signal for everything else. Integer counts
+    only — bit-identical across engines; the literal char-class
+    constants are shared with the oracle pattern by construction."""
+    docs = _synth(spark, sf_dir, SCRIPT_SYNTH_SQL)
+    return textstats.script_profile(docs)
+
+
 def q_fingerprint_normalized(spark, sf_dir):
     """Rendering-independent dedup keys: the exact-dedup fingerprint
     computed on raw vs normalized text over the messy-rendering
@@ -1649,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "text_normalize": q_text_normalize,
         "fingerprint_normalized": q_fingerprint_normalized,
+        "script_profile": q_script_profile,
         "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
@@ -1836,6 +1863,25 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END"
     )
+    # script-profile pieces built from the SAME literal char classes
+    # the Spark operator uses (textstats.SCRIPT_CLASSES) — one
+    # definition, both engines match identical characters
+    script_names = [n for n, _ in textstats.SCRIPT_CLASSES]
+    script_counts = ",\n    ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{n}"
+        for n, pat in textstats.SCRIPT_CLASSES
+    )
+    # argmax cascade: first class (in order) >= 1 and >= every LATER
+    # class — identical first-match semantics to the lang_id cascade
+    script_dom = "CASE " + " ".join(
+        "WHEN n_{0} >= 1{1} THEN '{0}'".format(
+            n,
+            "".join(
+                f" AND n_{n} >= n_{m}" for m in script_names[i + 1 :]
+            ),
+        )
+        for i, n in enumerate(script_names)
+    ) + " ELSE 'none' END"
     # component SQL reused verbatim by the corpus_refine composition —
     # one definition per operator, so the composed oracle can't drift
     qf_sql = f"""
@@ -2767,6 +2813,18 @@ SELECT doc_id, md5(norm_text) AS norm_md5,
   CAST(length(norm_text) AS BIGINT) AS n_after,
   norm_text <> text AS changed
 FROM n
+""",
+        "script_profile": f"""
+WITH p AS ({SCRIPT_SYNTH_SQL}),
+c AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    {script_counts}
+  FROM p
+)
+SELECT doc_id, n_chars, {", ".join("n_" + n for n in script_names)},
+  {script_dom} AS dominant
+FROM c
 """,
         # raw-vs-normalized fingerprint pair: the norm chain is the
         # SAME string as text_normalize's (one definition, no drift).

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "redact_pii",
     "text_normalize",
     "fingerprint_normalized",
+    "script_profile",
     "host_trap_stats",
     "fingerprint",
     "events_rollup",

@@ -288,3 +288,58 @@ def normalize_text(
         F.length(c).cast("bigint").alias("n_after"),
         (c != raw).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Script profiling (curation signal for non-Latin web text: lang_id's
+# stopword heuristic only sees Latin-script languages; script counts
+# classify everything else and catch mixed-script spam)
+# ---------------------------------------------------------------------------
+
+# BMP base blocks as LITERAL character ranges. The same Python string
+# is interpolated into both the Spark (Java regex) pattern and the
+# DuckDB (RE2) oracle pattern, so the two engines match the exact same
+# characters by construction — no \p{Script} (the engines' script
+# tables differ by Unicode version).
+SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("cjk", "[一-鿿]"),
+]
+
+
+def script_profile(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document script profile: character counts per script block,
+    total char count, and the dominant script (most chars; ties break
+    in SCRIPT_CLASSES order; 'none' when no block matches — e.g.
+    digits/punctuation-only docs).
+
+    Output: (doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_arabic,
+    n_cjk, dominant). Integer counts only — no float rates, so the
+    result is bit-identical across engines.
+
+    Map-only Catalyst regexp counts riding the curation scan — no
+    shuffle, no UDF.
+    """
+    text = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast(
+            "bigint"
+        )
+        for name, pat in SCRIPT_CLASSES
+    }
+    dominant = F.lit("none")
+    best = F.lit(0).cast("bigint")
+    # fold in reverse so EARLIER classes win ties (>= replaces later)
+    for name, _ in reversed(SCRIPT_CLASSES):
+        c = counts[name]
+        dominant = F.when(c >= F.greatest(best, F.lit(1)), F.lit(name)).otherwise(dominant)
+        best = F.greatest(best, c)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_CLASSES],
+        dominant.alias("dominant"),
+    )

@@ -210,3 +210,30 @@ def test_fingerprint_normalized_unifies_renderings(spark):
     for i in (1, 2, 4):
         assert got[i].fp_raw != got[0].fp_raw  # raw keys miss
         assert got[i].fp_norm == got[0].fp_norm
+
+
+def test_script_profile_counts_and_dominant(spark):
+    """Per-block counts, the earlier-class tie-break, and the 'none'
+    fallback for docs with no letters in any block."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        script_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello Привет"),  # 5 latin vs 6 cyrillic
+            (1, "abc где"),  # 3 vs 3 tie -> latin (earlier class)
+            (2, "你好世界 ok"),  # cjk dominates
+            (3, "123 .,!?"),  # no letters -> none
+            (4, ""),  # empty -> none
+            (5, "مرحبا γεια"),  # 5 arabic vs 4 greek
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in script_profile(docs).collect()}
+    assert (got[0].n_latin, got[0].n_cyrillic, got[0].dominant) == (5, 6, "cyrillic")
+    assert (got[1].n_latin, got[1].n_cyrillic, got[1].dominant) == (3, 3, "latin")
+    assert (got[2].n_cjk, got[2].dominant) == (4, "cjk")
+    assert got[3].dominant == "none" and got[3].n_latin == 0
+    assert got[4].dominant == "none" and got[4].n_chars == 0
+    assert (got[5].n_arabic, got[5].n_greek, got[5].dominant) == (5, 4, "arabic")
