@@ -267,6 +267,22 @@ _NORM_CHAIN_SQL = (
     "'[ \\t\\n\\r]+', ' ', 'g'))"
 )
 
+# boilerplate-shaped corpus: 7 hosts, every page of a host shares a
+# NAV header + COPYRIGHT footer (df = all pages of the host), 1 in 25
+# pages adds a PROMO line (df crosses min_df=3 only at larger SFs —
+# fine: both engines derive the same df from the same rows), the body
+# line stays unique per page
+BOILER_SYNTH_SQL = """
+SELECT d.doc_id,
+  'h' || (d.doc_id % 7) || '.example' AS host,
+  'NAV home about contact' || chr(10)
+    || d.text || chr(10)
+    || CASE WHEN d.doc_id % 25 = 0
+         THEN 'PROMO subscribe now' || chr(10) ELSE '' END
+    || 'COPYRIGHT h' || (d.doc_id % 7) AS text
+FROM documents d
+""".strip()
+
 # multilingual corpus for the script-profile gate: UTF-8 literals in
 # the shared SQL (both engines parse string literals as UTF-8 — unlike
 # chr(), whose semantics diverge above 160)
@@ -1338,6 +1354,27 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Host-level boilerplate removal (curation.strip_host_boilerplate)
+    over the boilerplate-shaped corpus: lines on >= 3 distinct pages of
+    the same host (nav, footer, promo) are stripped, content lines
+    survive in order; pages that were all chrome keep an empty
+    clean_text. Cleaned text crosses the gate as md5."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = _synth(spark, sf_dir, BOILER_SYNTH_SQL)
+    r = curation.strip_host_boilerplate(docs, min_df=3)
+    return r.select(
+        "doc_id",
+        "host",
+        "n_lines",
+        "n_boiler",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def q_script_profile(spark, sf_dir):
     """Per-doc Unicode-script profile (textstats.script_profile) over
     the multilingual corpus: per-block char counts + dominant script.
@@ -1676,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "fingerprint_normalized": q_fingerprint_normalized,
         "script_profile": q_script_profile,
+        "host_boilerplate": q_host_boilerplate,
         "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
@@ -2813,6 +2851,32 @@ SELECT doc_id, md5(norm_text) AS norm_md5,
   CAST(length(norm_text) AS BIGINT) AS n_after,
   norm_text <> text AS changed
 FROM n
+""",
+        # host-boilerplate strip: same explode (generate_subscripts +
+        # unnest expand together in DuckDB), same two-level distinct
+        # df count, same >= 3 threshold, string_agg skips the nulled
+        # boilerplate lines exactly as concat_ws does
+        "host_boilerplate": f"""
+WITH p AS ({BOILER_SYNTH_SQL}),
+l AS (
+  SELECT doc_id, host,
+    unnest(string_split(text, chr(10))) AS line,
+    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM p
+),
+dfh AS (
+  SELECT host, line, count(DISTINCT doc_id) AS df
+  FROM l GROUP BY host, line
+),
+j AS (SELECT l.doc_id, l.host, l.line, l.pos, dfh.df >= 3 AS is_b
+      FROM l JOIN dfh USING (host, line))
+SELECT doc_id, host,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  md5(coalesce(
+    string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos),
+    '')) AS clean_md5
+FROM j GROUP BY doc_id, host
 """,
         "script_profile": f"""
 WITH p AS ({SCRIPT_SYNTH_SQL}),

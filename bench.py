@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "fingerprint_normalized",
     "script_profile",
+    "host_boilerplate",
     "host_trap_stats",
     "fingerprint",
     "events_rollup",

@@ -400,3 +400,63 @@ def pack_stats(packed: DataFrame, seq_len: int = 256) -> DataFrame:
         .cast("bigint")
         .alias("pad_tokens"),
     )
+
+
+def strip_host_boilerplate(
+    docs: DataFrame,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-level boilerplate removal: a line that appears on >=
+    ``min_df`` distinct pages of the SAME host is chrome (nav, footer,
+    cookie banner), not content — strip it, keep everything else in
+    original order. The host scoping is what separates boilerplate
+    from legitimate cross-host repetition (licenses, quotes), and it
+    is also the scale key: every shuffle below is (host, line)- or
+    id-keyed, so a 10^10-page corpus distributes by host+line hash
+    with no global structure.
+
+    Three shuffles, all bounded: (1) per-(host, line, id) collapse —
+    map-side partials absorb within-page repeats before anything
+    wide; (2) (host, line) document-frequency count over the already-
+    reduced table (vocab_stats' two-level pattern); (3) the per-doc
+    rebuild groupBy. The df table joins back line-keyed (no
+    broadcast assumption — boilerplate tables can be huge at corpus
+    scale).
+
+    Output, one row per input doc (docs with ONLY boilerplate keep an
+    empty clean_text rather than vanishing):
+    ``(doc_id, host, n_lines, n_boiler, clean_text)``.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    # two-level distinct count: per-page repeats collapse map-side
+    per_doc = lines.select("host", "line", "doc_id").distinct()
+    dfh = per_doc.groupBy("host", "line").agg(
+        F.count("*").alias("df")
+    )
+    j = lines.join(dfh, ["host", "line"])
+    keep_line = F.when(
+        F.col("df") >= F.lit(min_df), F.lit(None).cast("string")
+    ).otherwise(F.col("line"))
+    agg = j.withColumn("kept", keep_line).groupBy("doc_id", "host").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum((F.col("df") >= F.lit(min_df)).cast("long"))
+        .cast("bigint")
+        .alias("n_boiler"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "kept"))),
+                lambda s: s["kept"],
+            ),
+        ).alias("clean_text"),
+    )
+    return agg.select(
+        "doc_id", "host", "n_lines", "n_boiler", "clean_text"
+    )

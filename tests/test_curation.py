@@ -190,3 +190,57 @@ def test_pack_stats_accounting(spark):
         assert s.n_spanning == sum(r.spans_boundary for r in mine)
         assert s.pad_tokens == s.n_seqs * 8 - s.n_tokens
         assert 0 <= s.pad_tokens < 8  # tail waste bounded by one seq
+
+
+def test_strip_host_boilerplate_hand_case(spark):
+    """Host-scoped df threshold: a line on >=3 pages of ONE host is
+    stripped there, the same line across DIFFERENT hosts is not;
+    content order survives; an all-chrome page keeps an empty
+    clean_text instead of vanishing."""
+    nav = "NAV home"
+    docs = spark.createDataFrame(
+        [
+            (0, "a.x", nav + "\nbody zero\nfooter a"),
+            (1, "a.x", nav + "\nbody one\nfooter a"),
+            (2, "a.x", nav + "\nbody two\nfooter a"),
+            (3, "a.x", nav + "\nfooter a"),  # all chrome
+            # nav appears on b.x only twice -> below min_df, kept
+            (4, "b.x", nav + "\nbody four"),
+            (5, "b.x", nav + "\nbody five"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        strip_host_boilerplate,
+    )
+
+    got = {r.doc_id: r for r in strip_host_boilerplate(docs, min_df=3).collect()}
+    assert len(got) == 6  # every doc survives
+    assert got[0].clean_text == "body zero"
+    assert (got[0].n_lines, got[0].n_boiler) == (3, 2)
+    assert got[3].clean_text == "" and got[3].n_boiler == 2
+    # cross-host: b.x's nav has df=2 < 3 -> kept
+    assert got[4].clean_text == nav + "\nbody four"
+    assert got[5].n_boiler == 0
+
+
+def test_strip_host_boilerplate_order_preserved(spark):
+    """Multiple surviving lines rebuild in original position order
+    regardless of shuffle order."""
+    docs = spark.createDataFrame(
+        [
+            (0, "h.x", "top\nalpha\nmid\nbeta\nbottom"),
+            (1, "h.x", "top\ngamma\nmid\ndelta\nbottom"),
+            (2, "h.x", "top\nepsilon\nmid\nzeta\nbottom"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        strip_host_boilerplate,
+    )
+
+    got = {r.doc_id: r for r in strip_host_boilerplate(docs, min_df=3).collect()}
+    assert got[0].clean_text == "alpha\nbeta"
+    assert got[1].clean_text == "gamma\ndelta"
+    assert got[2].clean_text == "epsilon\nzeta"
+    assert all(r.n_boiler == 3 for r in got.values())  # top/mid/bottom
