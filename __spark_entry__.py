@@ -1354,6 +1354,18 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_url_features(spark, sf_dir):
+    """Per-URL shape features (operators/traps.py url_features) over
+    the trap-shaped frontier: path depth, query params, digit density
+    (exact integer permille) and the composite shape_score that
+    demotes calendar/facet/session noise in the priority queue."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        url_features,
+    )
+
+    return url_features(_synth(spark, sf_dir, TRAP_SYNTH_SQL))
+
+
 def q_host_boilerplate(spark, sf_dir):
     """Host-level boilerplate removal (curation.strip_host_boilerplate)
     over the boilerplate-shaped corpus: lines on >= 3 distinct pages of
@@ -1714,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_normalized": q_fingerprint_normalized,
         "script_profile": q_script_profile,
         "host_boilerplate": q_host_boilerplate,
+        "url_features": q_url_features,
         "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
@@ -2851,6 +2864,37 @@ SELECT doc_id, md5(norm_text) AS norm_md5,
   CAST(length(norm_text) AS BIGINT) AS n_after,
   norm_text <> text AS changed
 FROM n
+""",
+        # per-URL shape features: same regex steps with RE2 'g' flags
+        # (Spark regexp_replace is global by default), integer //
+        # division for the exact permille + score
+        "url_features": f"""
+WITH p AS ({TRAP_SYNTH_SQL}),
+c AS (
+  SELECT url_norm,
+    CAST(length(regexp_replace(
+      regexp_replace(regexp_replace(url_norm,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g'),
+        '[?#].*$', '', 'g'),
+      '[^/]', '', 'g')) AS BIGINT) AS path_depth,
+    regexp_extract(url_norm, '\\?([^#]*)', 1) AS query,
+    CAST(length(regexp_replace(url_norm, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+    CAST(length(url_norm) AS BIGINT) AS url_len
+  FROM p
+),
+f AS (
+  SELECT url_norm, path_depth,
+    CAST(CASE WHEN query = '' THEN 0
+         ELSE length(regexp_replace(query, '[^&]', '', 'g')) + 1 END
+         AS BIGINT) AS n_params,
+    (n_digits * 1000) // greatest(url_len, 1) AS digit_permille,
+    url_len
+  FROM c
+)
+SELECT url_norm, path_depth, n_params, digit_permille, url_len,
+  CAST(100 - 10 * path_depth - 5 * n_params - digit_permille // 20
+       AS BIGINT) AS shape_score
+FROM f
 """,
         # host-boilerplate strip: same explode (generate_subscripts +
         # unnest expand together in DuckDB), same two-level distinct

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "fingerprint_normalized",
     "script_profile",
     "host_boilerplate",
+    "url_features",
     "host_trap_stats",
     "fingerprint",
     "events_rollup",

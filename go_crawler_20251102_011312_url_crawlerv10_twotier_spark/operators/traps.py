@@ -81,3 +81,58 @@ def host_trap_stats(
             )
         ).alias("suspect"),
     )
+
+
+def url_features(
+    urls: DataFrame,
+    url_col: str = "url_norm",
+) -> DataFrame:
+    """Per-URL shape features — the frontier-prioritization signals
+    production crawlers feed their priority queue (host_trap_stats is
+    the per-host rollup; this is the per-URL row): path depth, query
+    parameter count, digit density, URL length. The composite
+    ``shape_score`` (higher = more content-shaped) demotes deep,
+    parameter-heavy, digit-dense URLs — calendar/facet/session noise —
+    before a politeness slot is spent on them; feed it to
+    ``politeness.schedule(host_ranks=...)`` or threshold it directly.
+
+    All-integer arithmetic (digit density as permille via exact
+    integer division) so the score is bit-identical across engines.
+    Map-only Catalyst — rides the frontier scan, no shuffle.
+
+    Output: ``(url_norm, path_depth, n_params, digit_permille,
+    url_len, shape_score)``.
+    """
+    u = F.col(url_col)
+    # path = segment count after the authority, query/fragment excluded
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+        r"[?#].*$",
+        "",
+    )
+    path_depth = (
+        F.length(F.regexp_replace(path, r"[^/]", "")).cast("bigint")
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(F.regexp_replace(query, "[^&]", "")) + 1
+    ).cast("bigint")
+    n_digits = F.length(F.regexp_replace(u, r"[^0-9]", ""))
+    url_len = F.length(u).cast("bigint")
+    digit_permille = F.floor(
+        n_digits * F.lit(1000) / F.greatest(url_len, F.lit(1))
+    ).cast("bigint")
+    score = (
+        F.lit(100)
+        - F.lit(10) * path_depth
+        - F.lit(5) * n_params
+        - F.floor(digit_permille / F.lit(20))
+    ).cast("bigint")
+    return urls.select(
+        u.alias("url_norm"),
+        path_depth.alias("path_depth"),
+        n_params.alias("n_params"),
+        digit_permille.alias("digit_permille"),
+        url_len.alias("url_len"),
+        score.alias("shape_score"),
+    )

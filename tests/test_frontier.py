@@ -182,3 +182,34 @@ def test_host_trap_stats_flags_concentrated_hosts(spark):
     assert trap.n_prefixes == 1 and trap.max_prefix_urls == 30
     assert not ok.suspect and ok.n_prefixes == 10 and ok.trap_share == 0.1
     assert not tiny.suspect  # shape is trappy but below min_urls
+
+
+def test_url_features_hand_case(spark):
+    """Closed-form shape features: depth counts path slashes only,
+    params count &-separated pairs, digit density is exact permille."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        url_features,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.x/article",),
+            ("https://a.x/shop/list?page=3&sort=12",),
+            ("https://a.x/cal/2025/01/02?d=20250102",),
+            ("https://a.x/",),
+        ],
+        "url_norm string",
+    )
+    got = {r.url_norm: r for r in url_features(urls).collect()}
+    r0 = got["https://a.x/article"]
+    assert (r0.path_depth, r0.n_params, r0.digit_permille) == (1, 0, 0)
+    assert r0.shape_score == 90
+    r1 = got["https://a.x/shop/list?page=3&sort=12"]
+    assert (r1.path_depth, r1.n_params) == (2, 2)
+    # digits '3' '12' -> 3 of 36 chars = 83 permille
+    assert r1.digit_permille == 83
+    assert r1.shape_score == 100 - 20 - 10 - 4
+    r2 = got["https://a.x/cal/2025/01/02?d=20250102"]
+    assert (r2.path_depth, r2.n_params) == (4, 1)
+    r3 = got["https://a.x/"]
+    assert (r3.path_depth, r3.n_params, r3.shape_score) == (1, 0, 90)
