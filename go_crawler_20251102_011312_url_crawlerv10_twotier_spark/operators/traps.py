@@ -93,8 +93,10 @@ def url_features(
     parameter count, digit density, URL length. The composite
     ``shape_score`` (higher = more content-shaped) demotes deep,
     parameter-heavy, digit-dense URLs — calendar/facet/session noise —
-    before a politeness slot is spent on them; feed it to
-    ``politeness.schedule(host_ranks=...)`` or threshold it directly.
+    before a politeness slot is spent on them. Use it as a frontier
+    filter/threshold directly, or aggregate per host (e.g. mean
+    shape_score) into the rank table ``politeness.schedule``'s
+    host_ranks input expects.
 
     All-integer arithmetic (digit density as permille via exact
     integer division) so the score is bit-identical across engines.
