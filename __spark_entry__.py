@@ -2793,10 +2793,13 @@ s AS (
 SELECT shard,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-  CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+  CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+            ELSE max(last_seq) + 1 END AS BIGINT) AS n_seqs,
   CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
     AS n_spanning,
-  CAST((max(last_seq) + 1) * 256 - sum(n_tokens) AS BIGINT) AS pad_tokens
+  CAST((CASE WHEN sum(n_tokens) = 0 THEN 0
+             ELSE max(last_seq) + 1 END) * 256 - sum(n_tokens)
+       AS BIGINT) AS pad_tokens
 FROM s GROUP BY shard
 """,
         # crawl-trap stats: same prefix regex, integer-count rates,

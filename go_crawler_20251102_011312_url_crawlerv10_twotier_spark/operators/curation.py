@@ -383,11 +383,18 @@ def pack_stats(packed: DataFrame, seq_len: int = 256) -> DataFrame:
 
     One map-side-partial agg over the packed table (reuses its shard
     key — no extra wide shuffle).
+
+    Edge: a shard whose docs are ALL zero-token produces no sequence at
+    all, so ``n_seqs`` is 0 (and ``pad_tokens`` 0) — not the
+    ``max(last_seq)+1 = 1`` a naive max would report. This keeps the
+    "tail waste < one sequence per shard" audit invariant exact.
     """
     agg = packed.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.max(F.col("last_seq") + 1).alias("n_seqs"),
+        F.when(F.sum("n_tokens") == F.lit(0), F.lit(0))
+        .otherwise(F.max(F.col("last_seq")) + 1)
+        .alias("n_seqs"),
         F.sum(F.col("spans_boundary").cast("long")).alias("n_spanning"),
     )
     return agg.select(

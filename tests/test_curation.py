@@ -192,6 +192,25 @@ def test_pack_stats_accounting(spark):
         assert 0 <= s.pad_tokens < 8  # tail waste bounded by one seq
 
 
+def test_pack_stats_empty_shard(spark):
+    """A shard whose docs are all zero-token produces NO sequence:
+    n_seqs = 0 and pad_tokens = 0, not the phantom one-sequence/
+    seq_len-padding a naive max(last_seq)+1 would report. Keeps the
+    'tail waste < one sequence per shard' invariant exact."""
+    docs = spark.createDataFrame(
+        # shard 0 (ids 0-24): empty texts only; shard 1: one real doc
+        [(0, ""), (1, "   "), (2, ""), (25, "t t t")],
+        "doc_id long, text string",
+    )
+    packed = curation.sequence_pack(docs, seq_len=8, shard_docs=25)
+    stats = {r.shard: r for r in curation.pack_stats(packed, seq_len=8).collect()}
+    assert (stats[0].n_seqs, stats[0].pad_tokens) == (0, 0)
+    assert stats[0].n_tokens == 0 and stats[0].n_docs == 3
+    assert (stats[1].n_seqs, stats[1].n_tokens, stats[1].pad_tokens) == (1, 3, 5)
+    for s in stats.values():
+        assert 0 <= s.pad_tokens < 8  # invariant holds on the edge too
+
+
 def test_strip_host_boilerplate_hand_case(spark):
     """Host-scoped df threshold: a line on >=3 pages of ONE host is
     stripped there, the same line across DIFFERENT hosts is not;

@@ -195,7 +195,7 @@ def test_fingerprint_normalized_unifies_renderings(spark):
             (0, base),
             (1, "  the quick\tbrown  fox  "),  # padding/tabs
             (2, "the quick brown fox"),  # NBSP
-            (3, "the quick\x07 brown fox"[:3] + " quick brown fox"),
+            (3, "the quick\x07 brown fox"),  # C0 control (stripped)
             (4, "the quick brown​ fox"),  # zero-width
         ],
         "doc_id long, text string",
@@ -207,7 +207,7 @@ def test_fingerprint_normalized_unifies_renderings(spark):
     ).collect()
     got = {r.doc_id: r for r in rows}
     assert len({r.fp_norm for r in rows}) == 1  # all unify
-    for i in (1, 2, 4):
+    for i in (1, 2, 3, 4):
         assert got[i].fp_raw != got[0].fp_raw  # raw keys miss
         assert got[i].fp_norm == got[0].fp_norm
 
