@@ -33,6 +33,10 @@ physical cores to measure the engine rather than the hyperthreads):
                                   # repartition (salts=16) vs plain
                                   # repartition-by-host on a 90%-one-
                                   # host queue (env SPARK_GRAFT_SKEW_*)
+    python bench.py --skew-boiler # mega-host boilerplate A/B: salted
+                                  # docs x host-vocab join vs AQE-only
+                                  # vs raw hash layout, broadcast
+                                  # disabled (env SPARK_GRAFT_BOILER_*)
 
 Results are recorded in BENCH.md.
 """
@@ -407,6 +411,150 @@ def run_skew(
     return out
 
 
+def run_skew_boiler(
+    spark, n_docs: int, skew_frac: float, salts: int
+) -> dict:
+    """Mega-host skew A/B for strip_host_boilerplate (VERDICT r03
+    "wrong" #1): one mega-host owns ``skew_frac`` of all pages, every
+    one carrying the SAME cookie-banner line. The rework made the df
+    count an aggregation (map-side partials absorb the hot key), so the
+    only join left is docs x per-host-vocabulary on ``host`` — 1 row
+    per host on the build side, normally a broadcast. This A/B measures
+    the regime where that table CANNOT broadcast (threshold forced to
+    -1, i.e. a corpus whose boiler vocabulary outgrows executor
+    memory); three legs, same input, identical results (asserted):
+
+    * ``naive``  — unsalted, AQE skew-join OFF: the raw hash layout,
+      every mega-host doc in ONE task (share ~= skew_frac);
+    * ``aqe``    — unsalted, AQE skew-join ON: the runtime-stats fix,
+      AQE splits the skewed partition after the map stage observes it;
+    * ``salted`` — salt_partitions-way salt (shipped default): the
+      by-construction fix — deterministic layout, no reliance on
+      runtime stat thresholds (AQE's skewedPartitionFactor can miss
+      moderate skew; salting cannot).
+
+    AQE partition coalescing is disabled for ALL legs so the reported
+    max-task row share reflects the join's hash layout, not post-hoc
+    coalescing.
+    """
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    mega_n = int(n_docs * skew_frac)
+    pad = "lorem ipsum dolor sit amet " * 4
+    host = F.when(F.col("id") < mega_n, F.lit("mega.example")).otherwise(
+        F.concat(
+            F.lit("tail-"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    chrome = F.when(
+        F.col("host") == "mega.example",
+        F.lit("COOKIE BANNER accept all " + pad),
+    ).otherwise(F.concat(F.lit("NAV "), F.col("host"), F.lit(" " + pad)))
+    body = lambda tag: F.concat(  # noqa: E731 — unique per doc: df=1, kept
+        F.lit(f"body {tag} "), F.col("id").cast("string"), F.lit(" " + pad)
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), F.col("id").alias("id"), host.alias("host"))
+        .withColumn(
+            "text",
+            F.concat_ws(
+                "\n", chrome, body("a"), body("b"), body("c"), body("d")
+            ),
+        )
+        .drop("id")
+        .persist()
+    )
+    docs.count()  # materialize once; both legs read the same corpus
+    reps = int(os.environ.get("SPARK_GRAFT_SKEW_REPEATS", "2"))
+    out = {}
+    checks = {}
+    # simulate the vocab-outgrows-broadcast regime (both the static
+    # planner's threshold and AQE's runtime conversion)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    saved["spark.sql.adaptive.coalescePartitions.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", None
+    )
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", None
+    )
+    legs = (("salted", salts, "true"), ("aqe", 1, "true"), ("naive", 1, "false"))
+    try:
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.set(k, "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        for label, sp, skew_on in legs:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            walls = []
+            for _ in range(reps):  # best-of: fresh-JVM JIT (§1)
+                t0 = time.time()
+                row = (
+                    curation.strip_host_boilerplate(
+                        docs, min_df=3, salt_partitions=sp
+                    )
+                    .agg(
+                        F.sum("n_boiler").alias("b"),
+                        F.sum(F.length("clean_text")).alias("c"),
+                    )
+                    .collect()[0]
+                )
+                walls.append(time.time() - t0)
+            checks[label] = (row.b, row.c)
+            # sum a right-side-derived column so Catalyst cannot
+            # eliminate the (distinct-keyed) left join under the
+            # partition-id count — we are measuring THAT join's layout
+            parts = (
+                curation.strip_host_boilerplate(
+                    docs, min_df=3, salt_partitions=sp
+                )
+                .groupBy(F.spark_partition_id().alias("p"))
+                .agg(
+                    F.count("*").alias("count"),
+                    F.sum(F.length("clean_text")).alias("_c"),
+                )
+                .collect()
+            )
+            total = sum(r["count"] for r in parts)
+            out[label] = {
+                "wall_s": round(min(walls), 3),
+                "all_walls_s": [round(w, 3) for w in walls],
+                "join_rows": total,
+                "join_tasks": len(parts),
+                "max_task_share": round(
+                    max(r["count"] for r in parts) / total, 3
+                ),
+            }
+        assert len(set(checks.values())) == 1, checks  # pure routing
+    finally:
+        docs.unpersist()
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    out.update(
+        metric="boilerplate_megahost_salting_speedup",
+        value=round(out["naive"]["wall_s"] / out["salted"]["wall_s"], 2),
+        unit="x",
+        n_docs=n_docs,
+        skew_frac=skew_frac,
+        salt_partitions=salts,
+    )
+    return out
+
+
 def run_scaling_cluster(sf_dir: str) -> dict:
     """North_rule scaling evidence, process-isolated: the same wave job
     on a localhost Spark STANDALONE cluster at 1 worker (N=4 cores)
@@ -611,6 +759,14 @@ def main() -> None:
         br = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "50"))
         frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
         print(json.dumps(run_skew(spark, sf_dir, mult, br, frac)))
+    elif "--skew-boiler" in sys.argv:
+        from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
+
+        spark = get_spark(app_name="bench-skew-boiler")
+        n = int(os.environ.get("SPARK_GRAFT_BOILER_DOCS", "400000"))
+        frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
+        sp = int(os.environ.get("SPARK_GRAFT_BOILER_SALTS", "64"))
+        print(json.dumps(run_skew_boiler(spark, n, frac, sp)))
     elif "--wave-only" in sys.argv:
         from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
 

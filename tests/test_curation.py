@@ -243,6 +243,43 @@ def test_strip_host_boilerplate_hand_case(spark):
     assert got[5].n_boiler == 0
 
 
+def test_strip_host_boilerplate_salted_identical(spark):
+    """The salted host join is pure routing: salted and unsalted give
+    row-identical results, and host_boiler_sets' cap keeps the
+    highest-df lines with the pre-cap count still reported."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        host_boiler_sets,
+        strip_host_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "mega.x", "NAV home\nbody %d\nfooter" % i)
+            for i in range(8)
+        ]
+        + [(100, "tail.x", "NAV home\nsolo body")],
+        "doc_id long, host string, text string",
+    )
+    salted = strip_host_boilerplate(docs, min_df=3, salt_partitions=4)
+    plain = strip_host_boilerplate(docs, min_df=3, salt_partitions=1)
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(salted.collect(), key=key) == sorted(
+        plain.collect(), key=key
+    )
+    got = {r.doc_id: r for r in salted.collect()}
+    assert got[0].clean_text == "body 0"
+    assert got[100].clean_text == "NAV home\nsolo body"  # host-scoped
+    # vocabulary audit: mega.x has 2 boiler lines (NAV df=8, footer
+    # df=8); cap=1 keeps the higher-sorted one but reports both
+    sets = {
+        r.host: r
+        for r in host_boiler_sets(docs, min_df=3, max_lines=1).collect()
+    }
+    assert sets["mega.x"].n_boiler_lines == 2
+    assert len(sets["mega.x"].boiler_lines) == 1
+    assert "tail.x" not in sets  # df=1 each, below min_df
+
+
 def test_strip_host_boilerplate_order_preserved(spark):
     """Multiple surviving lines rebuild in original position order
     regardless of shuffle order."""
