@@ -1066,12 +1066,16 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_dup_pairs(spark, sf_dir):
-    """Banded MinHash-LSH pairs with the bucket cap ON (64 smallest
-    ids per band bucket — the 100 TB guard against degenerate band
-    keys; the oracle applies the identical deterministic cap)."""
+    """Banded MinHash-LSH pairs with the AUTO bucket cap (p99 of
+    bucket sizes floored at 64 — dedup.lsh_auto_cap's integer rule;
+    the oracle replays the identical percentile arithmetic in SQL).
+    The 100 TB guard against degenerate band keys without the fixed
+    cap's dense-corpus recall loss (VERDICT r03 "wrong" #2)."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
-    return dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
+    return dedup.lsh_dup_pairs(
+        sig, k=8, rows_per_band=4, max_bucket_size="auto"
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1083,7 +1087,9 @@ def q_dedup_clusters(spark, sf_dir):
     cross-check for the scalable algorithm."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
-    pairs = dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
+    pairs = dedup.lsh_dup_pairs(
+        sig, k=8, rows_per_band=4, max_bucket_size="auto"
+    )
     return dedup.dup_clusters(docs, pairs)
 
 
@@ -1101,9 +1107,11 @@ def q_jaccard_pairs(spark, sf_dir):
 
 LSH_RECALL_CONFIGS = (
     # (label, k, rows_per_band, max_bucket_size)
-    ("k8_b2r4_cap64", 8, 4, 64),       # the production default
+    ("k8_b2r4_auto", 8, 4, "auto"),    # the production default (p99 cap)
+    ("k8_b2r4_cap64", 8, 4, 64),       # the old fixed default (foot-gun)
     ("k16_b8r2_cap64", 16, 2, 64),     # more bands, same cap
     ("k16_b8r2_cap256", 16, 2, 256),   # cap dial
+    ("k16_b8r2_auto", 16, 2, "auto"),  # auto at the wider banding
     ("k16_b8r2_cap1000", 16, 2, 1000),
 )
 
@@ -1117,8 +1125,12 @@ def q_lsh_recall(spark, sf_dir):
     corpus is pairwise-dense (small shared vocabulary keeps every
     band bucket huge), so cap 64 -> ~0.17 recall while cap 1000 ->
     ~0.99 at identical banding (sf0.01; minhash row agreement itself
-    measured == J, so the loss is purely truncation). All set math is
-    engine-side joins + counts."""
+    measured == J, so the loss is purely truncation). The AUTO cap
+    (p99 of bucket sizes, floor 64 — the round-4 default) closes
+    that: 0.99 at k16_b8r2 (vs 0.17 fixed-64) and 0.58 at the k8_b2r4
+    default banding (vs 0.07 fixed-64) — at which point the residual
+    loss is the BANDING's own J-threshold curve, not truncation. All
+    set math is engine-side joins + counts."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "lbucket", F.floor(F.col("n_chars") / F.lit(64)).cast("int")
     )
@@ -1269,7 +1281,9 @@ def q_corpus_refine(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     qf = textstats.quality_filter(docs).filter("keep").select("doc_id")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
-    pairs = dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
+    pairs = dedup.lsh_dup_pairs(
+        sig, k=8, rows_per_band=4, max_bucket_size="auto"
+    )
     canon = dedup.dup_clusters(docs, pairs).filter("is_canonical").select("doc_id")
     mix = (
         sampling.training_mix_sample(docs)
@@ -1518,7 +1532,9 @@ def q_source_quality_rollup(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
-    pairs = dedup.lsh_dup_pairs(sig, k=8, rows_per_band=4, max_bucket_size=64)
+    pairs = dedup.lsh_dup_pairs(
+        sig, k=8, rows_per_band=4, max_bucket_size="auto"
+    )
     return curation.source_quality_rollup(docs, pairs)
 
 
@@ -1810,7 +1826,9 @@ def _mix_rate_case(col: str) -> str:
 # shared between the lsh_dup_pairs gate, the dedup_clusters oracle
 # (clusters = transitive closure over EXACTLY this pair set) and the
 # lsh_recall configs
-def _lsh_pairs_sql(k: int = 8, rows_per_band: int = 4, cap: int = 64) -> str:
+def _lsh_pairs_sql(
+    k: int = 8, rows_per_band: int = 4, cap: int | str = 64, floor: int = 64
+) -> str:
     n_bands = k // rows_per_band
     banded = "\n  UNION ALL\n  ".join(
         f"SELECT id, {b} AS band, "
@@ -1820,6 +1838,23 @@ def _lsh_pairs_sql(k: int = 8, rows_per_band: int = 4, cap: int = 64) -> str:
         + " AS bkey FROM sig"
         for b in range(n_bands)
     )
+    if cap == "auto":
+        # dedup.lsh_auto_cap's integer rule, replayed exactly: cap =
+        # greatest(floor, k-th smallest bucket size) with
+        # k = ceil(99 * n_buckets / 100) = (99*n + 99) // 100
+        cap_expr = f"""(
+    SELECT greatest({floor}, (
+      SELECT min(n) FROM (
+        SELECT n, row_number() OVER (ORDER BY n) AS rnk
+        FROM (SELECT count(*) AS n FROM banded GROUP BY band, bkey)
+      ) WHERE rnk >= (
+        SELECT (99 * count(*) + 99) // 100
+        FROM (SELECT DISTINCT band, bkey FROM banded)
+      )
+    ))
+  )"""
+    else:
+        cap_expr = str(cap)
     return f"""
 WITH sig AS ({_minhash_select(k)}),
 banded AS (
@@ -1830,7 +1865,7 @@ capped AS (
     SELECT id, band, bkey,
            row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn
     FROM banded
-  ) WHERE rn <= {cap}
+  ) WHERE rn <= {cap_expr}
 )
 SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
 FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
@@ -1838,7 +1873,7 @@ GROUP BY a.id, b.id
 """.strip()
 
 
-_LSH_PAIRS_SQL = _lsh_pairs_sql()
+_LSH_PAIRS_SQL = _lsh_pairs_sql(cap="auto")
 
 
 def _hamming_bands_sql(src: str, bits: int = 60, max_hamming: int = 6) -> str:

@@ -39,6 +39,42 @@ def test_lsh_pairs_catch_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_lsh_auto_cap_rule(spark):
+    """The auto cap is the p99 bucket size floored at `floor`: on a
+    corpus of many small buckets plus ONE monster, the p99 stays
+    small so the cap binds only on the monster; on a dense corpus
+    where the big bucket IS the p99, nothing real is dropped."""
+    from pyspark.sql import functions as F
+
+    # 200 singleton docs (each its own vocabulary -> its own buckets)
+    # + 30 identical docs (one monster bucket per band)
+    singles = [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(200)]
+    monster = [(1000 + i, "same same2 same3 same4") for i in range(30)]
+    docs = spark.createDataFrame(singles + monster, "doc_id long, text string")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=4)
+    # buckets: ~400 of size 1-ish and 2 of size 30 -> p99 is small,
+    # floor dominates
+    cap = dedup.lsh_auto_cap(sig, k=4, rows_per_band=2, floor=8)
+    assert cap == 8
+    pairs = dedup.lsh_dup_pairs(
+        sig, k=4, rows_per_band=2, max_bucket_size="auto", auto_floor=8
+    )
+    # monster capped at 8 smallest ids => exactly C(8,2) monster pairs
+    mon = pairs.filter(F.col("id_a") >= 1000)
+    assert mon.count() == 28
+    assert mon.agg(F.max("id_b")).collect()[0][0] == 1007
+
+    # dense corpus: EVERY bucket is the monster -> p99 = bucket size,
+    # auto cap rises to it and nothing is dropped
+    dense = spark.createDataFrame(monster, "doc_id long, text string")
+    sigd = dedup.minhash_signatures(dense, "doc_id", "text", k=4)
+    assert dedup.lsh_auto_cap(sigd, k=4, rows_per_band=2, floor=8) == 30
+    full = dedup.lsh_dup_pairs(
+        sigd, k=4, rows_per_band=2, max_bucket_size="auto", auto_floor=8
+    )
+    assert full.count() == 30 * 29 // 2
+
+
 def test_simhash_properties(spark):
     fp = {r.id: r.simhash for r in dedup.simhash(_docs(spark), "doc_id", "text").collect()}
     assert fp[0] == fp[1] == fp[4]
