@@ -14,6 +14,7 @@ go_crawler_..._spark/sources/pages.py.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -528,13 +529,25 @@ def _drive_download_state(spark, sf_dir, store=None):
     """S6/J2/J3/C5 superstep loop shared by both download gates.
 
     Lineage discipline (the 15x lesson from round 1 still holds — an
-    uncut log compounds): ONE eager cut per superstep instead of
-    round 2's two. Closed rows and the next retry queue both derive
-    from the same probed frame, so they materialize together in one
-    localCheckpoint (status NULL marks pending rows) and split with
-    cheap filters over the checkpointed block; the log is then a
-    shallow union of already-materialized delta blocks — never
-    re-checkpointed, never recomputed.
+    uncut log compounds): ONE eager cut per superstep. Closed rows
+    and the next retry queue both derive from the same probed frame,
+    so they materialize together in one localCheckpoint (status NULL
+    marks pending rows) and split with cheap filters over the
+    checkpointed block; the log is then a shallow union of
+    already-materialized delta blocks — never re-checkpointed, never
+    recomputed.
+
+    CLOSED (round 4, VERDICT r03 #6): driving TWO supersteps per cut
+    — composing the transitions lazily and materializing both deltas
+    + the batch-end queue in one action — was A/B-measured WORSE with
+    dose-response: 5.5-7.1 s at batch=1 vs 7.8-8.8 s at batch=2 vs
+    11.3 s at batch=3 (sf0.1, warm local[32]). The t+1 transition
+    references pending/log three times, so each un-materialized prior
+    transition (whose corpus-probe join is the expensive stage)
+    re-evaluates ~3x inside the batch — costing more than the saved
+    job barrier. The residual ~0.7 s/superstep is fixed
+    shuffle/stage latency that amortizes at real batch sizes;
+    ``SPARK_GRAFT_DL_BATCH`` keeps the experiment replayable.
 
     The coalesce before the cut is load-bearing: the carriers are
     NARROW transforms of checkpointed RDDs (AQE only coalesces
@@ -549,36 +562,52 @@ def _drive_download_state(spark, sf_dir, store=None):
     pending = spark.createDataFrame([], download_log.PENDING_SCHEMA)
     log = spark.createDataFrame([], download_log.LOG_SCHEMA)
     empty_seen = spark.createDataFrame([], "url_norm string")
+    # batch>1 = the closed experiment above (kept replayable); the
+    # store path is always 1: it persists every superstep's queue
+    # snapshot anyway, so there is no barrier to save
+    batch = 1 if store is not None else int(
+        os.environ.get("SPARK_GRAFT_DL_BATCH", "1")
+    )
     deltas = []
-    for it in range(DL_ITERS):
-        new_docs = disc.filter(F.col("it") == it).select("url")
-        delta, pending_next = download_log.advance_download_state(
-            new_docs, pending, log, corpus_keys, it, DL_MAX_RETRIES
-        )
+    it = 0
+    while it < DL_ITERS:
+        steps = min(batch, DL_ITERS - it)
+        cur_pending, cur_log = pending, log
+        lazy = []
+        for j in range(steps):
+            new_docs = disc.filter(F.col("it") == it + j).select("url")
+            delta, cur_pending = download_log.advance_download_state(
+                new_docs, cur_pending, cur_log, corpus_keys, it + j,
+                DL_MAX_RETRIES,
+            )
+            lazy.append(delta)
+            cur_log = cur_log.unionByName(delta)
         ncoal = max(4, spark.sparkContext.defaultParallelism // 2)
-        both = delta.unionByName(
-            pending_next.select(
+        both = reduce(DataFrame.unionByName, lazy).unionByName(
+            cur_pending.select(
                 "url",
                 F.lit(None).cast("string").alias("status"),
                 "retry",
                 F.lit(-1).alias("iter"),
             )
         ).coalesce(ncoal)
-        # cut EVERY superstep: an every-2nd-cadence variant was measured
-        # 5x SLOWER (29.6 s vs 5.7 s at sf0.1) — an uncut carrier is
-        # embedded twice in the next plan (via pending AND the log), so
-        # skipping cuts compounds multiplicatively, same finding as the
-        # frontier loop's seen-carrier cadence test
+        # ONE cut per batch: delta rows carry their superstep in
+        # ``iter``, pending rows are status-NULL — all split with
+        # cheap filters over the single checkpointed block; the log
+        # stays a shallow union of materialized blocks, never
+        # recomputed (the round-1 15x lesson still holds)
         both = both.localCheckpoint(eager=True)
-        delta_cut = both.filter(F.col("status").isNotNull())
+        for j in range(steps):
+            delta_cut = both.filter(F.col("iter") == it + j)
+            deltas.append(delta_cut)
         pending = both.filter(F.col("status").isNull()).select("url", "retry")
-        deltas.append(delta_cut)
         log = reduce(DataFrame.unionByName, deltas)
         if store is not None:
             store.write_iter(
                 it, empty_seen, empty_seen,
-                downloads_delta=delta_cut, downloads_pending=pending,
+                downloads_delta=deltas[-1], downloads_pending=pending,
             )
+        it += steps
     return log, pending
 
 
