@@ -97,6 +97,15 @@ class CrawlConfig:
     # through one tier (the reference exposes the same knob via its
     # configurable thresholds, coordinator.go:135-142). None = O1 rules.
     force_path: str | None = None
+    # observability hook for the plans the LOOP actually builds: called
+    # as plan_hook(iteration, stage, physical_plan_str) for each
+    # superstep's schedule and fetch-join frames before they execute.
+    # tests/test_plans.py drives the in-loop plan contracts through it
+    # (no-BNLJ / no-SinglePartition / broadcast-frontier at iteration
+    # k, where the scale-critical plans live — a static composition
+    # check can't see what the k-th superstep's carriers look like).
+    # None (default) costs nothing.
+    plan_hook: "object | None" = None
     # cache the prepared corpus across iterations (the reference's
     # response cache, O11). Right for iterative crawls; set False for
     # single-superstep runs where each page is read exactly once and
@@ -260,6 +269,15 @@ def _prepare_pages(
         est_bytes = 0
     n = min(max(par, est_bytes // (target_mb << 20) + 1), cap_mult * par)
     return proj.repartition(n, "url_norm").dropDuplicates(["url_norm"])
+
+
+def _physical_str(df: DataFrame) -> str:
+    """The physical plan Spark would run for ``df``, as text (the
+    pre-AQE planned form — join strategies, exchanges and build sides
+    are all decided here; AQE may only coalesce/convert further)."""
+    return (
+        df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    )
 
 
 def fetch_join(
@@ -430,6 +448,8 @@ def crawl(
                 global_budget=cfg.global_budget,
                 host_budgets=host_budgets,
             )
+            if cfg.plan_hook is not None:
+                cfg.plan_hook(it, "schedule", _physical_str(scheduled))
             n_sched = scheduled.count()
         if n_sched == 0:
             break
@@ -439,6 +459,8 @@ def crawl(
         # S2: the fetch is a lookup join against the corpus (misses are
         # counted as n_sched - fetched, never materialized).
         hits = fetch_join(scheduled, corpus, cfg.broadcast_frontier)
+        if cfg.plan_hook is not None:
+            cfg.plan_hook(it, "fetch_join", _physical_str(hits))
 
         # O1 route + E1/E2 extract, one pass, per-partition metrics
         path_col = (

@@ -8,11 +8,15 @@ refactor that silently introduces an all-to-one exchange, a
 nested-loop join, or a full-width parquet scan fails CI instead of
 surfacing as a 100x slowdown at real scale.
 
-The driver-loop queries (crawl/download/stream) are excluded here —
-their interesting plans live inside per-superstep iterations and are
-audited by their own tests (test_frontier, test_streaming,
-test_download_log); everything else is built lazily and inspected
-without execution.
+The driver-loop queries (crawl/download/stream) are excluded from the
+lazy sweep — their interesting plans live inside per-superstep
+iterations. The crawl loop's are audited HERE too, via
+CrawlConfig.plan_hook (test_crawl_loop_plan_contracts): the hook
+captures each superstep's schedule and fetch-join physical plans from
+inside crawl(), where the k-th iteration's carriers (checkpointed
+frontier, grown seen set) are what the planner actually sees — a
+static composition check cannot reproduce that. The remaining loops
+are pinned by their own tests (test_streaming, test_download_log).
 """
 
 from __future__ import annotations
@@ -196,3 +200,65 @@ def test_documents_scan_prunes_columns(plans):
             assert "n_chars" not in cols and "source" not in cols, (
                 f"{name}: scan reads unused columns: struct<{cols}>"
             )
+
+
+def test_crawl_loop_plan_contracts(spark):
+    """The BENCH.md §5 contracts, asserted on the plans the crawl loop
+    ACTUALLY builds at every superstep (VERDICT r03 #5): per iteration
+    k, the scheduled-politeness frame and the fetch join must plan
+    with no CartesianProduct / BroadcastNestedLoopJoin, no all-to-one
+    Exchange SinglePartition (scalar partial_* finalizations exempt,
+    as in the lazy sweep), and the fetch join must broadcast the
+    FRONTIER side while the corpus branch reads straight from the
+    cache with no exchange of any kind below the join."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+        CrawlConfig,
+        crawl,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.pages import (
+        quirk_pages,
+    )
+
+    captured = []
+    cfg = CrawlConfig(
+        budget_per_host=2,
+        max_iterations=6,
+        plan_hook=lambda it, stage, plan: captured.append((it, stage, plan)),
+    )
+    pages = quirk_pages(spark)
+    seeds = spark.createDataFrame(
+        [("https://quirk.example/", 0)], "url string, depth int"
+    )
+    crawl(spark, pages, seeds, cfg)
+
+    fetches = [(it, p) for it, stage, p in captured if stage == "fetch_join"]
+    schedules = [(it, p) for it, stage, p in captured if stage == "schedule"]
+    assert len(fetches) >= 3, "loop did not run enough supersteps"
+    assert len(schedules) >= 3
+
+    scalar_final = re.compile(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*"
+        r"partial_(?:bloom_filter_agg|max\(|count\(|sum\()"
+    )
+    for it, p in fetches + schedules:
+        assert "CartesianProduct" not in p, f"iter {it}"
+        assert "BroadcastNestedLoopJoin" not in p, f"iter {it}"
+        assert "Exchange SinglePartition" not in scalar_final.sub("", p), (
+            f"iter {it}: all-to-one exchange inside the loop"
+        )
+    for it, p in fetches:
+        # frontier is the build side of one BroadcastHashJoin...
+        joins = [ln for ln in p.splitlines() if "BroadcastHashJoin" in ln]
+        assert joins and all("BuildLeft" in ln for ln in joins), f"iter {it}"
+        # ...and the corpus branch (everything after the broadcast
+        # branch) reaches the cache scan without ANY exchange
+        lines = p.splitlines()
+        (jidx,) = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+        corpus_branch = [
+            ln for ln in lines[jidx + 1 :] if not ln.lstrip().startswith(":")
+        ]
+        cache = next(
+            i for i, ln in enumerate(corpus_branch) if "InMemoryTableScan" in ln
+        )
+        hot = corpus_branch[: cache + 1]
+        assert not any("Exchange" in ln for ln in hot), (it, hot)
