@@ -1681,8 +1681,9 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """REAL decode path (multimodal.decode_png_py / decode_wav_py):
-    conforming PNG/WAV payloads synthesized closed-form in doc_id
+    """REAL decode path (multimodal.decode_png_py / decode_wav_py /
+    decode_bmp_py):
+    conforming PNG/WAV/BMP payloads synthesized closed-form in doc_id
     (attach_decodable_payload), decoded strict=True — no histogram
     fallback can hide a parse failure — and projected through
     features_digest. The oracle recomputes width/height/pixel and
@@ -3209,12 +3210,13 @@ FROM vec
         # real-decode oracle: no decoder on this side — the features are
         # recomputed from attach_decodable_payload's closed-form synthesis
         # (PNG: w=4+d%13, h=3+d%7, px=(d+31x+17y)%256; WAV: n=32+d%64,
-        # s=((7d+13i)%2048)-1024), so a Spark-side decode bug cannot be
+        # s=((7d+13i)%2048)-1024; BMP: w=2+d%9, h=2+d%5, channel c value
+        # ((d+13x+7y)*(c+1))%256), so a Spark-side decode bug cannot be
         # mirrored here
         "multimodal_decode": """
 WITH png AS (
   SELECT d.doc_id, 4 + d.doc_id % 13 AS w, 3 + d.doc_id % 7 AS h
-  FROM documents d WHERE d.doc_id % 2 = 0
+  FROM documents d WHERE d.doc_id % 3 = 0
 ),
 pngpix AS (
   SELECT doc_id, w, h, (doc_id + 31 * (i % w) + 17 * (i // w)) % 256 AS v
@@ -3231,7 +3233,7 @@ pngfeat AS (
 ),
 wav AS (
   SELECT d.doc_id, 32 + d.doc_id % 64 AS n
-  FROM documents d WHERE d.doc_id % 2 = 1
+  FROM documents d WHERE d.doc_id % 3 = 1
 ),
 wavsmp AS (
   SELECT doc_id, n, ((doc_id * 7 + i * 13) % 2048) - 1024 AS s
@@ -3246,7 +3248,30 @@ wavfeat AS (
     [2, 1, 8000, 16, n, mn, mx, sm, sa, 0, 0, 0, 0, 0, 0, 0] AS l
   FROM wavagg
 ),
-allf AS (SELECT * FROM pngfeat UNION ALL SELECT * FROM wavfeat)
+bmp AS (
+  SELECT d.doc_id, 2 + d.doc_id % 9 AS w, 2 + d.doc_id % 5 AS h
+  FROM documents d WHERE d.doc_id % 3 = 2
+),
+bmppix AS (
+  SELECT doc_id, w, h,
+    ((doc_id + 13 * (i % w) + 7 * (i // w)) * (c + 1)) % 256 AS v
+  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM bmp),
+       (SELECT unnest(range(3)) AS c)
+),
+bmpagg AS (
+  SELECT doc_id, w, h, min(v) AS mn, max(v) AS mx, sum(v) AS sm
+  FROM bmppix GROUP BY doc_id, w, h
+),
+bmpfeat AS (
+  SELECT doc_id, 'image/bmp' AS mime,
+    [3, w, h, 24, w * h, mn, mx, sm, 0, 0, 0, 0, 0, 0, 0, 0] AS l
+  FROM bmpagg
+),
+allf AS (
+  SELECT * FROM pngfeat
+  UNION ALL SELECT * FROM wavfeat
+  UNION ALL SELECT * FROM bmpfeat
+)
 SELECT doc_id, mime, 16 AS n_features,
        md5(array_to_string(l, ',')) AS features_md5
 FROM allf

@@ -37,6 +37,7 @@ _MAGIC = (
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),  # RIFF container (wav/avi; refined by fourcc)
     (b"ID3", "audio/mpeg"),
     (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with size prefix
@@ -104,8 +105,11 @@ FEATURES_SCHEMA = "doc_id long, mime string, features array<float>"
 #          min_px, max_px, sum_px, 0...]
 #   WAV : [2, channels, sample_rate, bits, n_samples,
 #          min_s, max_s, sum_s, sum_abs_s, 0...]
+#   BMP : [3, width, height, bpp, n_pixels,
+#          min_v, max_v, sum_v, 0...]   (v over ALL channel bytes)
 KIND_IMAGE = 1.0
 KIND_AUDIO = 2.0
+KIND_IMAGE_BMP = 3.0
 
 
 def decode_png_py(p: bytes) -> list[float]:
@@ -204,7 +208,44 @@ def decode_wav_py(p: bytes) -> list[float]:
     ] + [0.0] * (FEATURE_DIM - 9)
 
 
-_DECODERS = {"image/png": decode_png_py, "audio/wav": decode_wav_py}
+def decode_bmp_py(p: bytes) -> list[float]:
+    """REAL BMP decode, stdlib only: BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER parse, uncompressed 24-bpp (BI_RGB) bottom-up
+    pixel array with 4-byte row padding honored. Feature stats run
+    over ALL channel bytes (B, G, R per pixel). Raises ValueError on
+    anything that is not a conforming 24-bpp bottom-up BMP — the same
+    strict-subset discipline as the PNG/WAV decoders."""
+    if not p or len(p) < 54 or p[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", p[10:14])
+    (dib_size,) = struct.unpack("<I", p[14:18])
+    if dib_size != 40:
+        raise ValueError("unsupported DIB header (BITMAPINFOHEADER only)")
+    w, h = struct.unpack("<ii", p[18:26])
+    planes, bpp = struct.unpack("<HH", p[26:30])
+    (compression,) = struct.unpack("<I", p[30:34])
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant (24-bpp BI_RGB only)")
+    if w <= 0 or h <= 0:
+        raise ValueError("unsupported BMP orientation (bottom-up only)")
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if offset + row_bytes * h > len(p):
+        raise ValueError("truncated pixel array")
+    vals: list[int] = []
+    for y in range(h):
+        row = p[offset + y * row_bytes : offset + y * row_bytes + w * 3]
+        vals.extend(row)
+    return [
+        KIND_IMAGE_BMP, float(w), float(h), float(bpp),
+        float(w * h), float(min(vals)), float(max(vals)), float(sum(vals)),
+    ] + [0.0] * (FEATURE_DIM - 8)
+
+
+_DECODERS = {
+    "image/png": decode_png_py,
+    "audio/wav": decode_wav_py,
+    "image/bmp": decode_bmp_py,
+}
 
 
 def decode_features(
@@ -216,8 +257,9 @@ def decode_features(
 ) -> DataFrame:
     """Decode + feature-extract stage.
 
-    PNG and PCM-WAV payloads take the REAL decode path (decode_png_py /
-    decode_wav_py above — pure stdlib, no codec libraries needed) and
+    PNG, PCM-WAV and 24-bpp BMP payloads take the REAL decode path
+    (decode_png_py / decode_wav_py / decode_bmp_py above — pure
+    stdlib, no codec libraries needed) and
     emit structure features from decoded pixels/samples. Every other
     container — and any payload that fails its parse — falls back to a
     deterministic 16-bin byte histogram (stable across runs, so tests
@@ -367,6 +409,24 @@ def encode_png_py(width: int, height: int, pixel_fn) -> bytes:
     )
 
 
+def encode_bmp_py(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal REAL 24-bpp BMP encoder (BITMAPINFOHEADER, BI_RGB,
+    bottom-up rows padded to 4 bytes): any conforming BMP reader
+    decodes it. ``pixel_fn(x, y)`` returns the (b, g, r) byte triple.
+    Used to synthesize decodable fixtures."""
+    row_bytes = (width * 3 + 3) & ~3
+    pix = b"".join(
+        b"".join(bytes(pixel_fn(x, y)) for x in range(width))
+        + b"\x00" * (row_bytes - width * 3)
+        for y in range(height)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return header + dib + pix
+
+
 def encode_wav_py(samples: list[int], rate: int = 8000) -> bytes:
     """Minimal REAL PCM-16 mono WAV encoder (conforming RIFF layout)."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -391,28 +451,43 @@ PNG_H = lambda d: 3 + d % 7  # noqa: E731
 PNG_PX = lambda d, x, y: (d + 31 * x + 17 * y) % 256  # noqa: E731
 WAV_N = lambda d: 32 + d % 64  # noqa: E731
 WAV_S = lambda d, i: ((d * 7 + i * 13) % 2048) - 1024  # noqa: E731
+BMP_W = lambda d: 2 + d % 9  # noqa: E731 — spans all 4-byte pad phases
+BMP_H = lambda d: 2 + d % 5  # noqa: E731
+# channel c in (0=B, 1=G, 2=R): distinct per-channel values so a
+# swapped/ignored channel cannot cancel out in the summed features
+BMP_PX = lambda d, x, y, c: ((d + 13 * x + 7 * y) * (c + 1)) % 256  # noqa: E731
 
 
 def attach_decodable_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic REAL media payloads for the decode path: even ids
-    get a conforming 8-bit grayscale PNG (size and pixels closed-form
-    in doc_id), odd ids a conforming PCM-16 WAV (sample count and
-    values closed-form in doc_id) — so a SQL oracle can recompute the
-    decoded features without any decoder of its own."""
+    """Deterministic REAL media payloads for the decode path: ids
+    rotate by ``doc_id % 3`` through a conforming 8-bit grayscale PNG,
+    a PCM-16 WAV, and a 24-bpp BMP — sizes, pixels and samples all
+    closed-form in doc_id, so a SQL oracle can recompute the decoded
+    features without any decoder of its own."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for d in pdf[id_col]:
                 d = int(d)
-                if d % 2 == 0:
+                if d % 3 == 0:
                     w, h = PNG_W(d), PNG_H(d)
                     payloads.append(
                         encode_png_py(w, h, lambda x, y, d=d: PNG_PX(d, x, y))
                     )
-                else:
+                elif d % 3 == 1:
                     payloads.append(
                         encode_wav_py([WAV_S(d, i) for i in range(WAV_N(d))])
+                    )
+                else:
+                    payloads.append(
+                        encode_bmp_py(
+                            BMP_W(d),
+                            BMP_H(d),
+                            lambda x, y, d=d: tuple(
+                                BMP_PX(d, x, y, c) for c in range(3)
+                            ),
+                        )
                     )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 

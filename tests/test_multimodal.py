@@ -120,9 +120,36 @@ def test_wav_roundtrip_pure_python():
         M.decode_wav_py(b"RIFF1234WAVEgarbage")
 
 
+def test_bmp_roundtrip_pure_python():
+    """24-bpp BMP encode -> decode round trip, on a width whose row
+    needs 4-byte padding (w=2: 6 pixel bytes + 2 pad) — the pad bytes
+    must NOT leak into the stats."""
+    vals = {}
+    def px(x, y):
+        t = tuple(((5 + 13 * x + 7 * y) * (c + 1)) % 256 for c in range(3))
+        vals[(x, y)] = t
+        return t
+    p = M.encode_bmp_py(2, 3, px)
+    feats = M.decode_bmp_py(p)
+    flat = [v for t in vals.values() for v in t]
+    assert feats[:8] == [
+        M.KIND_IMAGE_BMP, 2.0, 3.0, 24.0, 6.0,
+        float(min(flat)), float(max(flat)), float(sum(flat)),
+    ]
+    with pytest.raises(ValueError):
+        M.decode_bmp_py(b"BMgarbage-too-short")
+    with pytest.raises(ValueError):
+        # 8-bpp variant rejected (strict subset)
+        import struct as _st
+        bad = bytearray(p)
+        bad[28:30] = _st.pack("<H", 8)
+        M.decode_bmp_py(bytes(bad))
+
+
 def test_decode_features_real_path_strict(spark):
-    """Real PNG/WAV payloads decode under strict=True (no fallback),
-    and the decoded structure features land in the DataFrame."""
+    """Real PNG/WAV/BMP payloads decode under strict=True (no
+    fallback), and the decoded structure features land in the
+    DataFrame."""
     docs = spark.createDataFrame([(0,), (1,), (2,), (3,)], "doc_id long")
     payloads = M.attach_decodable_payload(docs)
     out = {r.doc_id: r for r in
@@ -132,6 +159,12 @@ def test_decode_features_real_path_strict(spark):
     assert out[0].features[1] == float(M.PNG_W(0))  # width
     assert out[1].mime == "audio/wav"
     assert out[1].features[4] == float(M.WAV_N(1))  # n_samples
+    assert out[2].mime == "image/bmp"
+    assert out[2].features[0] == M.KIND_IMAGE_BMP
+    assert out[2].features[1:5] == [
+        float(M.BMP_W(2)), float(M.BMP_H(2)), 24.0,
+        float(M.BMP_W(2) * M.BMP_H(2)),
+    ]
     # fake (unparseable) PNG still falls back non-strict, raises strict
     fake = spark.createDataFrame([(9, b"\x89PNG\r\n\x1a\nnot-a-png")],
                                  "doc_id long, payload binary")
