@@ -33,6 +33,9 @@ physical cores to measure the engine rather than the hyperthreads):
                                   # repartition (salts=16) vs plain
                                   # repartition-by-host on a 90%-one-
                                   # host queue (env SPARK_GRAFT_SKEW_*)
+    python bench.py --pipeline    # 8-stage end-to-end rehearsal at the
+                                  # padded 1M-page scale; per-stage
+                                  # wall/rows/heap (BENCH.md section 9)
     python bench.py --skew-boiler # mega-host boilerplate A/B: salted
                                   # docs x host-vocab join vs AQE-only
                                   # vs raw hash layout, broadcast
@@ -555,6 +558,54 @@ def run_skew_boiler(
     return out
 
 
+def run_pipeline_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
+    """End-to-end rehearsal (VERDICT r03 next-round #1): the eight-stage
+    training pipeline — crawl -> tier-2 extract -> normalize -> quality
+    filter -> dedup clusters -> corpus refine -> sequence pack -> shard
+    sink — driven as ONE job over the padded corpus (sf0.1 x 20 =
+    1 M pages at Common-Crawl-realistic ~20 KB tag-dense bodies by
+    default). Reports per-stage wall / rows in-out / JVM heap peak
+    (the BENCH.md §9 table) plus the shard manifest. No gate can see
+    cross-stage costs (corpus-cache pressure vs the refine shuffles,
+    the CC floor composed with everything else); this run does.
+    """
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.pipeline import (
+        run_training_pipeline,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        pages as pagesrc,
+    )
+
+    spark = get_spark(app_name="bench-pipeline")
+    base = pagesrc.synth_clean_pages(spark, sf_dir, body_repeat=body_repeat)
+    pages = _replicate(base, ["url", "html"], scale_mult)
+    seeds = _replicate(spark.sql(pagesrc.seeds_sql()), ["url"], scale_mult)
+    wd = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        t0 = time.time()
+        res = run_training_pipeline(spark, pages, seeds, wd)
+        wall = time.time() - t0
+        return {
+            "metric": "pipeline_total_wall",
+            "value": round(wall, 3),
+            "unit": "sec",
+            "sf": _sf_of(sf_dir),
+            "scale_mult": scale_mult,
+            "body_repeat": body_repeat,
+            "stages": res.stats(),
+            "manifest": sorted(
+                (r.asDict() for r in res.manifest.collect()),
+                key=lambda d: str(d),
+            ),
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def run_scaling_cluster(sf_dir: str) -> dict:
     """North_rule scaling evidence, process-isolated: the same wave job
     on a localhost Spark STANDALONE cluster at 1 worker (N=4 cores)
@@ -759,6 +810,14 @@ def main() -> None:
         br = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "50"))
         frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
         print(json.dumps(run_skew(spark, sf_dir, mult, br, frac)))
+    elif "--pipeline" in sys.argv:
+        mult = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "20"))
+        # body_repeat=1: padding multiplies PAGE COUNT (the capability
+        # fixture), not bodies — repeated-snippet bodies are (rightly)
+        # killed wholesale by the quality filter's repetition rule,
+        # which would empty the funnel after stage 4
+        br = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "1"))
+        print(json.dumps(run_pipeline_bench(sf_dir, mult, br)))
     elif "--skew-boiler" in sys.argv:
         from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
 
