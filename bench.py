@@ -561,10 +561,9 @@ def run_skew_boiler(
 def run_pipeline_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
     """End-to-end rehearsal (VERDICT r03 next-round #1): the eight-stage
     training pipeline — crawl -> tier-2 extract -> normalize -> quality
-    filter -> dedup clusters -> corpus refine -> sequence pack -> shard
-    sink — driven as ONE job over the padded corpus (sf0.1 x 20 =
-    1 M pages at Common-Crawl-realistic ~20 KB tag-dense bodies by
-    default). Reports per-stage wall / rows in-out / JVM heap peak
+    filter -> exact dedup -> near-dup clusters -> corpus refine ->
+    sequence pack -> shard sink — driven as ONE job over the padded
+    corpus (sf0.1 x 200 = 1 M pages by default). Reports per-stage wall / rows in-out / JVM heap peak
     (the BENCH.md §9 table) plus the shard manifest. No gate can see
     cross-stage costs (corpus-cache pressure vs the refine shuffles,
     the CC floor composed with everything else); this run does.
@@ -811,7 +810,7 @@ def main() -> None:
         frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
         print(json.dumps(run_skew(spark, sf_dir, mult, br, frac)))
     elif "--pipeline" in sys.argv:
-        mult = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "20"))
+        mult = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "200"))
         # body_repeat=1: padding multiplies PAGE COUNT (the capability
         # fixture), not bodies — repeated-snippet bodies are (rightly)
         # killed wholesale by the quality filter's repetition rule,

@@ -238,17 +238,29 @@ CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
 WS_RUN = "[ \t\n\r]+"
 
 
+def _nfc_one(x):
+    """NFC for one value; ASCII rows (the overwhelming majority of web
+    text) short-circuit via ``str.isascii`` — a C-level check — so the
+    Python cost is paid only where composition can change bytes."""
+    return (
+        x if x is None or x.isascii() else unicodedata.normalize("NFC", x)
+    )
+
+
 @pandas_udf(T.StringType())  # DataType object: parses without a live session
 def nfc_text(s: pd.Series) -> pd.Series:
-    """NFC composition, Arrow-batched. ASCII rows (the overwhelming
-    majority of web text) short-circuit via ``str.isascii`` — a C-level
-    check — so the Python cost is paid only where composition can
-    actually change bytes."""
-    return s.map(
-        lambda x: x
-        if x is None or x.isascii()
-        else unicodedata.normalize("NFC", x)
-    )
+    """NFC composition as a scalar column expression, Arrow-batched.
+
+    ONLY for narrow columns (urls, hosts, titles). A scalar pandas UDF
+    plans as ArrowEvalPython, which queues every ORIGINAL input row
+    JVM-side (HybridRowQueue) to re-join the python results — the
+    queue is entitled to the whole execution pool before it spills,
+    which at document widths starves the heap: measured 6.6 GB live
+    (2.5 GB queue pages + 4 GB row bytes) and a GC-overhead OOM on the
+    1 M-page normalize at 32 slots / 8 g. Wide columns go through
+    ``normalize_text``'s mapInPandas hop instead, which streams
+    batch-in/batch-out with no join-back queue."""
+    return s.map(_nfc_one)
 
 
 def normalize_text(
@@ -272,16 +284,41 @@ def normalize_text(
     the same scan as the quality pass, and feeds every dedup operator
     (`fingerprint`, `ngram_span_stats`, `minhash_signatures`) a
     rendering-independent key space.
+
+    The NFC hop is ``mapInPandas``, NOT the scalar ``nfc_text`` UDF:
+    document text is a WIDE column (KB typical, 5 MB cap tail), and
+    ArrowEvalPython's join-back row queue holds the original rows on
+    the JVM heap up to the full execution pool before spilling \u2014
+    measured 6.6 GB live and a GC-overhead OOM on the 1 M-page
+    pipeline's normalize stage (32 slots, 8 g heap). MapInPandas
+    streams batch-in/batch-out: JVM-side state is one in-flight Arrow
+    batch (byte-bounded by spark.sql.execution.arrow.maxBytesPerBatch,
+    session.py), independent of row width. Same values either way \u2014
+    the NFC kernel is shared (_nfc_one).
     """
+    proj = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(k) for k in keep],
+        F.col(text_col),
+    )
+    out_schema = T.StructType(
+        list(proj.schema.fields) + [T.StructField("__nfc", T.StringType())]
+    )
+
+    def _nfc_batches(batches):
+        for pdf in batches:
+            yield pdf.assign(__nfc=pdf[text_col].map(_nfc_one))
+
+    base = proj.mapInPandas(_nfc_batches, out_schema)
     raw = F.col(text_col)
-    c = nfc_text(raw)
+    c = F.col("__nfc")
     c = F.regexp_replace(c, "\u00a0", " ")
     c = F.regexp_replace(c, ZERO_WIDTH_CLASS, "")
     c = F.regexp_replace(c, CONTROL_CLASS, "")
     c = F.regexp_replace(c, WS_RUN, " ")
     c = F.trim(c)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        F.col("doc_id"),
         *[F.col(k) for k in keep],
         c.alias("norm_text"),
         F.length(raw).cast("bigint").alias("n_before"),

@@ -126,6 +126,32 @@ class CrawlConfig:
     # buses (a real cluster); at 100 TB apply it to the hot working
     # tier, not the whole corpus. Default stays 1.
     cache_replicas: int = 1
+    # StorageLevel NAME for the corpus cache (cache_replicas must be 1
+    # to use a non-default level). MEMORY_AND_DISK (default) is right
+    # while aggregate executor memory is a useful fraction of the
+    # corpus; DISK_ONLY is the honest level once the corpus dwarfs the
+    # heap — html bytes then never sit deserialized in executor memory,
+    # and the cache becomes exactly the reference's on-disk response
+    # cache (crawler_twotier.go cacheDir, O11): built once, re-read per
+    # superstep at sequential-scan cost. (The 1 M-page rehearsal's
+    # cache-build OOM that first motivated this knob turned out to be
+    # the serializer handle-table bug fixed session-wide — see
+    # session.py objectStreamReset; both levels now build 1 M pages in
+    # ~35-45 s on the 8 g heap. The knob stays: it is the right dial
+    # whenever corpus >> storage pool, where MEMORY_AND_DISK would
+    # evict-thrash through the serializer per superstep.)
+    cache_storage_level: str = "MEMORY_AND_DISK"
+    # rows per cached columnar batch during the corpus cache BUILD
+    # (spark.sql.inMemoryColumnarStorage.batchSize; None = keep the
+    # session default). Spark's 10000-row default assumes narrow rows:
+    # at multi-KB html bodies one in-flight batch is rows x body_size
+    # of transient heap PER BUILD TASK (10000 x 20 KB = ~200 MB; x32
+    # concurrent tasks = ~6 GB of pure build churn on an 8 g heap).
+    # 1024 keeps build transients ~20 MB/task at web-page row widths
+    # without hurting scan amortization (measured on the 1 M-page
+    # build: 34 s at 1024 vs 42 s default — smaller transients also
+    # GC cheaper). Set alongside DISK_ONLY for huge-body corpora.
+    cache_batch_rows: int | None = None
     # hash-repartition + dropDuplicates the corpus on url_norm during
     # prep. Needed when the input may carry duplicate URLs; set False
     # when the pages table is already unique per url (an ingest-time
@@ -343,16 +369,34 @@ def crawl(
     )
     if cfg.cache_corpus:
         level = (
-            StorageLevel.MEMORY_AND_DISK
+            getattr(StorageLevel, cfg.cache_storage_level)
             if cfg.cache_replicas <= 1
             else StorageLevel(True, True, False, False, cfg.cache_replicas)
         )
-        corpus = corpus.persist(level)
-        # materialize the cache NOW, in one deterministic job — otherwise
-        # the first iteration's join (or worse, an AQE broadcast-stage
-        # building a plan below the cache node) re-runs the corpus prep
-        # per branch
-        corpus.count()
+        batch_conf = "spark.sql.inMemoryColumnarStorage.batchSize"
+        saved_batch = (
+            spark.conf.get(batch_conf, None)
+            if cfg.cache_batch_rows is not None
+            else None
+        )
+        if cfg.cache_batch_rows is not None:
+            # batchSize is read when the InMemoryRelation is planned
+            # (persist below), so set-before/restore-after scopes it to
+            # this cache only
+            spark.conf.set(batch_conf, str(cfg.cache_batch_rows))
+        try:
+            corpus = corpus.persist(level)
+            # materialize the cache NOW, in one deterministic job —
+            # otherwise the first iteration's join (or worse, an AQE
+            # broadcast-stage building a plan below the cache node)
+            # re-runs the corpus prep per branch
+            corpus.count()
+        finally:
+            if cfg.cache_batch_rows is not None:
+                if saved_batch is None:
+                    spark.conf.unset(batch_conf)
+                else:
+                    spark.conf.set(batch_conf, saved_batch)
 
     robots_df = None
     host_budgets = None

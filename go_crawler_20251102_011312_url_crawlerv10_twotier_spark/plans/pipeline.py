@@ -223,8 +223,21 @@ def run_training_pipeline(
     # -- 1. crawl: frontier BFS; output = the seen table ------------
     crawl_extra: dict = {}
 
+    # default crawl config for THIS path is the corpus-dwarfs-memory
+    # shape (the pipeline exists for the 1 M-page / 100 TB story):
+    # DISK_ONLY response cache + small columnar build batches — html
+    # bytes never sit deserialized in the heap, so the crawl stage's
+    # footprint is independent of corpus size (the reference's on-disk
+    # response cache, crawler_twotier.go cacheDir). See
+    # CrawlConfig.cache_storage_level / cache_batch_rows for the
+    # measured numbers. Callers that pass crawl_cfg keep full control.
+    if crawl_cfg is None:
+        crawl_cfg = CrawlConfig(
+            cache_storage_level="DISK_ONLY", cache_batch_rows=1024
+        )
+
     def do_crawl() -> DataFrame:
-        res = crawl(spark, pages, seeds, crawl_cfg or CrawlConfig())
+        res = crawl(spark, pages, seeds, crawl_cfg)
         sched = sum(m["scheduled"] for m in res.metrics)
         fetched = sum(m["fetched"] for m in res.metrics)
         crawl_extra.update(

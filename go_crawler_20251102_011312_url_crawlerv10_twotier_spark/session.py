@@ -56,8 +56,52 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_ARROW_BATCH", "10000"),
         )
+        # Web-document rows are heavy-tailed (KB typical, MB tail — the
+        # reference caps bodies at 5 MB, crawler_twotier.go:57, and the
+        # fixture corpus includes such pages). Row-count batch limits
+        # silently become BYTE bombs on such tables, so bound every
+        # batched hop by BYTES where Spark allows and by a width-aware
+        # row count where it doesn't:
+        # - Arrow UDF batches: 10000 rows x ~10 KB docs = ~100 MB per
+        #   task in flight; with 32 slots that alone exceeds the heap.
+        #   maxBytesPerBatch=16m caps the batch regardless of row width
+        #   (rows still cap at maxRecordsPerBatch for narrow tables —
+        #   whichever trips first).
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_ARROW_MAX_BYTES", str(16 << 20)),
+        )
+        # - Parquet vectorized reader: rows-only knob. 4096-row batches
+        #   on a ~10 KB-avg text column reserve ~40 MB per column
+        #   vector PER TASK (x32 slots = measured OOM during the
+        #   1 M-page pipeline's normalize stage, which only re-reads a
+        #   parquet it just wrote). 512 keeps typical web-text batches
+        #   ~5 MB while narrow scans stay fully amortized.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_PARQUET_BATCH_ROWS", "512"),
+        )
+        # - In-memory-cache build vectors: above this threshold Spark
+        #   reserves required*ratio instead of doubling AND releases the
+        #   vector after each batch — so one 5 MB-row batch doesn't pin
+        #   a doubled buffer for the cache build's lifetime.
+        .config("spark.sql.inMemoryColumnarStorage.hugeVectorThreshold", "8m")
         # runtime bloom-filter join pruning (O4 analogue, SURVEY.md §4)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # JavaSerializer's ObjectOutputStream keeps a handle table of
+        # every object written and Spark only reset()s it every N
+        # objects (default 100). Disk-spilled RDD blocks — e.g. a
+        # DISK_ONLY corpus cache — stream CachedBatches through one such
+        # writer PER TASK, so the default pins the last ~100 batches'
+        # column arrays per concurrent task: measured 4.4 GB of dead-
+        # but-referenced byte[] (old gen 99%, heap-histogram verified)
+        # and a hard OOM on the 8 g heap while disk-caching a mere
+        # 242 MiB / 1 M-page corpus at 32 slots. Reset every object:
+        # cached batches share no back-references, so the handle table
+        # buys nothing here, and the build completed 1 M pages in 37 s
+        # where the default OOMed. Same setting protects executor-side
+        # spill on a real cluster.
+        .config("spark.serializer.objectStreamReset", "1")
         # deliberately small heap + throughput collector: the corpus scan
         # allocates large short-lived strings (multi-MB page bodies) every
         # iteration, and a big G1 heap turns that into multi-second GC
