@@ -355,26 +355,64 @@ def extract_stage(pages: DataFrame, url_col: str = "url", html_col: str = "html"
 
     Input must carry a ``path`` column ('fast'|'slow') from
     routing.route_decision_col. Output: one row per page with
-    ``links array<string>``, ``docs``, page metadata columns.
+    ``links array<string>``, ``docs``, page metadata columns — and
+    WITHOUT ``html_col`` (the single caller, the crawl loop, dropped
+    it immediately anyway; never emitting it is the point, see below).
 
-    SINGLE source pass: one Arrow UDF receives (html, url, path) and
-    dispatches per row. The earlier design — two filtered branches
+    SINGLE source pass: one Arrow hop receives the whole routed row
+    and dispatches per row. The earlier design — two filtered branches
     unioned back — planned every upstream operator (the fetch join and
     the corpus scan with its multi-MB html bodies) TWICE per
     iteration; at 10^10 pages the duplicated scan dwarfs the benefit
     of per-tier Arrow batch homogeneity. Row-level dispatch inside one
     pass costs one string compare per row.
+
+    mapInPandas, NOT the scalar ``extract_routed`` UDF: html is a WIDE
+    column (KB typical, 5 MB cap tail) and ArrowEvalPython's join-back
+    row queue holds every ORIGINAL routed row — html included — on the
+    JVM heap up to the full execution pool before spilling; each
+    superstep of the 1 M-page crawl rode the 8 g heap at 99 % old gen
+    through exactly this queue. MapInPandas streams batch-in/batch-out
+    (byte-bounded by spark.sql.execution.arrow.maxBytesPerBatch), so
+    html bytes cross to python once and never enter a JVM-side queue.
+    Per-row dispatch (extract_routed_py) is shared with the scalar UDF
+    — identical values by construction.
     """
-    r = extract_routed(F.col(html_col), F.col(url_col), F.col("path"))
-    return (
-        pages.withColumn("r", r)
-        .withColumn("links", F.col("r.urls"))
-        .withColumn("docs", F.col("r.docs"))
-        .withColumn("page_title", F.col("r.title"))
-        .withColumn("page_description", F.col("r.description"))
-        .withColumn("has_nav", F.col("r.has_nav"))
-        .drop("r")
+    keep_fields = [f for f in pages.schema.fields if f.name != html_col]
+    keep_names = [f.name for f in keep_fields]
+    out_schema = T.StructType(
+        list(keep_fields)
+        + [
+            T.StructField("links", T.ArrayType(T.StringType())),
+            T.StructField("docs", SLOW_RESULT_TYPE["docs"].dataType),
+            T.StructField("page_title", T.StringType()),
+            T.StructField("page_description", T.StringType()),
+            T.StructField("has_nav", T.BooleanType()),
+        ]
     )
+
+    def _extract_batches(batches):
+        for pdf in batches:
+            rows = [
+                extract_routed_py(h, u, p)
+                if h is not None and u is not None
+                else dict(_EMPTY_SLOW)
+                for h, u, p in zip(pdf[html_col], pdf[url_col], pdf["path"])
+            ]
+            out = pdf[keep_names].copy()
+            for col, key in (
+                ("links", "urls"),
+                ("docs", "docs"),
+                ("page_title", "title"),
+                ("page_description", "description"),
+                ("has_nav", "has_nav"),
+            ):
+                out[col] = pd.Series(
+                    [r[key] for r in rows], index=out.index, dtype=object
+                )
+            yield out
+
+    return pages.mapInPandas(_extract_batches, out_schema)
 
 
 ANCHOR_PATTERN = r'<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'

@@ -513,10 +513,11 @@ def crawl(
             else route_decision_col(F.col("url"), F.length("html"))
         )
         routed = hits.withColumn("path", path_col)
-        ext = (
-            extract_stage(routed, url_col="url", html_col="html")
-            .withColumn("partition_id", F.spark_partition_id())
-            .drop("html")
+        # extract_stage consumes html inside its mapInPandas hop and
+        # never emits it — html bytes cross to python once and exist in
+        # no downstream plan node or JVM-side UDF queue
+        ext = extract_stage(routed, url_col="url", html_col="html").withColumn(
+            "partition_id", F.spark_partition_id()
         )
         # without a snapshot store, totals ride along the extract action
         # via observe() — no separate metrics job per iteration; with a
