@@ -51,7 +51,11 @@ def write_training_shards(
         .parquet(path)
     )
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    # explicit schema: a refined corpus can legitimately be EMPTY at
+    # tiny scale (every doc filtered), which writes zero part files —
+    # an inference-based read would die instead of certifying an
+    # empty manifest (same discipline as plans/pipeline._StageRunner)
+    written = spark.read.schema(df.schema).parquet(path)
     # weighted tokens summed in integer micro-units: float sums are
     # partition-order-dependent, and a manifest that certifies files
     # must not depend on who read them in what order
