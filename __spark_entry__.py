@@ -226,6 +226,22 @@ SELECT 'https://host' || ((d.doc_id % 101) % 7) || '.example/page/' || (d.doc_id
 FROM documents d
 """.strip()
 
+# two snapshot versions for the recrawl diff gate: membership and
+# content each keyed on independent doc_id residues so all four
+# classes (new / removed / changed / unchanged) are populated
+PRIOR_DIFF_SQL = """
+SELECT 'https://host' || (d.doc_id % 7) || '.example/page/' || d.doc_id AS url_norm,
+  md5('a' || (d.doc_id % 9)) AS content_md5
+FROM documents d WHERE d.doc_id % 11 <> 3
+""".strip()
+
+CURR_DIFF_SQL = """
+SELECT 'https://host' || (d.doc_id % 7) || '.example/page/' || d.doc_id AS url_norm,
+  CASE WHEN d.doc_id % 5 = 0 THEN md5('b' || (d.doc_id % 9))
+       ELSE md5('a' || (d.doc_id % 9)) END AS content_md5
+FROM documents d WHERE d.doc_id % 13 <> 4
+""".strip()
+
 # PII-injected corpus for the redaction gate: every doc_id % 4 class
 # appends one known PII shape to the stored text (shared SQL — the
 # oracle re-synthesizes the identical strings)
@@ -1656,6 +1672,75 @@ def q_recrawl_schedule(spark, sf_dir):
     return recrawl_schedule(snaps, per_host_budget=8)
 
 
+def q_recrawl_diff(spark, sf_dir):
+    """Recrawl delta router (ranks.recrawl_diff): classify every url
+    across two snapshot versions as new / changed / unchanged /
+    removed via ONE full-outer digest join — the gatekeeper of
+    plans.pipeline.run_incremental_pipeline (only new+changed re-enter
+    the per-document stages). The oracle recomputes the classes with
+    the same full-outer join in DuckDB."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_diff,
+    )
+
+    prior = _synth(spark, sf_dir, PRIOR_DIFF_SQL)
+    cur = _synth(spark, sf_dir, CURR_DIFF_SQL)
+    return recrawl_diff(prior, cur)
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip (sources.warc.parse_warc): build
+    two-record WARC/1.0 blobs from the documents table (consecutive
+    doc_ids paired into one blob), parse them with the real
+    length-delimited parser, one row out per document. The oracle
+    predicts the parser's output closed-form from the same documents
+    table — url, ISO date, octet length, body — with no parser on its
+    side (the multimodal-gate pattern: the engine must recover
+    exactly what the synthesis put in)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        warc as warcsrc,
+    )
+
+    _docs_view(spark, sf_dir)
+    recs = spark.sql(
+        """
+        SELECT doc_id,
+          'https://host' || (doc_id % 7) || '.example/page/' || doc_id AS uri,
+          date_format(timestamp '2025-01-01 00:00:00'
+                      + (doc_id * interval '1' second),
+                      "yyyy-MM-dd'T'HH:mm:ss'Z'") AS dt,
+          text
+        FROM documents
+        """
+    )
+    one = recs.select(
+        "doc_id",
+        warcsrc.warc_record_col(
+            F.col("uri"), F.col("dt"), F.col("text")
+        ).alias("rec"),
+    )
+    evens = one.filter("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("bid"), F.col("rec").alias("r0")
+    )
+    odds = one.filter("doc_id % 2 = 1").select(
+        (F.col("doc_id") - 1).alias("bid"), F.col("rec").alias("r1")
+    )
+    blobs = evens.join(odds, "bid", "left").select(
+        F.col("bid").cast("string").alias("blob_id"),
+        F.encode(
+            F.concat(F.col("r0"), F.coalesce(F.col("r1"), F.lit(""))),
+            "UTF-8",
+        ).alias("blob"),
+    )
+    parsed = warcsrc.parse_warc(blobs)
+    return parsed.select(
+        "target_uri",
+        "warc_date",
+        F.col("content_length").alias("n_bytes"),
+        F.decode("body", "UTF-8").alias("body"),
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing (multimodal.sample_frames): fixed-grid
     chunking of the payload, every 4th 256-byte frame kept, one row
@@ -1751,6 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "recrawl_change_rates": q_recrawl_change_rates,
         "recrawl_schedule": q_recrawl_schedule,
+        "recrawl_diff": q_recrawl_diff,
+        "warc_roundtrip": q_warc_roundtrip,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -2678,6 +2765,29 @@ FROM (
       PARTITION BY host ORDER BY change_rate * age_s DESC, url_norm) AS INT) AS rank
   FROM sc
 ) WHERE rank <= 8
+""",
+        # same full-outer digest join over the two shared snapshot
+        # versions; class logic duplicated verbatim
+        "recrawl_diff": f"""
+WITH p AS ({PRIOR_DIFF_SQL}),
+c AS ({CURR_DIFF_SQL})
+SELECT COALESCE(p.url_norm, c.url_norm) AS url_norm,
+  CASE WHEN p.url_norm IS NULL THEN 'new'
+       WHEN c.url_norm IS NULL THEN 'removed'
+       WHEN p.content_md5 <> c.content_md5 THEN 'changed'
+       ELSE 'unchanged' END AS change
+FROM p FULL OUTER JOIN c ON p.url_norm = c.url_norm
+""",
+        # the parser must recover exactly what the synthesis put into
+        # the blobs — predicted closed-form, no WARC code on this side
+        # (documents text is ASCII, so length == octet_length)
+        "warc_roundtrip": """
+SELECT 'https://host' || (d.doc_id % 7) || '.example/page/' || d.doc_id AS target_uri,
+  strftime(timestamp '2025-01-01 00:00:00' + (d.doc_id * interval '1' second),
+           '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+  CAST(length(d.text) AS BIGINT) AS n_bytes,
+  d.text AS body
+FROM documents d
 """,
         # newest version per page: row_number over the same synthetic
         # multi-version set; ts crosses the gate as epoch BIGINT

@@ -33,9 +33,14 @@ physical cores to measure the engine rather than the hyperthreads):
                                   # repartition (salts=16) vs plain
                                   # repartition-by-host on a 90%-one-
                                   # host queue (env SPARK_GRAFT_SKEW_*)
-    python bench.py --pipeline    # 8-stage end-to-end rehearsal at the
+    python bench.py --pipeline    # 9-stage end-to-end rehearsal at the
                                   # padded 1M-page scale; per-stage
                                   # wall/rows/heap (BENCH.md section 9)
+    python bench.py --incremental # recrawl rehearsal: full v1 run,
+                                  # then the incremental pipeline over
+                                  # a ~10%-changed / ~6%-removed v2
+                                  # against the v1 checkpoints
+                                  # (BENCH.md section 10)
     python bench.py --skew-boiler # mega-host boilerplate A/B: salted
                                   # docs x host-vocab join vs AQE-only
                                   # vs raw hash layout, broadcast
@@ -71,6 +76,8 @@ BENCH_QUERIES = [
     "latest_snapshot",
     "recrawl_change_rates",
     "recrawl_schedule",
+    "recrawl_diff",
+    "warc_roundtrip",
     "stream_host_budget",
     "url_resolve",
     "format_bytes",
@@ -605,6 +612,64 @@ def run_pipeline_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def run_incremental_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
+    """Incremental-recrawl rehearsal: run the full pipeline over corpus
+    v1 (the prior), mutate ~10% of bodies + remove ~6% of pages
+    (sources.pages.recrawl_v2), then run run_incremental_pipeline over
+    v2 against the v1 work_dir. Reports both walls, both stage tables
+    and the reuse fraction — the evidence that a few-percent recrawl
+    delta costs delta-sized work in the per-document stages while
+    producing full-run-identical shards (equivalence itself is pinned
+    at test scale by tests/test_pipeline.py)."""
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.pipeline import (
+        run_incremental_pipeline,
+        run_training_pipeline,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        pages as pagesrc,
+    )
+
+    spark = get_spark(app_name="bench-incremental")
+    base = pagesrc.synth_clean_pages(spark, sf_dir, body_repeat=body_repeat)
+    pages_v1 = _replicate(base, ["url", "html"], scale_mult)
+    pages_v2 = pagesrc.recrawl_v2(pages_v1)
+    seeds = _replicate(spark.sql(pagesrc.seeds_sql()), ["url"], scale_mult)
+    wd_v1 = tempfile.mkdtemp(prefix="bench_inc_v1_")
+    wd_v2 = tempfile.mkdtemp(prefix="bench_inc_v2_")
+    try:
+        t0 = time.time()
+        res_v1 = run_training_pipeline(spark, pages_v1, seeds, wd_v1)
+        wall_v1 = time.time() - t0
+        t0 = time.time()
+        res_v2 = run_incremental_pipeline(
+            spark, pages_v2, seeds, wd_v1, wd_v2
+        )
+        wall_v2 = time.time() - t0
+        diff = next(
+            s for s in res_v2.stages if s.name == "tier2_diff"
+        ).as_dict()
+        return {
+            "metric": "incremental_pipeline_wall",
+            "value": round(wall_v2, 3),
+            "unit": "sec",
+            "sf": _sf_of(sf_dir),
+            "scale_mult": scale_mult,
+            "full_v1_wall": round(wall_v1, 3),
+            "reuse_fraction": diff["reuse_fraction"],
+            "n_new_or_changed": diff["n_new_or_changed"],
+            "n_removed": diff["n_removed"],
+            "stages_v1": res_v1.stats(),
+            "stages_v2": res_v2.stats(),
+        }
+    finally:
+        shutil.rmtree(wd_v1, ignore_errors=True)
+        shutil.rmtree(wd_v2, ignore_errors=True)
+
+
 def run_scaling_cluster(sf_dir: str) -> dict:
     """North_rule scaling evidence, process-isolated: the same wave job
     on a localhost Spark STANDALONE cluster at 1 worker (N=4 cores)
@@ -817,6 +882,10 @@ def main() -> None:
         # which would empty the funnel after stage 4
         br = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "1"))
         print(json.dumps(run_pipeline_bench(sf_dir, mult, br)))
+    elif "--incremental" in sys.argv:
+        mult = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "200"))
+        br = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "1"))
+        print(json.dumps(run_incremental_bench(sf_dir, mult, br)))
     elif "--skew-boiler" in sys.argv:
         from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
 

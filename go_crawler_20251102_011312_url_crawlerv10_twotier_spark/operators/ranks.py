@@ -158,6 +158,53 @@ def recrawl_change_rates(
     )
 
 
+def recrawl_diff(
+    prior: DataFrame,
+    current: DataFrame,
+    key_col: str = "url_norm",
+    content_col: str = "content_md5",
+) -> DataFrame:
+    """Snapshot diff classifier — the recrawl delta router.
+
+    Given the PRIOR crawl's (key, content digest) table and the
+    CURRENT one (each one row per key; feed :func:`dedup.latest_snapshot`
+    output when a side carries history), classify every key:
+
+    * ``new``       — key absent from prior
+    * ``removed``   — key absent from current
+    * ``changed``   — present in both, digest differs
+    * ``unchanged`` — present in both, digest equal
+
+    This is the gatekeeper of incremental reprocessing
+    (`plans.pipeline.run_incremental_pipeline`): only ``new`` +
+    ``changed`` keys re-enter the per-document stages; ``unchanged``
+    reuse the prior run's outputs; ``removed`` are dropped from the
+    merged corpus. The reference crawler has no recrawl loop (its seen
+    set is append-only, crawler/crawler_twotier.go:224-245); this is
+    the freshness counterpart its visited-URL log implies.
+
+    Scale shape: ONE full-outer shuffle join on the key — both sides
+    hash-partition once, no row carries content (digests only), and
+    the output is key-sized. At 10^10 URLs this is the same shuffle
+    class as the J1 seen anti-join.
+    """
+    p = prior.select(
+        F.col(key_col).alias("_pk"), F.col(content_col).alias("_pc")
+    )
+    c = current.select(
+        F.col(key_col).alias("_ck"), F.col(content_col).alias("_cc")
+    )
+    j = p.join(c, p["_pk"] == c["_ck"], "full_outer")
+    return j.select(
+        F.coalesce("_pk", "_ck").alias(key_col),
+        F.when(F.col("_pk").isNull(), F.lit("new"))
+        .when(F.col("_ck").isNull(), F.lit("removed"))
+        .when(F.col("_pc") != F.col("_cc"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+
+
 def _change_stats(
     snapshots: DataFrame, key_col: str, ts_col: str, content_col: str
 ) -> DataFrame:

@@ -262,11 +262,16 @@ def run_training_pipeline(
         # the corpus side is keyed with the same normalizer above)
         queue = seen.select(F.col("url_norm").alias("url"), "host")
         out = fetch.fetch_and_extract(queue, keyed)
+        # body_xxh: digest of the fetched bytes (fetch's `body` IS the
+        # utf-8 html). Stored so a later INCREMENTAL run can classify
+        # each url as changed/unchanged against this run without
+        # re-extracting (run_incremental_pipeline's diff joins on it).
         return out.filter(F.col("status") == 200).select(
             F.xxhash64("url").alias("doc_id"),
             F.col("url"),
             F.col("text"),
             F.col("n_bytes"),
+            F.xxhash64("body").alias("body_xxh"),
         )
 
     docs, n_docs = r.run("tier2_extract", n_seen, do_tier2)
@@ -289,6 +294,36 @@ def run_training_pipeline(
 
     clean, n_clean = r.run("quality_filter", n_norm, do_quality)
     _gate()
+
+    return _funnel_tail(
+        r,
+        _gate,
+        clean,
+        n_clean,
+        work_dir,
+        seq_len=seq_len,
+        shard_docs=shard_docs,
+        max_records_per_file=max_records_per_file,
+    )
+
+
+def _funnel_tail(
+    r: _StageRunner,
+    _gate,
+    clean: DataFrame,
+    n_clean: int,
+    work_dir: str,
+    seq_len: int,
+    shard_docs: int,
+    max_records_per_file: int,
+) -> PipelineResult:
+    """Stages 5-9 of the funnel — exact dedup → near-dup clustering →
+    refine → pack → shards — shared verbatim by the full and the
+    incremental pipelines: these stages are GLOBAL by nature (dedup
+    keys and pack windows span the whole corpus, old and new alike),
+    so an incremental run re-executes them over the merged corpus.
+    They run AFTER the quality funnel's ~5x collapse, so re-running
+    them is the cheap part of the pipeline at any scale."""
 
     # -- 5. exact dedup: collapse byte-identical texts FIRST ----------
     # production ordering: the cheap hash-groupBy removes the mass
@@ -380,6 +415,216 @@ def run_training_pipeline(
 
     manifest, _ = r.run("training_shards", n_refined, do_shards)
     return PipelineResult(stages=r.stages, manifest=manifest, shards_dir=shards_dir)
+
+
+# stage-dir names an incremental run reads from the PRIOR work_dir
+_PRIOR_TIER2 = "02_tier2_extract"
+_PRIOR_CLEAN = "04_quality_filter"
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    prior_dir: str,
+    work_dir: str,
+    crawl_cfg: CrawlConfig | None = None,
+    seq_len: int = 256,
+    shard_docs: int = 64,
+    max_records_per_file: int = 1_000_000,
+    stop_after: int | None = None,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> PipelineResult:
+    """Incremental RECRAWL pipeline: reprocess only what changed.
+
+    ``prior_dir`` is a completed :func:`run_training_pipeline` (or
+    incremental) work_dir over the previous corpus version;
+    ``pages`` is the recrawled corpus. The crawl stage re-runs in
+    full (the frontier is a global property of the new link graph),
+    but every PER-DOCUMENT stage — tier-2 html→text extraction, NFC
+    normalization, quality filtering — runs only over urls whose
+    fetched bytes differ from the prior run's stored ``body_xxh``
+    (operators.ranks.recrawl_diff semantics, inlined here against the
+    stage parquet). Unchanged urls reuse the prior run's extracted /
+    normalized / quality-filtered rows verbatim; urls that vanished
+    from the corpus drop out of the merge. The global tail (exact
+    dedup → clusters → refine → pack → shards) re-runs over the
+    merged corpus via the shared :func:`_funnel_tail` — dedup and
+    packing are corpus-wide by nature, and they sit after the ~5x
+    quality collapse.
+
+    Contract (pinned by tests/test_pipeline.py): the final shard
+    manifest is IDENTICAL to a full run over the new corpus — the
+    incremental path changes cost, never results. At 100 TB with a
+    few-percent recrawl delta this turns the two dominant per-byte
+    stages into delta-sized work; the diff itself is one narrow
+    full-outer join on the url key (digests only, no text moves).
+
+    Stage list (``NN_name`` dirs under ``work_dir``): crawl,
+    tier2_diff, normalize_delta, quality_delta, merge_clean, then the
+    shared tail. ``tier2_diff``'s marker records the class counts
+    (n_new / n_changed / n_unchanged / n_removed) — the reuse audit.
+    """
+    r = _StageRunner(spark, work_dir)
+    n_pages = pages.count()
+
+    def _gate():
+        if stop_after is not None and r._idx >= stop_after:
+            raise PipelineStopped(r._idx, r.stages)
+
+    if crawl_cfg is None:
+        crawl_cfg = CrawlConfig(
+            cache_storage_level="DISK_ONLY", cache_batch_rows=1024
+        )
+
+    # -- 1. crawl: full — frontier/link graph is global ---------------
+    crawl_extra: dict = {}
+
+    def do_crawl() -> DataFrame:
+        res = crawl(spark, pages, seeds, crawl_cfg)
+        crawl_extra.update(
+            iterations=res.iterations,
+            urls_scheduled=sum(m["scheduled"] for m in res.metrics),
+            urls_fetched=sum(m["fetched"] for m in res.metrics),
+        )
+        return res.seen
+
+    seen, n_seen = r.run(
+        "crawl", n_pages, do_crawl, extra_fn=lambda _df: crawl_extra
+    )
+    _gate()
+
+    # -- 2. tier-2 diff: extract ONLY new/changed bytes ----------------
+    prior_docs = spark.read.parquet(os.path.join(prior_dir, _PRIOR_TIER2))
+
+    def do_tier2_diff() -> DataFrame:
+        keyed = pages.select(
+            normalize_url_compat_col(F.col(url_col)).alias("url_norm"),
+            F.col(html_col).alias("html"),
+            # same bytes fetch hashes: body == encode(html, utf-8)
+            F.xxhash64(F.encode(F.col(html_col), "UTF-8")).alias(
+                "body_xxh"
+            ),
+        )
+        queue = seen.select(F.col("url_norm").alias("url"), "host")
+        # classify against the prior run: narrow columns only (url,
+        # digest) cross the join; html stays put until we know a row
+        # needs extraction
+        cur = queue.join(
+            keyed, queue["url"] == keyed["url_norm"], "left"
+        ).drop("url_norm")
+        cls = cur.join(
+            prior_docs.select(
+                F.col("url").alias("p_url"),
+                F.col("body_xxh").alias("p_xxh"),
+                F.col("text").alias("p_text"),
+                F.col("n_bytes").alias("p_n_bytes"),
+            ),
+            cur["url"] == F.col("p_url"),
+            "left",
+        )
+        unchanged = cls.filter(
+            F.col("p_xxh").isNotNull() & (F.col("p_xxh") == F.col("body_xxh"))
+        ).select(
+            F.xxhash64("url").alias("doc_id"),
+            "url",
+            F.col("p_text").alias("text"),
+            F.col("p_n_bytes").alias("n_bytes"),
+            F.col("p_xxh").alias("body_xxh"),
+        )
+        delta_q = cls.filter(
+            F.col("p_xxh").isNull() | (F.col("p_xxh") != F.col("body_xxh"))
+        ).select("url", "host")
+        fetched = fetch.fetch_and_extract(delta_q, keyed)
+        delta = fetched.filter(F.col("status") == 200).select(
+            F.xxhash64("url").alias("doc_id"),
+            "url",
+            "text",
+            "n_bytes",
+            F.xxhash64("body").alias("body_xxh"),
+        )
+        return unchanged.withColumn(
+            "is_reused", F.lit(True)
+        ).unionByName(delta.withColumn("is_reused", F.lit(False)))
+
+    def tier2_extra(out: DataFrame) -> dict:
+        agg = out.agg(
+            F.sum(F.when(F.col("is_reused"), 1).otherwise(0)).alias("u"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        n_unchanged = int(agg.u or 0)
+        n_delta = int(agg.n) - n_unchanged
+        # changed = delta urls the prior run had (same url, new bytes);
+        # the rest of the delta is genuinely new. removed = prior docs
+        # in NEITHER class (gone from the corpus or unreachable now).
+        n_changed = (
+            out.filter(~F.col("is_reused"))
+            .join(prior_docs.select("url"), "url")
+            .count()
+        )
+        n_prior = prior_docs.count()
+        return {
+            "n_unchanged": n_unchanged,
+            "n_new_or_changed": n_delta,
+            "n_changed": n_changed,
+            "n_new": n_delta - n_changed,
+            "n_removed": n_prior - n_unchanged - n_changed,
+            "reuse_fraction": round(n_unchanged / max(int(agg.n), 1), 6),
+        }
+
+    docs_r, n_docs = r.run(
+        "tier2_diff", n_seen, do_tier2_diff, extra_fn=tier2_extra
+    )
+    _gate()
+
+    # -- 3. normalize: delta only --------------------------------------
+    delta_docs = docs_r.filter(~F.col("is_reused")).drop("is_reused")
+    # from the stage marker, not diff_extra: correct on resume too
+    n_delta = int(r.stages[-1].extra.get("n_new_or_changed", 0))
+
+    def do_norm_delta() -> DataFrame:
+        host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+        return normalize_text(
+            delta_docs.withColumn("host", host), keep=("url", "host")
+        ).select("doc_id", "url", "host", F.col("norm_text").alias("text"))
+
+    norm_d, n_norm_d = r.run("normalize_delta", n_delta, do_norm_delta)
+    _gate()
+
+    # -- 4. quality filter: delta only ----------------------------------
+    def do_quality_delta() -> DataFrame:
+        keep = quality_filter(norm_d).filter("keep").select("doc_id")
+        return norm_d.join(keep, "doc_id")
+
+    clean_d, n_clean_d = r.run("quality_delta", n_norm_d, do_quality_delta)
+    _gate()
+
+    # -- 5. merge: prior clean rows for unchanged urls + delta kept -----
+    prior_clean = spark.read.parquet(os.path.join(prior_dir, _PRIOR_CLEAN))
+
+    def do_merge() -> DataFrame:
+        unchanged_urls = docs_r.filter(F.col("is_reused")).select("url")
+        reused = prior_clean.join(unchanged_urls, "url").select(
+            "doc_id", "url", "host", "text"
+        )
+        return reused.unionByName(
+            clean_d.select("doc_id", "url", "host", "text")
+        )
+
+    clean, n_clean = r.run("merge_clean", n_clean_d, do_merge)
+    _gate()
+
+    return _funnel_tail(
+        r,
+        _gate,
+        clean,
+        n_clean,
+        work_dir,
+        seq_len=seq_len,
+        shard_docs=shard_docs,
+        max_records_per_file=max_records_per_file,
+    )
 
 
 class PipelineStopped(RuntimeError):

@@ -190,6 +190,29 @@ def synth_clean_pages(
     return spark.sql(clean_pages_sql(body_repeat, n_rows=n_rows))
 
 
+def recrawl_v2(
+    pages: DataFrame, changed_pct: int = 10, removed_mod: int = 17
+) -> DataFrame:
+    """Deterministic recrawl mutation of a pages corpus: ~changed_pct%
+    of surviving pages get extra body text (changed bytes), ~1/removed_mod
+    vanish (removed). No hrefs are added — only membership and body
+    bytes move, which is the shape of a real refetch delta. Shared by
+    the incremental-pipeline tests and ``bench.py --incremental``."""
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(F.xxhash64("url"), F.lit(100))
+    return (
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(removed_mod)) != 3)
+        .withColumn(
+            "html",
+            F.when(
+                bucket < changed_pct,
+                F.concat("html", F.lit(" recrawl appended body update")),
+            ).otherwise(F.col("html")),
+        )
+    )
+
+
 def seeds_sql() -> str:
     """Seed frontier (url, depth 0) — every SEED_MOD-th node."""
     return (

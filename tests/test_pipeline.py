@@ -11,6 +11,7 @@ import pytest
 
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.pipeline import (
     PipelineStopped,
+    run_incremental_pipeline,
     run_training_pipeline,
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
@@ -103,6 +104,83 @@ def test_pipeline_resume_identical_manifest(spark, tmp_path, uninterrupted):
     assert _manifest_rows(res) == _manifest_rows(uninterrupted)
     # resumed stage stats are the ORIGINAL run's facts, not zeros
     assert res.stages[0].extra["urls_fetched"] > 0
+
+
+def test_incremental_recrawl_matches_full_run(
+    spark, tmp_path_factory, uninterrupted
+):
+    """The incremental pipeline over a mutated corpus (prior = the
+    uninterrupted v1 run) produces the IDENTICAL shard manifest a full
+    run over the same v2 corpus produces, while pushing only the
+    changed documents through the per-document stages."""
+    pages, seeds = _inputs(spark)
+    v2 = pagesrc.recrawl_v2(pages)
+
+    full_wd = str(tmp_path_factory.mktemp("pipe_full_v2"))
+    full_v2 = run_training_pipeline(
+        spark, v2, seeds, full_wd, max_records_per_file=100
+    )
+
+    prior_wd = os.path.dirname(uninterrupted.shards_dir)
+    inc_wd = str(tmp_path_factory.mktemp("pipe_inc_v2"))
+    inc = run_incremental_pipeline(
+        spark, v2, seeds, prior_wd, inc_wd, max_records_per_file=100
+    )
+
+    assert [s.name for s in inc.stages] == [
+        "crawl", "tier2_diff", "normalize_delta", "quality_delta",
+        "merge_clean", "exact_dedup", "dedup_clusters", "corpus_refine",
+        "sequence_pack", "training_shards",
+    ]
+    # the contract: identical final shards, full vs incremental
+    assert _manifest_rows(inc) == _manifest_rows(full_v2)
+
+    # the efficiency claim: per-document stages saw only the delta
+    diff = inc.stages[1].extra
+    assert diff["n_new_or_changed"] > 0
+    assert diff["n_changed"] > 0
+    assert diff["n_new"] == 0  # the mutation adds no pages
+    assert diff["n_removed"] > 0
+    assert diff["n_unchanged"] > 0
+    assert diff["reuse_fraction"] > 0.5
+    rows = {s.name: (s.rows_in, s.rows_out) for s in inc.stages}
+    assert rows["normalize_delta"][0] == diff["n_new_or_changed"]
+    assert rows["normalize_delta"][0] < rows["crawl"][1]
+
+    # merged clean corpus row-identical to the full v2 run's stage 4
+    full_clean = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(full_wd, "04_quality_filter")
+        )
+        .select("doc_id", "url", "host", "text")
+        .collect()
+    )
+    inc_clean = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(inc_wd, "05_merge_clean"))
+        .select("doc_id", "url", "host", "text")
+        .collect()
+    )
+    assert inc_clean == full_clean
+
+
+def test_incremental_noop_recrawl_reuses_everything(
+    spark, tmp_path_factory, uninterrupted
+):
+    """Recrawling the UNCHANGED corpus: zero documents re-enter the
+    per-document stages, and the shards match the prior run's."""
+    pages, seeds = _inputs(spark)
+    prior_wd = os.path.dirname(uninterrupted.shards_dir)
+    inc_wd = str(tmp_path_factory.mktemp("pipe_inc_noop"))
+    inc = run_incremental_pipeline(
+        spark, pages, seeds, prior_wd, inc_wd, max_records_per_file=100
+    )
+    diff = inc.stages[1].extra
+    assert diff["n_new_or_changed"] == 0
+    assert diff["n_removed"] == 0
+    assert diff["reuse_fraction"] == 1.0
+    assert _manifest_rows(inc) == _manifest_rows(uninterrupted)
 
 
 def test_pipeline_rerun_is_fully_cached(spark, tmp_path_factory, uninterrupted):

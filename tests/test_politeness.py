@@ -208,3 +208,25 @@ def test_recrawl_change_rates(spark):
         for r in recrawl_change_rates(df).collect()
     }
     assert got == {"u1": (5, 2, 0.5), "u2": (1, 0, 0.0)}
+
+
+def test_recrawl_diff_classes(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        recrawl_diff,
+    )
+
+    prior = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")],
+        "url_norm string, content_md5 string",
+    )
+    cur = spark.createDataFrame(
+        [("u1", "a"), ("u2", "B"), ("u4", "d")],
+        "url_norm string, content_md5 string",
+    )
+    got = {r.url_norm: r.change for r in recrawl_diff(prior, cur).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "new",
+    }
