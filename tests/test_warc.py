@@ -119,6 +119,46 @@ def test_read_warc_dir_and_pages_adapter(spark, tmp_path):
     ]
 
 
+def test_warc_corpus_feeds_crawl(spark, tmp_path):
+    """Closure: a corpus shipped as WARC files drives the REAL crawl
+    to the identical seen set the parquet-backed corpus produces —
+    the adapter is load-bearing, not just parsed."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+        CrawlConfig,
+        crawl,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        pages as pagesrc,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, "/root/testdata/sf0.001")
+    seeds = spark.sql(pagesrc.seeds_sql())
+
+    # ship the same corpus as 4 WARC files (test-scale collect: 500
+    # rows; at real scale the archives arrive as files to begin with)
+    rows = pages.select("url", "html").collect()
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    blobs = [b""] * 4
+    for i, r in enumerate(rows):
+        blobs[i % 4] += _rec(r.url, D, r.html.encode("utf-8"))
+    for i, b in enumerate(blobs):
+        (wdir / f"seg-{i}.warc").write_bytes(b)
+
+    warc_pages = pages_from_warc(read_warc_dir(spark, str(wdir)))
+    cfg = CrawlConfig()
+    seen_parquet = {
+        (r.url_norm, r.depth)
+        for r in crawl(spark, pages, seeds, cfg).seen.collect()
+    }
+    seen_warc = {
+        (r.url_norm, r.depth)
+        for r in crawl(spark, warc_pages, seeds, cfg).seen.collect()
+    }
+    assert seen_warc == seen_parquet
+    assert len(seen_warc) > 0
+
+
 def test_null_blob_skipped(spark):
     df = spark.createDataFrame(
         [("x", None), ("y", _rec("https://a.x/y", D, b"z"))],
