@@ -300,6 +300,40 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# paragraph-duplication-shaped corpus: every doc opens with ONE shared
+# license paragraph (corpus-global hot duplicate), 1 in 3 docs carries
+# one of 5 syndicated promo paragraphs (medium-df duplicates), every
+# doc keeps a unique tail; doc 0's text itself may collide with other
+# docs' — fine, both engines see the same rows
+PARA_SYNTH_SQL = """
+SELECT d.doc_id,
+  'LICENSE shared corpus paragraph' || chr(10) || chr(10)
+    || d.text || chr(10) || chr(10)
+    || CASE WHEN d.doc_id % 3 = 0
+         THEN 'SYNDICATED promo ' || (d.doc_id % 5)
+              || chr(10) || chr(10) ELSE '' END
+    || 'UNIQUE tail ' || d.doc_id AS text
+FROM documents d
+""".strip()
+
+# archive-capture-shaped rows for the CDX gate: url variants that SURT
+# must collapse (www., :port, query param order), bodies drawn from 50
+# classes so recaptures of an unchanged page exist (revisits), capture
+# times built textually (no date-function parity risk)
+CDX_SYNTH_SQL = """
+SELECT
+  'https://' || CASE WHEN d.doc_id % 4 = 0 THEN 'www.' ELSE '' END
+    || 'h' || (d.doc_id % 7) || '.example'
+    || CASE WHEN d.doc_id % 5 = 0 THEN ':8080' ELSE '' END
+    || '/p/' || (d.doc_id % 97)
+    || CASE WHEN d.doc_id % 3 = 0 THEN '?b=2&a=1'
+            WHEN d.doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END AS url,
+  '2025-01-01T' || lpad('' || (d.doc_id % 24), 2, '0') || ':'
+    || lpad('' || (d.doc_id % 60), 2, '0') || ':00Z' AS warc_ts,
+  'BODY class ' || (d.doc_id % 50) AS body
+FROM documents d
+""".strip()
+
 # multilingual corpus for the script-profile gate: UTF-8 literals in
 # the shared SQL (both engines parse string literals as UTF-8 — unlike
 # chr(), whose semantics diverge above 160)
@@ -1446,6 +1480,41 @@ def q_host_boilerplate(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-global paragraph dedup (curation.paragraph_dedup) over
+    the duplication-shaped corpus: the shared license paragraph and the
+    5 syndicated promos survive exactly once each (first occurrence by
+    (doc_id, pos)), unique tails all survive, docs reassemble in
+    original order. Winner-set reassembly — no join back on the hot
+    paragraph key. Cleaned text crosses the gate as md5."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = _synth(spark, sf_dir, PARA_SYNTH_SQL)
+    r = curation.paragraph_dedup(docs)
+    return r.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        "n_dropped",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX archive index (sources.warc.cdx_index) over the
+    capture-shaped corpus: SURT keys collapse www./port/query-order url
+    variants, digests mark unchanged recaptures as revisits. One
+    window shuffle, group = captures of one page."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources import (
+        warc as warcsrc,
+    )
+
+    caps = _synth(spark, sf_dir, CDX_SYNTH_SQL)
+    return warcsrc.cdx_index(caps)
+
+
 def q_script_profile(spark, sf_dir):
     """Per-doc Unicode-script profile (textstats.script_profile) over
     the multilingual corpus: per-block char counts + dominant script.
@@ -1859,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_normalized": q_fingerprint_normalized,
         "script_profile": q_script_profile,
         "host_boilerplate": q_host_boilerplate,
+        "paragraph_dedup": q_paragraph_dedup,
+        "cdx_index": q_cdx_index,
         "url_features": q_url_features,
         "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
@@ -3099,6 +3170,79 @@ SELECT doc_id, host,
     string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos),
     '')) AS clean_md5
 FROM j GROUP BY doc_id, host
+""",
+        # corpus-global paragraph dedup: winner = row_number 1 over
+        # (para) ordered by (doc_id, pos) — same occurrence the
+        # engine's min(struct(doc_id,pos)) picks; per-doc totals from
+        # the original split so all-dropped docs still surface
+        "paragraph_dedup": f"""
+WITH p AS ({PARA_SYNTH_SQL}),
+l AS (
+  SELECT doc_id, para, pos FROM (
+    SELECT doc_id,
+      unnest(string_split(text, chr(10) || chr(10))) AS para,
+      generate_subscripts(string_split(text, chr(10) || chr(10)), 1)
+        AS pos
+    FROM p)
+  WHERE para <> ''
+),
+w AS (
+  SELECT doc_id, para, pos,
+    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+      AS is_first
+  FROM l
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+  FROM l GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean
+  FROM w WHERE is_first GROUP BY doc_id
+)
+SELECT p.doc_id,
+  CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
+  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(coalesce(tot.n_paras, 0) - coalesce(kept.n_kept, 0) AS BIGINT)
+    AS n_dropped,
+  md5(coalesce(kept.clean, '')) AS clean_md5
+FROM p LEFT JOIN tot ON p.doc_id = tot.doc_id
+LEFT JOIN kept ON p.doc_id = kept.doc_id
+""",
+        # CDX index: same SURT canonicalization (scheme/port/www
+        # dropped, host reversed, query params sorted), revisit = a
+        # later capture of the same (surt, digest)
+        "cdx_index": f"""
+WITH caps AS ({CDX_SYNTH_SQL}),
+x AS (
+  SELECT url, warc_ts,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS rawhost,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q,
+    md5(body) AS digest,
+    CAST(strlen(body) AS BIGINT) AS n_bytes
+  FROM caps
+),
+y AS (
+  SELECT
+    array_to_string(list_reverse(string_split(
+      regexp_replace(regexp_replace(rawhost, ':[0-9]+$', ''),
+                     '^www\\.', ''), '.')), ',')
+    || ')' || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+    || CASE WHEN q = '' THEN ''
+            ELSE '?' || array_to_string(
+                          list_sort(string_split(q, '&')), '&') END
+      AS surt_key,
+    url, warc_ts, digest, n_bytes
+  FROM x
+)
+SELECT surt_key, url, warc_ts, digest, n_bytes,
+  row_number() OVER (PARTITION BY surt_key, digest
+                     ORDER BY warc_ts, url) > 1 AS is_revisit
+FROM y
 """,
         "script_profile": f"""
 WITH p AS ({SCRIPT_SYNTH_SQL}),

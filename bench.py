@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "fingerprint_normalized",
     "script_profile",
     "host_boilerplate",
+    "paragraph_dedup",
+    "cdx_index",
     "url_features",
     "host_trap_stats",
     "fingerprint",

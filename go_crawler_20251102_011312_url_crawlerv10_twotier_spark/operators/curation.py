@@ -547,3 +547,81 @@ def strip_host_boilerplate(
         (F.size(arr) - F.size(kept)).cast("bigint").alias("n_boiler"),
         F.concat_ws("\n", kept).alias("clean_text"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-GLOBAL paragraph dedup, CCNet-style: every paragraph
+    keeps exactly its first occurrence (ordered by ``(doc_id, pos)``)
+    and later occurrences anywhere in the corpus are dropped; each doc
+    is reassembled from its surviving paragraphs in original order.
+    Complements ``strip_host_boilerplate`` (host-scoped chrome, drops
+    ALL occurrences) — this is the cross-host half: licenses, quote
+    chains, syndicated articles, SEO spam collapse to one copy.
+
+    Scale shape — the key move is that kept paragraphs are REASSEMBLED
+    FROM THE WINNER SET, never joined back onto occurrences:
+
+    * ``groupBy(para)`` with ``min(struct(doc_id, pos))`` picks each
+      paragraph's first occurrence; map-side partials absorb hot
+      paragraphs (a license on 10^8 docs reaches its reducer as one
+      partial per map task, never 10^8 rows);
+    * the winner rows themselves ARE the surviving occurrences, so the
+      doc rebuild is just ``groupBy(winner.doc_id)`` — uniformly keyed
+      by construction. The classic skew trap (joining per-paragraph
+      df/rank back on the paragraph key, which funnels every copy of a
+      hot paragraph through one join task) never exists in this plan;
+    * per-doc totals (``n_paras``) come map-only from the original
+      text, so docs whose every paragraph lost (or that had no
+      non-empty paragraph) still surface with ``clean_text = ''``.
+
+    Two wide shuffles total (winner agg + doc rebuild), both skew-free;
+    the final doc join is keyed by ``doc_id`` (unique, uniform).
+
+    Output, one row per input doc:
+    ``(doc_id, n_paras, n_kept, n_dropped, clean_text)``.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    arr = F.filter(F.split("_text", sep), lambda x: x != F.lit(""))
+    counts = base.select(
+        "doc_id", F.size(arr).cast("bigint").alias("n_paras")
+    )
+    paras = base.select(
+        "doc_id", F.posexplode(arr).alias("pos", "para")
+    )
+    winners = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    rebuilt = (
+        winners.select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.struct("w.pos", "para").alias("_p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list("_p")),
+                    lambda st: st["para"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    j = counts.join(rebuilt, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -183,6 +183,75 @@ def read_warc_dir(
     return parse_warc(raw)
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) canonical key, the
+    ordering CDX archive indexes sort by: scheme and port dropped,
+    leading ``www.`` dropped, host lowercased and dot-reversed with
+    commas, ``)`` then path (``/`` when empty), query params sorted so
+    param-order variants collide — ``https://www.a.b.example:8080/p?z=1&a=2``
+    → ``example,b,a)/p?a=2&z=1``. Pure Catalyst (explicit char classes,
+    no ``\\s``-class divergence), map-only."""
+    host = F.lower(
+        F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, ":[0-9]+$", "")
+    host = F.regexp_replace(host, "^www\\.", "")
+    path = F.regexp_extract(
+        url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(url, "\\?([^#]*)", 1)
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(q == F.lit(""), F.lit("")).otherwise(
+            F.concat(
+                F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&")
+            )
+        ),
+    )
+
+
+def cdx_index(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "body",
+) -> DataFrame:
+    """CDX-style capture index over an archive: one row per capture
+    with its SURT key, payload digest, octet length, and the Wayback
+    ``revisit`` flag — a capture whose ``(surt_key, digest)`` was
+    already seen at an earlier timestamp is a revisit (stored bodies
+    dedup to the original record; this is how web archives avoid
+    storing an unchanged page once per crawl).
+
+    Scale shape: everything except the revisit rank is map-only
+    Catalyst; the rank is one window over ``(surt_key, digest)`` —
+    group size = captures of one unchanged page, bounded by recrawl
+    frequency, never corpus-sized, so the single shuffle is skew-free.
+    Output sorts by SURT key at write time in a real deployment
+    (``sortWithinPartitions``), which is what makes the index
+    binary-searchable; the flag itself doesn't need the sort.
+
+    Output: ``(surt_key, url, warc_ts, digest, n_bytes, is_revisit)``.
+    """
+    from pyspark.sql import Window
+
+    x = captures.select(
+        surt_key(F.col(url_col)).alias("surt_key"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.md5(body_col).alias("digest"),
+        F.octet_length(body_col).cast("bigint").alias("n_bytes"),
+    )
+    w = Window.partitionBy("surt_key", "digest").orderBy("warc_ts", "url")
+    return x.select(
+        "*", (F.row_number().over(w) > 1).alias("is_revisit")
+    )
+
+
 def pages_from_warc(records: DataFrame) -> DataFrame:
     """Adapt parsed response records to the engine's pages-table shape
     (url, warc_ts, html) — the input every crawl/pipeline entry point

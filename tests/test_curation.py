@@ -300,3 +300,48 @@ def test_strip_host_boilerplate_order_preserved(spark):
     assert got[1].clean_text == "gamma\ndelta"
     assert got[2].clean_text == "epsilon\nzeta"
     assert all(r.n_boiler == 3 for r in got.values())  # top/mid/bottom
+
+
+def test_paragraph_dedup_keep_first_global(spark):
+    """Corpus-global keep-first: the duplicate paragraph survives only
+    in the lowest (doc_id, pos) slot; within one doc the earlier
+    position wins; unique paragraphs all survive in order."""
+    P = "\n\n"
+    docs = spark.createDataFrame(
+        [
+            (2, P.join(["dup", "two-a"])),
+            (0, P.join(["zero-a", "dup", "zero-b", "dup"])),
+            (1, P.join(["dup", "one-a"])),
+        ],
+        "doc_id long, text string",
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        paragraph_dedup,
+    )
+
+    got = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    # doc 0 holds the global first occurrence of "dup" (pos 1) and
+    # loses its own later repeat (pos 3)
+    assert got[0].clean_text == P.join(["zero-a", "dup", "zero-b"])
+    assert (got[0].n_paras, got[0].n_kept, got[0].n_dropped) == (4, 3, 1)
+    assert got[1].clean_text == "one-a"
+    assert got[2].clean_text == "two-a"
+    assert got[1].n_dropped == 1 and got[2].n_dropped == 1
+
+
+def test_paragraph_dedup_all_dropped_doc_survives(spark):
+    """A doc made entirely of already-seen paragraphs keeps an empty
+    clean_text row (never vanishes); empty paragraphs don't count."""
+    P = "\n\n"
+    docs = spark.createDataFrame(
+        [(0, "a" + P + "b"), (1, "b" + P + "a"), (2, "")],
+        "doc_id long, text string",
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        paragraph_dedup,
+    )
+
+    got = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert got[0].clean_text == "a" + P + "b"
+    assert got[1].clean_text == "" and got[1].n_dropped == 2
+    assert got[2].n_paras == 0 and got[2].clean_text == ""

@@ -166,3 +166,52 @@ def test_null_blob_skipped(spark):
     )
     got = parse_warc(df).collect()
     assert len(got) == 1 and got[0].blob_id == "y"
+
+
+def test_surt_key_canonicalization(spark):
+    """SURT collapses scheme/port/www and sorts query params; distinct
+    pages keep distinct keys."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.warc import (
+        surt_key,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.a.b.example:8080/p?z=1&a=2",),
+            ("http://a.b.example/p?a=2&z=1",),
+            ("https://a.b.example/p",),
+            ("https://A.B.example",),
+        ],
+        "url string",
+    )
+    keys = [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert keys[0] == "example,b,a)/p?a=2&z=1"
+    assert keys[1] == keys[0]  # scheme/port/www/param-order invariant
+    assert keys[2] == "example,b,a)/p"
+    assert keys[3] == "example,b,a)/"  # empty path -> '/'
+
+
+def test_cdx_index_revisits(spark):
+    """Same (surt, digest) at a later ts is a revisit; a changed body
+    at the same url is NOT; url variants share one surt key."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.warc import (
+        cdx_index,
+    )
+
+    caps = spark.createDataFrame(
+        [
+            ("https://h.example/p", "2025-01-01T00:00:00Z", "v1"),
+            ("https://www.h.example/p", "2025-01-02T00:00:00Z", "v1"),
+            ("https://h.example/p", "2025-01-03T00:00:00Z", "v2"),
+            ("https://h.example/p", "2025-01-04T00:00:00Z", "v2"),
+        ],
+        "url string, warc_ts string, body string",
+    )
+    rows = sorted(
+        cdx_index(caps).collect(), key=lambda r: (r.warc_ts, r.url)
+    )
+    assert len({r.surt_key for r in rows}) == 1
+    assert [r.is_revisit for r in rows] == [False, True, False, True]
+    assert rows[0].digest != rows[2].digest
+    assert rows[0].n_bytes == 2
