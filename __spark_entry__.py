@@ -334,6 +334,18 @@ SELECT
 FROM documents d
 """.strip()
 
+# mega-host-skewed corpus for the domain-cap gate: two thirds of all
+# docs live on ONE host (the skew the salted two-phase top-K exists
+# for), quality is a deterministic double with cross-doc collisions so
+# the doc_id tie-break is exercised
+DOMCAP_SYNTH_SQL = """
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 3 < 2 THEN 'mega.example'
+       ELSE 'h' || (d.doc_id % 5) || '.example' END AS host,
+  ((d.doc_id * 37) % 1000) / 1000.0 AS quality
+FROM documents d
+""".strip()
+
 # multilingual corpus for the script-profile gate: UTF-8 literals in
 # the shared SQL (both engines parse string literals as UTF-8 — unlike
 # chr(), whose semantics diverge above 160)
@@ -1502,6 +1514,27 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_domain_cap_sample(spark, sf_dir):
+    """Dominant-domain cap (sampling.domain_cap_sample) over the
+    mega-host-skewed corpus: top-10 docs per host by (quality DESC,
+    doc_id), salted two-phase so the 2/3-of-corpus host never transits
+    one window task. Dropped rows keep rank 0 in the gate projection
+    (the operator reports NULL = below-cap)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        sampling,
+    )
+
+    docs = _synth(spark, sf_dir, DOMCAP_SYNTH_SQL)
+    r = sampling.domain_cap_sample(docs, max_per_host=10)
+    return r.select(
+        "doc_id",
+        "host",
+        "quality",
+        F.coalesce("rank", F.lit(0)).cast("bigint").alias("rank"),
+        "keep",
+    )
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX archive index (sources.warc.cdx_index) over the
     capture-shaped corpus: SURT keys collapse www./port/query-order url
@@ -1930,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "paragraph_dedup": q_paragraph_dedup,
         "cdx_index": q_cdx_index,
+        "domain_cap_sample": q_domain_cap_sample,
         "url_features": q_url_features,
         "host_trap_stats": q_host_trap_stats,
         "fingerprint": q_fingerprint,
@@ -3209,6 +3243,22 @@ SELECT p.doc_id,
   md5(coalesce(kept.clean, '')) AS clean_md5
 FROM p LEFT JOIN tot ON p.doc_id = tot.doc_id
 LEFT JOIN kept ON p.doc_id = kept.doc_id
+""",
+        # domain cap: rank over the full host partition — identical to
+        # the engine's two-phase result by construction (phase-1 cuts
+        # are provably outside the host's global top-K)
+        "domain_cap_sample": f"""
+WITH p AS ({DOMCAP_SYNTH_SQL}),
+r AS (
+  SELECT doc_id, host, quality,
+    row_number() OVER (PARTITION BY host
+                       ORDER BY quality DESC, doc_id) AS rn
+  FROM p
+)
+SELECT doc_id, host, quality,
+  CAST(CASE WHEN rn <= 10 THEN rn ELSE 0 END AS BIGINT) AS rank,
+  rn <= 10 AS keep
+FROM r
 """,
         # CDX index: same SURT canonicalization (scheme/port/www
         # dropped, host reversed, query params sorted), revisit = a

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "fingerprint_normalized",
     "script_profile",
     "host_boilerplate",
+    "domain_cap_sample",
     "paragraph_dedup",
     "cdx_index",
     "url_features",

@@ -17,7 +17,7 @@ buckets bit-for-bit — the same trade the dedup operators make.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # per-mille keep rates per language stratum — the up/down-sampling mix
@@ -74,4 +74,64 @@ def training_mix_sample(
         rate.alias("rate_permille"),
         (bucket < rate).alias("keep"),
         F.round(F.lit(float(_BUCKETS)) / rate, 6).alias("weight"),
+    )
+
+
+def domain_cap_sample(
+    docs: DataFrame,
+    max_per_host: int = 10,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    quality_col: str = "quality",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Dominant-domain mitigation: keep at most ``max_per_host`` docs
+    per host, highest ``quality`` first (doc_id breaks ties, so the
+    cut is deterministic). The rate-based sampler above balances
+    STRATA (language, source); this balances the host long-tail — a
+    mega-host contributing 10^8 pages must not be 10 % of the mix
+    just because it was 10 % of the crawl.
+
+    Skew shape (politeness.schedule's salted two-phase top-K,
+    politeness.py:100-113 — the same mega-host problem in corpus
+    form): a naive ``row_number() OVER (PARTITION BY host)`` puts the
+    whole mega-host through one window task. Phase 1 ranks within
+    ``(host, salt)`` — parallel across ``n_salts`` — and keeps at most
+    ``max_per_host`` rows per salted group; phase 2 re-ranks the
+    ≤ ``max_per_host × n_salts`` survivors per host, an exactly
+    equivalent but tiny window. Rows cut in phase 1 are provably
+    outside the global top-K, so the full decision surface is
+    reconstructable: they surface with ``keep = false, rank = NULL``
+    (a NULL rank reads "below the cap", not "unknown").
+
+    Output, one row per input doc:
+    ``(doc_id, host, quality, rank, keep)``.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.col(quality_col).cast("double").alias("quality"),
+    )
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    salted = base.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    phase1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.lit(int(max_per_host)))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = phase1.withColumn("_r2", F.row_number().over(w2))
+    kept = ranked.filter(F.col("_r2") <= F.lit(int(max_per_host)))
+    out = base.join(
+        kept.select("doc_id", F.col("_r2").alias("rank")), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        "host",
+        "quality",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("rank").isNotNull().alias("keep"),
     )

@@ -50,3 +50,48 @@ def test_mix_sample_rate_convergence(spark):
     ).collect()
     kept = sum(r.keep for r in rows)
     assert abs(kept / 5000 - 0.5) < 0.03
+
+
+def test_domain_cap_sample_cap_and_order(spark):
+    """Top-K per host by (quality DESC, doc_id): cap respected, the
+    mega-host's dropped rows survive with keep=False/rank NULL, and a
+    quality tie breaks by doc_id."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sampling import (
+        domain_cap_sample,
+    )
+
+    rows = [(i, "mega.example", float(i % 4)) for i in range(40)]
+    rows += [(100, "tiny.example", 0.5), (101, "tiny.example", 0.5)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, quality double")
+    out = {r.doc_id: r for r in domain_cap_sample(docs, max_per_host=5).collect()}
+    assert len(out) == 42  # full decision surface
+    kept_mega = sorted(
+        (r.rank, r.doc_id) for r in out.values()
+        if r.host == "mega.example" and r.keep
+    )
+    # quality 3.0 docs are ids 3,7,11,...; top-5 by (q desc, id asc)
+    assert kept_mega == [(1, 3), (2, 7), (3, 11), (4, 15), (5, 19)]
+    assert all(
+        not r.keep and r.rank is None
+        for r in out.values()
+        if r.host == "mega.example" and r.doc_id not in (3, 7, 11, 15, 19)
+    )
+    # tie on quality 0.5: lower doc_id ranks first
+    assert out[100].rank == 1 and out[101].rank == 2
+
+
+def test_domain_cap_sample_salting_invariant(spark):
+    """The salted two-phase result is identical to the naive single
+    window (n_salts=1) on a skewed corpus."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sampling import (
+        domain_cap_sample,
+    )
+
+    rows = [
+        (i, "m.example" if i % 3 else f"h{i % 7}.example", float((i * 37) % 11))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, quality double")
+    a = sorted(map(tuple, domain_cap_sample(docs, max_per_host=4, n_salts=16).collect()))
+    b = sorted(map(tuple, domain_cap_sample(docs, max_per_host=4, n_salts=1).collect()))
+    assert a == b
