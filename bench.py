@@ -41,6 +41,9 @@ physical cores to measure the engine rather than the hyperthreads):
                                   # a ~10%-changed / ~6%-removed v2
                                   # against the v1 checkpoints
                                   # (BENCH.md section 10)
+    python bench.py --skew-para   # hot-paragraph A/B: winner-set
+                                  # paragraph_dedup vs the naive
+                                  # per-paragraph window (BENCH.md §7b)
     python bench.py --skew-boiler # mega-host boilerplate A/B: salted
                                   # docs x host-vocab join vs AQE-only
                                   # vs raw hash layout, broadcast
@@ -568,6 +571,157 @@ def run_skew_boiler(
     return out
 
 
+def run_skew_para(spark, n_docs: int, skew_frac: float) -> dict:
+    """Hot-paragraph skew A/B for paragraph_dedup: ``skew_frac`` of all
+    docs open with the SAME license paragraph. Two legs, identical
+    results (asserted):
+
+    * ``naive``      — the textbook formulation: explode, rank with
+      ``row_number() OVER (PARTITION BY para)``, keep rank 1, rebuild.
+      The hot paragraph's every copy transits ONE window task (the
+      exchange hash-routes equal keys together; AQE cannot split a
+      running window partition).
+    * ``winner_set`` — the shipped operator: ``min(struct)`` agg picks
+      winners (map-side partials absorb the hot key), docs rebuild
+      from the winner rows — the paragraph-keyed row explosion never
+      crosses an exchange after the partial agg.
+
+    Reported max_task_share is the row share of the heaviest task in
+    each leg's paragraph-keyed stage (the window input for naive, the
+    post-partial agg input for winner_set). Coalescing off so shares
+    reflect the hash layout.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    hot_n = int(n_docs * skew_frac)
+    # web-typical paragraph length (~900 B) — string compare cost is
+    # the window sort's real work
+    pad = "lorem ipsum dolor sit amet " * 32
+    license_para = F.lit("LICENSE shared corpus paragraph " + pad)
+    uniq = lambda tag: F.concat(  # noqa: E731
+        F.lit(f"para {tag} "), F.col("id").cast("string"), F.lit(" " + pad)
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            # hot docs ARE the license paragraph (mass-duplicated
+            # pages, the CCNet regime); tail docs carry unique content
+            F.when(F.col("id") < hot_n, license_para)
+            .otherwise(F.concat_ws("\n\n", uniq("solo"), uniq("a")))
+            .alias("text"),
+        )
+        .persist()
+    )
+    docs.count()
+    reps = int(os.environ.get("SPARK_GRAFT_SKEW_REPEATS", "2"))
+
+    def naive(d):
+        paras = d.select(
+            "doc_id", F.posexplode(F.split("text", "\n\n")).alias("pos", "para")
+        ).filter(F.col("para") != "")
+        w = Window.partitionBy("para").orderBy("doc_id", "pos")
+        kept = paras.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        agg = (
+            kept.select("doc_id", F.struct("pos", "para").alias("_p"))
+            .groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    "\n\n",
+                    F.transform(
+                        F.array_sort(F.collect_list("_p")),
+                        lambda st: st["para"],
+                    ),
+                ).alias("_ct")
+            )
+        )
+        # same output contract as the operator: docs whose every
+        # paragraph lost still surface (empty clean_text)
+        return d.select("doc_id").join(agg, "doc_id", "left").select(
+            "doc_id", F.coalesce("_ct", F.lit("")).alias("clean_text")
+        )
+
+    def winner(d):
+        return curation.paragraph_dedup(d).select("doc_id", "clean_text")
+
+    # per-leg layout probe: rows per task in the paragraph-keyed stage
+    def share_naive(d):
+        paras = d.select(
+            "doc_id", F.posexplode(F.split("text", "\n\n")).alias("pos", "para")
+        ).filter(F.col("para") != "")
+        w = Window.partitionBy("para").orderBy("doc_id", "pos")
+        staged = paras.withColumn("_rn", F.row_number().over(w))
+        return staged.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.count("*").alias("count"), F.sum("_rn").alias("_s")
+        )
+
+    def share_winner(d):
+        paras = d.select(
+            "doc_id", F.posexplode(F.split("text", "\n\n")).alias("pos", "para")
+        ).filter(F.col("para") != "")
+        staged = paras.groupBy("para").agg(
+            F.min(F.struct("doc_id", "pos")).alias("w")
+        )
+        return staged.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.count("*").alias("count"), F.count("w").alias("_s")
+        )
+
+    saved = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", None
+    )
+    out, checks = {}, {}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        for label, fn, probe in (
+            ("winner_set", winner, share_winner),
+            ("naive", naive, share_naive),
+        ):
+            walls = []
+            for _ in range(reps):
+                t0 = time.time()
+                row = fn(docs).agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.length("clean_text")).alias("c"),
+                ).collect()[0]
+                walls.append(time.time() - t0)
+            checks[label] = (row.n, row.c)
+            parts = probe(docs).collect()
+            total = sum(r["count"] for r in parts)
+            out[label] = {
+                "wall_s": round(min(walls), 3),
+                "all_walls_s": [round(w, 3) for w in walls],
+                "stage_rows": total,
+                "stage_tasks": len(parts),
+                "max_task_share": round(
+                    max(r["count"] for r in parts) / total, 3
+                ),
+            }
+        assert len(set(checks.values())) == 1, checks
+    finally:
+        docs.unpersist()
+        if saved is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", saved
+            )
+    out.update(
+        metric="paragraph_dedup_hotkey_speedup",
+        value=round(out["naive"]["wall_s"] / out["winner_set"]["wall_s"], 2),
+        unit="x",
+        n_docs=n_docs,
+        skew_frac=skew_frac,
+    )
+    return out
+
+
 def run_pipeline_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
     """End-to-end rehearsal (VERDICT r03 next-round #1): the eight-stage
     training pipeline — crawl -> tier-2 extract -> normalize -> quality
@@ -897,6 +1051,13 @@ def main() -> None:
         frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
         sp = int(os.environ.get("SPARK_GRAFT_BOILER_SALTS", "64"))
         print(json.dumps(run_skew_boiler(spark, n, frac, sp)))
+    elif "--skew-para" in sys.argv:
+        from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
+
+        spark = get_spark(app_name="bench-skew-para")
+        n = int(os.environ.get("SPARK_GRAFT_PARA_DOCS", "400000"))
+        frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
+        print(json.dumps(run_skew_para(spark, n, frac)))
     elif "--wave-only" in sys.argv:
         from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
 
