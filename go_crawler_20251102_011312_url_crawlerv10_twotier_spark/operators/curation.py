@@ -554,6 +554,7 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-GLOBAL paragraph dedup, CCNet-style: every paragraph
     keeps exactly its first occurrence (ordered by ``(doc_id, pos)``)
@@ -583,14 +584,18 @@ def paragraph_dedup(
     the final doc join is keyed by ``doc_id`` (unique, uniform).
 
     Output, one row per input doc:
-    ``(doc_id, n_paras, n_kept, n_dropped, clean_text)``.
+    ``(doc_id, *keep, n_paras, n_kept, n_dropped, clean_text)`` —
+    ``keep`` columns ride the map-only counts side (the
+    normalize_text ``keep=`` composition pattern, no re-join).
     """
     base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep],
+        F.col(text_col).alias("_text"),
     )
     arr = F.filter(F.split("_text", sep), lambda x: x != F.lit(""))
     counts = base.select(
-        "doc_id", F.size(arr).cast("bigint").alias("n_paras")
+        "doc_id", *keep, F.size(arr).cast("bigint").alias("n_paras")
     )
     paras = base.select(
         "doc_id", F.posexplode(arr).alias("pos", "para")
@@ -618,6 +623,7 @@ def paragraph_dedup(
     j = counts.join(rebuilt, "doc_id", "left")
     return j.select(
         "doc_id",
+        *keep,
         "n_paras",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))

@@ -201,9 +201,17 @@ def run_training_pipeline(
     stop_after: int | None = None,
     url_col: str = "url",
     html_col: str = "html",
+    para_dedup: bool = False,
 ) -> PipelineResult:
     """Drive the nine-stage pipeline over a pages corpus. See module
     docstring for the stage list and checkpoint/resume semantics.
+
+    ``para_dedup=True`` inserts an optional tenth stage between tier-2
+    extract and normalize: corpus-global paragraph dedup
+    (curation.paragraph_dedup) over the extracted line-structured text
+    — it must run BEFORE normalize, whose whitespace collapse erases
+    the line boundaries the paragraphs split on. Off by default so the
+    nine-stage manifests (and the resume fixtures) stay byte-stable.
 
     ``stop_after=k`` commits the first k stages then raises
     ``PipelineStopped`` — the controlled mid-pipeline-death used by
@@ -276,6 +284,24 @@ def run_training_pipeline(
 
     docs, n_docs = r.run("tier2_extract", n_seen, do_tier2)
     _gate()
+
+    # -- 2b (optional). corpus-global paragraph dedup ------------------
+    if para_dedup:
+
+        def do_para() -> DataFrame:
+            pd_ = curation.paragraph_dedup(
+                docs, sep="\n", keep=("url", "n_bytes", "body_xxh")
+            )
+            return pd_.select(
+                "doc_id",
+                "url",
+                F.col("clean_text").alias("text"),
+                "n_bytes",
+                "body_xxh",
+            )
+
+        docs, n_docs = r.run("paragraph_dedup", n_docs, do_para)
+        _gate()
 
     # -- 3. normalize: rendering-independent text ---------------------
     def do_norm() -> DataFrame:

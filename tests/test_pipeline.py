@@ -196,3 +196,32 @@ def test_pipeline_rerun_is_fully_cached(spark, tmp_path_factory, uninterrupted):
     )
     assert all(s.resumed for s in res.stages)
     assert _manifest_rows(res) == _manifest_rows(uninterrupted)
+
+
+def test_pipeline_optional_paragraph_dedup_stage(spark, tmp_path):
+    """para_dedup=True inserts the corpus-global paragraph-dedup stage
+    between tier-2 extract and normalize (before whitespace collapse
+    erases line boundaries): ten stages, doc count preserved (it edits
+    text, never drops docs), and the downstream funnel still runs to a
+    shard manifest."""
+    pages, seeds = _inputs(spark)
+    res = run_training_pipeline(
+        spark,
+        pages,
+        seeds,
+        str(tmp_path / "pd"),
+        max_records_per_file=100,
+        para_dedup=True,
+    )
+    names = [s.name for s in res.stages]
+    assert names == [
+        "crawl", "tier2_extract", "paragraph_dedup", "normalize",
+        "quality_filter", "exact_dedup", "dedup_clusters",
+        "corpus_refine", "sequence_pack", "training_shards",
+    ]
+    rows = {s.name: (s.rows_in, s.rows_out) for s in res.stages}
+    # paragraph dedup rewrites text but keeps every doc row
+    assert rows["paragraph_dedup"] == (
+        rows["tier2_extract"][1], rows["tier2_extract"][1]
+    )
+    assert res.manifest.count() > 0
