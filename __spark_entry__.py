@@ -1720,6 +1720,20 @@ def q_training_mix(spark, sf_dir):
     return sampling.training_mix_sample(docs)
 
 
+def q_lang_temperature(spark, sf_dir):
+    """Temperature-based language rebalancing
+    (sampling.lang_temperature_sample, alpha=0.5) over the stored lang
+    column: per-language keep threshold floor(B*sqrt(n_min/n_lang)),
+    so the sampled mix is proportional to n_lang**0.5 — the XLM/mT5
+    rule derived from the corpus' own histogram, vs training_mix's
+    POLICY rates. The per-row keep is integer bucket-vs-threshold;
+    the only floating point is one correctly-rounded chain per
+    LANGUAGE (divide, sqrt, multiply, floor), so the DuckDB oracle
+    reproduces the exact sample."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.lang_temperature_sample(docs)
+
+
 def q_events_rollup(spark, sf_dir):
     """Metrics-table rollup shape (A3-A5) over the events stream table.
     Value sum uses milli-units summed as integers (order-independent);
@@ -1946,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "quality_filter": q_quality_filter,
         "training_mix": q_training_mix,
+        "lang_temperature": q_lang_temperature,
         "corpus_refine": q_corpus_refine,
         "corpus_pack": q_corpus_pack,
         "training_shards": q_training_shards,
@@ -3379,6 +3394,33 @@ FROM documents
 """,
         "quality_filter": qf_sql,
         "training_mix": mix_sql,
+        # temperature mix: same md5 buckets as mix_sql; the threshold
+        # chain (/, sqrt, *, floor) is correctly rounded by IEEE in
+        # both engines, so floor() lands on the same integer
+        "lang_temperature": """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+  FROM documents GROUP BY lang
+),
+m AS (SELECT min(n_lang) AS n_min FROM counts),
+t AS (
+  SELECT lang, n_lang,
+    greatest(CAST(floor(1000000.0 *
+      sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS BIGINT),
+      CAST(1 AS BIGINT)) AS threshold
+  FROM counts CROSS JOIN m
+),
+b AS (
+  SELECT doc_id, lang,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000) AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.lang, t.n_lang, b.bucket, t.threshold,
+  b.bucket < t.threshold AS keep,
+  round(1000000.0 / t.threshold, 6) AS weight
+FROM b JOIN t USING (lang)
+""",
         # full-pipeline composition: each component subquery is the
         # SAME string as its standalone oracle above
         "corpus_refine": refine_sql,

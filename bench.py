@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "script_profile",
     "host_boilerplate",
     "domain_cap_sample",
+    "lang_temperature",
     "paragraph_dedup",
     "cdx_index",
     "url_features",

@@ -135,3 +135,82 @@ def domain_cap_sample(
         F.col("rank").cast("int").alias("rank"),
         F.col("rank").isNotNull().alias("keep"),
     )
+
+
+_TEMP_BUCKETS = 1_000_000
+
+
+def lang_temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based language rebalancing (the XLM / mT5 mix rule):
+    sample language ``l`` so its share of the output is proportional to
+    ``n_l ** alpha`` instead of ``n_l``. ``training_mix_sample`` above
+    takes POLICY rates; this derives the rate from the corpus' own
+    language histogram — the form multilingual pretraining actually
+    uses (alpha ~ 0.3-0.7 upweights the long tail relative to English).
+
+    Realized as pure downsampling: keep rate
+    ``k_l = (n_min / n_l) ** (1 - alpha)`` where ``n_min`` is the
+    smallest language's count — the rarest language is kept whole
+    (k = 1) and every other language is cut toward it. Keep/drop is the
+    same md5-bucket hash threshold as the stratified sampler
+    (reproducible under any partitioning / resume), with the threshold
+    materialized as an INTEGER bucket cut per language:
+    ``threshold_l = max(floor(B * k_l), 1)``, ``keep = bucket <
+    threshold_l`` (the floor of 1 keeps ~1 ppm of a language so
+    extreme it would otherwise round to an empty — and unweightable —
+    stratum).
+    The per-row decision is integer-vs-integer — the only floating
+    point is one correctly-rounded-by-IEEE chain per LANGUAGE
+    (divide, sqrt, multiply, floor at the default ``alpha = 0.5``), so
+    any engine reproduces the exact same sample. ``alpha != 0.5``
+    routes through ``pow``, which is not guaranteed correctly rounded
+    — fine for production, not used by the bit-exact gate.
+
+    Scale shape: ONE map-side-partial aggregation over (lang) — tens of
+    groups — a scalar min attach on that tiny table, and a broadcast
+    join of the per-language thresholds back onto the corpus. The
+    100 TB cost is the scan; no document-side shuffle exists.
+
+    Output, one row per input doc (callers filter on ``keep``):
+    ``(doc_id, lang, n_lang, bucket, threshold, keep, weight)`` with
+    ``weight = B / threshold`` the inverse-propensity factor.
+    """
+    idc = F.col(id_col)
+    lang = F.col(lang_col)
+    counts = docs.groupBy(lang.alias("lang")).agg(
+        F.count("*").cast("bigint").alias("n_lang")
+    )
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_lang").cast("double")
+    k = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_lang",
+        F.greatest(
+            F.floor(F.lit(float(_TEMP_BUCKETS)) * k), F.lit(1).cast("bigint")
+        ).cast("bigint").alias("threshold"),
+    )
+    h = F.conv(F.substring(F.md5(idc.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bucket = (h % _TEMP_BUCKETS).alias("bucket")
+    return (
+        docs.select(idc.alias("doc_id"), lang.alias("lang"), bucket)
+        .join(F.broadcast(thresholds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            "bucket",
+            "threshold",
+            (F.col("bucket") < F.col("threshold")).alias("keep"),
+            F.round(
+                F.lit(float(_TEMP_BUCKETS)) / F.col("threshold"), 6
+            ).alias("weight"),
+        )
+    )

@@ -102,14 +102,16 @@ def test_no_single_partition_exchange(plans):
     sits on an Exchange SinglePartition; recrawl_schedule's batch
     clock (max ts over the table) finalizes a partial_max the same
     way; the recall gates' hits/total rows finalize a partial_count;
-    and unigram_commonness' corpus-token total finalizes a
-    partial_sum over the already-reduced per-token count table. All
+    unigram_commonness' corpus-token total finalizes a partial_sum
+    over the already-reduced per-token count table; and
+    lang_temperature's n_min finalizes a partial_min over the
+    per-language count table (tens of rows). All
     move one pre-aggregated row per partition, not data rows — the
     partial→final pattern this test exists to protect.
     """
     bloom_final = re.compile(
         r"Exchange SinglePartition[^\n]*\n[^\n]*"
-        r"partial_(?:bloom_filter_agg|max\(|count\(|sum\()"
+        r"partial_(?:bloom_filter_agg|max\(|min\(|count\(|sum\()"
     )
     offenders = {
         n for n, p in plans.items()
@@ -238,7 +240,7 @@ def test_crawl_loop_plan_contracts(spark):
 
     scalar_final = re.compile(
         r"Exchange SinglePartition[^\n]*\n[^\n]*"
-        r"partial_(?:bloom_filter_agg|max\(|count\(|sum\()"
+        r"partial_(?:bloom_filter_agg|max\(|min\(|count\(|sum\()"
     )
     for it, p in fetches + schedules:
         assert "CartesianProduct" not in p, f"iter {it}"

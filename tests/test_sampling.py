@@ -95,3 +95,51 @@ def test_domain_cap_sample_salting_invariant(spark):
     a = sorted(map(tuple, domain_cap_sample(docs, max_per_host=4, n_salts=16).collect()))
     b = sorted(map(tuple, domain_cap_sample(docs, max_per_host=4, n_salts=1).collect()))
     assert a == b
+
+def test_lang_temperature_thresholds_and_buckets(spark):
+    """alpha=0.5: threshold_l = floor(1e6 * sqrt(n_min/n_l)), the
+    rarest language is kept whole, buckets match the md5 reference."""
+    import math
+
+    rows = [(i, "en") for i in range(400)]
+    rows += [(1000 + i, "de") for i in range(100)]
+    rows += [(2000 + i, "sw") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.lang_temperature_sample(docs).collect()
+    assert len(out) == 525  # full decision surface
+    counts = {"en": 400, "de": 100, "sw": 25}
+    for r in out:
+        exp_t = max(int(math.floor(1e6 * math.sqrt(25 / counts[r.lang]))), 1)
+        assert r.n_lang == counts[r.lang]
+        assert r.threshold == exp_t, (r.lang, r.threshold, exp_t)
+        b = int(
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16
+        ) % 1_000_000
+        assert r.bucket == b
+        assert r.keep == (b < exp_t)
+        assert abs(r.weight - round(1e6 / exp_t, 6)) < 1e-9
+    # rarest language: threshold = B, every doc kept
+    assert all(r.keep for r in out if r.lang == "sw")
+
+
+def test_lang_temperature_alpha_extremes(spark):
+    """alpha=1 keeps everything (no rebalance); alpha=0 equalizes
+    expected counts (keep rate = n_min/n_l)."""
+    rows = [(i, "en") for i in range(400)] + [(500 + i, "sw") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    flat = sampling.lang_temperature_sample(docs, alpha=1.0).collect()
+    assert all(r.threshold == 1_000_000 and r.keep for r in flat)
+    eq = {
+        r.lang: r.threshold
+        for r in sampling.lang_temperature_sample(docs, alpha=0.0).collect()
+    }
+    assert eq["sw"] == 1_000_000 and eq["en"] == 62_500  # 25/400 * 1e6
+
+
+def test_lang_temperature_deterministic_across_partitioning(spark):
+    docs = _docs(spark, 300)
+    a = sorted(map(tuple, sampling.lang_temperature_sample(docs).collect()))
+    b = sorted(
+        map(tuple, sampling.lang_temperature_sample(docs.repartition(13)).collect())
+    )
+    assert a == b
