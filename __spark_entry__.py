@@ -1734,6 +1734,20 @@ def q_lang_temperature(spark, sf_dir):
     return sampling.lang_temperature_sample(docs)
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR data-selection scoring (sampling.dsir_importance): hashed
+    unigram+bigram log-likelihood ratio of a target slice (sources
+    src0/src1 stand in for the high-quality corpus) vs the full raw
+    corpus, summed per document. Per-bucket lr is materialized as
+    INTEGER micro-nats (one fixed-association double chain per bucket,
+    mirrored verbatim in the oracle), so the per-doc sum is an
+    order-free integer and the gate is exact. Tokenize/hash map-side;
+    bucket-keyed count aggs; lr table broadcast; one doc_id sum."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return sampling.dsir_importance(docs, target)
+
+
 def q_events_rollup(spark, sf_dir):
     """Metrics-table rollup shape (A3-A5) over the events stream table.
     Value sum uses milli-units summed as integers (order-independent);
@@ -1961,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "training_mix": q_training_mix,
         "lang_temperature": q_lang_temperature,
+        "dsir_importance": q_dsir_importance,
         "corpus_refine": q_corpus_refine,
         "corpus_pack": q_corpus_pack,
         "training_shards": q_training_shards,
@@ -3420,6 +3435,57 @@ SELECT b.doc_id, b.lang, t.n_lang, b.bucket, t.threshold,
   b.bucket < t.threshold AS keep,
   round(1000000.0 / t.threshold, 6) AS weight
 FROM b JOIN t USING (lang)
+""",
+        # DSIR: same md5 gram buckets; the lr chain ln-ln-ln+ln keeps
+        # the engine's exact association, micro-nat rounding makes the
+        # per-doc sum an order-free integer
+        "dsir_importance": r"""
+WITH tgt_ids AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM base
+),
+grams AS (
+  SELECT doc_id, w AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+      w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+    FROM toks
+  ) WHERE gram IS NOT NULL
+),
+gb AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000) AS bucket
+  FROM grams
+),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt FROM gb GROUP BY bucket),
+tgtg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+  FROM gb JOIN tgt_ids USING (doc_id) GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT CAST(sum(r_cnt) AS BIGINT) FROM raw) AS r_tot,
+         (SELECT CAST(sum(t_cnt) AS BIGINT) FROM tgtg) AS t_tot
+),
+lr AS (
+  SELECT raw.bucket,
+    CAST(round(1000000.0 * (ln(coalesce(t_cnt, 0) + 1.0) - ln(t_tot + 10000.0)
+                            - ln(r_cnt + 1.0) + ln(r_tot + 10000.0))) AS BIGINT)
+      AS lr_micro
+  FROM raw LEFT JOIN tgtg USING (bucket) CROSS JOIN tot
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro,
+  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams
+FROM documents d LEFT JOIN (
+  SELECT gb.doc_id, sum(lr.lr_micro) AS score_micro, count(*) AS n_grams
+  FROM gb JOIN lr USING (bucket) GROUP BY gb.doc_id
+) s USING (doc_id)
 """,
         # full-pipeline composition: each component subquery is the
         # SAME string as its standalone oracle above

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "host_boilerplate",
     "domain_cap_sample",
     "lang_temperature",
+    "dsir_importance",
     "paragraph_dedup",
     "cdx_index",
     "url_features",

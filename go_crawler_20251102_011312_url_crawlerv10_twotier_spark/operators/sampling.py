@@ -214,3 +214,115 @@ def lang_temperature_sample(
             ).alias("weight"),
         )
     )
+
+
+_DSIR_BUCKETS = 10_000
+
+
+def _hashed_grams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) — one row per unigram/bigram OCCURRENCE, the
+    gram hashed into ``n_buckets``. Entirely map-side: tokens and the
+    consecutive-pair bigrams are built as arrays inside one projection
+    (zip of the two shifted slices), so no window and no shuffle exist
+    — the n-gram stream never has to be ordered, only counted. md5
+    (not xxhash64) so the DuckDB oracle lands every gram in the same
+    bucket; production would swap the one hash line."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= F.lit(2),
+        F.zip_with(
+            F.slice(toks, 1, n - F.lit(1)),
+            F.slice(toks, 2, n - F.lit(1)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    return grams.select("doc_id", (h % n_buckets).alias("bucket"))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = _DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed n-gram profile
+    is. Per bucket ``b``, the Laplace-smoothed log-likelihood ratio
+
+        lr(b) = ln(t_cnt+1) - ln(t_tot+B) - ln(r_cnt+1) + ln(r_tot+B)
+
+    (target vs raw unigram+bigram occurrence counts); a document's
+    importance is the sum of ``lr`` over its gram occurrences —
+    ``ln p_target(doc)/p_raw(doc)`` under the hashed bag-of-grams
+    model. Selection then keeps the top slice / resamples by weight
+    (compose with ``domain_cap_sample``-style top-K or the md5
+    samplers above).
+
+    Determinism: ``lr`` is materialized as INTEGER micro-nats — one
+    double chain per BUCKET (four lns of exact integers, fixed
+    association, one multiply, one round) — and the per-doc score is
+    a sum of integers, so it is independent of aggregation order and
+    engine (the same trick as source_quality_rollup's micro-units).
+
+    Scale shape: tokenize/hash is map-side (no window — bigrams are a
+    zip of shifted array slices); the two count aggregations are
+    bucket-keyed with map-side partials (≤ B groups); the lr table is
+    ≤ B rows, broadcast back onto the gram stream; one groupBy(doc_id)
+    integer sum. The scoring pass re-tokenizes rather than
+    materializing the doc×gram table (grams outweigh docs in bytes —
+    at 100 TB recompute beats spill). Docs with no grams surface with
+    score 0 / n_grams 0 — full decision surface.
+
+    Output: ``(doc_id, score_micro, n_grams)``, score in micro-nats.
+    """
+    raw_g = _hashed_grams(docs, id_col, text_col, n_buckets)
+    tgt_g = _hashed_grams(target, id_col, text_col, n_buckets)
+    raw = raw_g.groupBy("bucket").agg(F.count("*").cast("bigint").alias("r_cnt"))
+    tgt = tgt_g.groupBy("bucket").agg(F.count("*").cast("bigint").alias("t_cnt"))
+    r_tot = raw.agg(F.sum("r_cnt").alias("r_tot"))
+    t_tot = tgt.agg(F.sum("t_cnt").alias("t_tot"))
+    b = F.lit(float(n_buckets))
+    # fixed association ((a-b)-c)+d, mirrored verbatim by the oracle
+    lr_expr = (
+        F.log(F.coalesce(F.col("t_cnt"), F.lit(0)).cast("double") + F.lit(1.0))
+        - F.log(F.col("t_tot").cast("double") + b)
+        - F.log(F.col("r_cnt").cast("double") + F.lit(1.0))
+        + F.log(F.col("r_tot").cast("double") + b)
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            F.round(F.lit(1_000_000.0) * lr_expr, 0)
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        raw_g.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_micro").cast("bigint").alias("score_micro"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+    )

@@ -143,3 +143,93 @@ def test_lang_temperature_deterministic_across_partitioning(spark):
         map(tuple, sampling.lang_temperature_sample(docs.repartition(13)).collect())
     )
     assert a == b
+
+
+def _dsir_expected(raw_texts, tgt_texts, n_buckets=10_000):
+    """Reference DSIR in plain Python: same grams, same md5 buckets,
+    same fixed-association micro-nat chain."""
+    import math
+
+    def grams(t):
+        toks = [w for w in t.lower().split() if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+
+    r_cnt, t_cnt = {}, {}
+    for t in raw_texts.values():
+        for g in grams(t):
+            r_cnt[bucket(g)] = r_cnt.get(bucket(g), 0) + 1
+    for t in tgt_texts.values():
+        for g in grams(t):
+            t_cnt[bucket(g)] = t_cnt.get(bucket(g), 0) + 1
+    r_tot, t_tot = sum(r_cnt.values()), sum(t_cnt.values())
+    lr = {
+        b: round(
+            1e6
+            * (
+                math.log(t_cnt.get(b, 0) + 1.0)
+                - math.log(t_tot + float(n_buckets))
+                - math.log(rc + 1.0)
+                + math.log(r_tot + float(n_buckets))
+            )
+        )
+        for b, rc in r_cnt.items()
+    }
+    return {
+        d: (sum(lr[bucket(g)] for g in grams(t)), len(grams(t)))
+        for d, t in raw_texts.items()
+    }
+
+
+def test_dsir_importance_closed_form(spark):
+    """Spark result equals the plain-Python reference on a corpus where
+    doc 0 IS the target slice — target-like docs must outscore the
+    rest, and gram counts include bigrams (k tokens -> 2k-1 grams)."""
+    texts = {
+        0: "spark shuffle spark join",
+        1: "spark shuffle spark join",   # identical to the target doc
+        2: "cats purr on the warm couch",
+        3: "one",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    target = docs.filter("doc_id = 0")
+    out = {
+        r.doc_id: (r.score_micro, r.n_grams)
+        for r in sampling.dsir_importance(docs, target).collect()
+    }
+    exp = _dsir_expected(texts, {0: texts[0]})
+    assert out == exp
+    assert out[3][1] == 1 and out[0][1] == 7  # 4 tokens -> 7 grams
+    # per-gram-normalized target affinity: the target twin beats the
+    # off-topic doc
+    assert out[1][0] / out[1][1] > out[2][0] / out[2][1]
+
+
+def test_dsir_importance_empty_doc_full_surface(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.score_micro, r.n_grams)
+        for r in sampling.dsir_importance(docs, docs.filter("doc_id = 0")).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1] == (0, 0) and out[2] == (0, 0)
+
+
+def test_dsir_importance_partitioning_invariant(spark):
+    rows = [(i, f"tok{i % 13} tok{(i * 7) % 13} common word") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = docs.filter("doc_id % 10 = 0")
+    a = sorted(map(tuple, sampling.dsir_importance(docs, tgt).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sampling.dsir_importance(docs.repartition(17), tgt.repartition(3)).collect(),
+        )
+    )
+    assert a == b
