@@ -1748,6 +1748,19 @@ def q_dsir_importance(spark, sf_dir):
     return sampling.dsir_importance(docs, target)
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR's selection step (sampling.importance_resample): Gumbel
+    top-k=100 without replacement, P(doc) ∝ exp(score_micro/1e6), the
+    gumbel drawn from the doc's md5 uniform so both engines pick the
+    SAME 100 docs. Engine side has NO global sort — top-k is
+    TakeOrderedAndProject, the k-th (key, -doc_id) struct becomes a
+    broadcast scalar threshold, membership a map-side comparison; the
+    oracle's global row_number is equivalent because (key, doc_id) is
+    a total order."""
+    scored = q_dsir_importance(spark, sf_dir)
+    return sampling.importance_resample(scored, k=100)
+
+
 def q_events_rollup(spark, sf_dir):
     """Metrics-table rollup shape (A3-A5) over the events stream table.
     Value sum uses milli-units summed as integers (order-independent);
@@ -1976,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "lang_temperature": q_lang_temperature,
         "dsir_importance": q_dsir_importance,
+        "dsir_resample": q_dsir_resample,
         "corpus_refine": q_corpus_refine,
         "corpus_pack": q_corpus_pack,
         "training_shards": q_training_shards,
@@ -2257,6 +2271,54 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        WHEN NOT r_word_length THEN 'word_length'
        ELSE 'ok' END AS reason
 FROM r
+""".strip()
+    dsir_sql = r"""
+WITH tgt_ids AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM base
+),
+grams AS (
+  SELECT doc_id, w AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+      w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+    FROM toks
+  ) WHERE gram IS NOT NULL
+),
+gb AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000) AS bucket
+  FROM grams
+),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt FROM gb GROUP BY bucket),
+tgtg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+  FROM gb JOIN tgt_ids USING (doc_id) GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT CAST(sum(r_cnt) AS BIGINT) FROM raw) AS r_tot,
+         (SELECT CAST(sum(t_cnt) AS BIGINT) FROM tgtg) AS t_tot
+),
+lr AS (
+  SELECT raw.bucket,
+    CAST(round(1000000.0 * (ln(coalesce(t_cnt, 0) + 1.0) - ln(t_tot + 10000.0)
+                            - ln(r_cnt + 1.0) + ln(r_tot + 10000.0))) AS BIGINT)
+      AS lr_micro
+  FROM raw LEFT JOIN tgtg USING (bucket) CROSS JOIN tot
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro,
+  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams
+FROM documents d LEFT JOIN (
+  SELECT gb.doc_id, sum(lr.lr_micro) AS score_micro, count(*) AS n_grams
+  FROM gb JOIN lr USING (bucket) GROUP BY gb.doc_id
+) s USING (doc_id)
 """.strip()
     mix_sql = f"""
 WITH b AS (
@@ -3439,53 +3501,29 @@ FROM b JOIN t USING (lang)
         # DSIR: same md5 gram buckets; the lr chain ln-ln-ln+ln keeps
         # the engine's exact association, micro-nat rounding makes the
         # per-doc sum an order-free integer
-        "dsir_importance": r"""
-WITH tgt_ids AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
-base AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
-  FROM documents
+        "dsir_importance": dsir_sql,
+        # DSIR selection step: Gumbel-top-k over the scored corpus —
+        # the gumbel draw is the md5 uniform pushed through the same
+        # fixed-association double chain, micro-nat rounded; the
+        # oracle's global row_number equals the engine's threshold
+        # comparison because (key, doc_id) is a total order
+        "dsir_resample": f"""
+WITH scored AS ({dsir_sql}),
+g AS (
+  SELECT doc_id, score_micro,
+    CAST(round(1000000.0 * (-ln(-ln(
+      (CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000) AS DOUBLE) + 0.5) / 1000000.0)))) AS BIGINT)
+      AS g_micro
+  FROM scored
 ),
-toks AS (
-  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM base
-),
-grams AS (
-  SELECT doc_id, w AS gram FROM toks
-  UNION ALL
-  SELECT doc_id, gram FROM (
-    SELECT doc_id,
-      w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
-    FROM toks
-  ) WHERE gram IS NOT NULL
-),
-gb AS (
-  SELECT doc_id,
-    (('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000) AS bucket
-  FROM grams
-),
-raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt FROM gb GROUP BY bucket),
-tgtg AS (
-  SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
-  FROM gb JOIN tgt_ids USING (doc_id) GROUP BY bucket
-),
-tot AS (
-  SELECT (SELECT CAST(sum(r_cnt) AS BIGINT) FROM raw) AS r_tot,
-         (SELECT CAST(sum(t_cnt) AS BIGINT) FROM tgtg) AS t_tot
-),
-lr AS (
-  SELECT raw.bucket,
-    CAST(round(1000000.0 * (ln(coalesce(t_cnt, 0) + 1.0) - ln(t_tot + 10000.0)
-                            - ln(r_cnt + 1.0) + ln(r_tot + 10000.0))) AS BIGINT)
-      AS lr_micro
-  FROM raw LEFT JOIN tgtg USING (bucket) CROSS JOIN tot
+kk AS (
+  SELECT doc_id, score_micro, g_micro,
+    score_micro + g_micro AS key_micro,
+    row_number() OVER (ORDER BY score_micro + g_micro DESC, doc_id) AS rn
+  FROM g
 )
-SELECT d.doc_id,
-  CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro,
-  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams
-FROM documents d LEFT JOIN (
-  SELECT gb.doc_id, sum(lr.lr_micro) AS score_micro, count(*) AS n_grams
-  FROM gb JOIN lr USING (bucket) GROUP BY gb.doc_id
-) s USING (doc_id)
+SELECT doc_id, score_micro, g_micro, key_micro, rn <= 100 AS keep FROM kk
 """,
         # full-pipeline composition: each component subquery is the
         # SAME string as its standalone oracle above

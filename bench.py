@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "domain_cap_sample",
     "lang_temperature",
     "dsir_importance",
+    "dsir_resample",
     "paragraph_dedup",
     "cdx_index",
     "url_features",

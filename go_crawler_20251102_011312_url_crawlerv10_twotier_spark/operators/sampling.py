@@ -326,3 +326,68 @@ def dsir_importance(
         F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
         F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
     )
+
+
+def importance_resample(
+    scored: DataFrame,
+    k: int = 100,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the selection step DSIR
+    actually performs: draw ``k`` documents WITHOUT replacement with
+    probability ∝ exp(score / temperature). The Gumbel-max trick makes
+    that a pure top-k: ``key = score + T·gumbel`` where ``gumbel =
+    -ln(-ln(u))`` and ``u`` is this engine's reproducible md5 uniform
+    ((bucket+0.5)/B — never 0 or 1), so the "random" draw is a pure
+    function of the doc id: re-runs, resumes and both engines pick the
+    SAME k documents.
+
+    Determinism: ``g_micro = round(1e6·T·gumbel)`` is an integer (one
+    double chain per row, fixed association, mirrored by the oracle);
+    ``key_micro = score_micro + g_micro`` is an integer sum. Ties
+    cannot happen across docs with equal keys thanks to the doc_id
+    tie-break, so membership is a total order.
+
+    Scale shape: NO global sort and no single-partition window. The
+    top-k is TakeOrderedAndProject (per-partition heaps, driver merge
+    of k rows); the k-th element's ``(key_micro, -doc_id)`` struct is
+    reduced to a scalar threshold and broadcast back; membership is a
+    map-side struct comparison. Full decision surface: every input row
+    surfaces with its key and ``keep``.
+
+    Output: ``(doc_id, score_micro, g_micro, key_micro, keep)``.
+    """
+    idc = F.col(id_col)
+    h = F.conv(F.substring(F.md5(idc.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    u = ((h % F.lit(1_000_000)).cast("double") + F.lit(0.5)) / F.lit(
+        1_000_000.0
+    )
+    g_micro = (
+        F.round(F.lit(1_000_000.0 * temperature) * -F.log(-F.log(u)), 0)
+        .cast("bigint")
+        .alias("g_micro")
+    )
+    base = scored.select(
+        idc.alias("doc_id"),
+        F.col(score_col).cast("bigint").alias("score_micro"),
+        g_micro,
+    ).withColumn("key_micro", F.col("score_micro") + F.col("g_micro"))
+    ord_struct = F.struct(F.col("key_micro"), (-F.col("doc_id")).alias("nid"))
+    topk = base.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id").asc()
+    ).limit(int(k))
+    threshold = topk.agg(F.min(ord_struct).alias("thr"))
+    return (
+        base.crossJoin(F.broadcast(threshold))
+        .select(
+            "doc_id",
+            "score_micro",
+            "g_micro",
+            "key_micro",
+            (ord_struct >= F.col("thr")).alias("keep"),
+        )
+    )

@@ -67,14 +67,16 @@ def test_no_cartesian_or_nested_loop_joins(plans):
     reason — the scalar-CTE form planned a BNLJ into every consumer.
 
     Exemption: a BroadcastNestedLoopJoin whose build side is a SCALAR
-    aggregate (HashAggregate(keys=[]) under the broadcast — at most one
-    row) is the scalar-subquery attach (recrawl_schedule's batch
+    aggregate (HashAggregate(keys=[]) — or SortAggregate(key=[]), the
+    form a non-hashable agg like min-over-struct plans as
+    (dsir_resample's top-k threshold) — under the broadcast: at most
+    one row) is the scalar-subquery attach (recrawl_schedule's batch
     clock): one row shipped to every task, structurally unable to blow
     up. A plan is exempt only if EVERY BNLJ in it broadcasts a scalar.
     """
     scalar_build = re.compile(
         r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
-        r"[^\n]*HashAggregate\(keys=\[\]"
+        r"[^\n]*(?:HashAggregate\(keys=\[\]|SortAggregate\(key=\[\])"
     )
 
     def benign(p: str) -> bool:

@@ -233,3 +233,64 @@ def test_dsir_importance_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def _gumbel_micro(doc_id: int, temperature: float = 1.0) -> int:
+    import math
+
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
+    u = (float(b) + 0.5) / 1_000_000.0
+    return round(1_000_000.0 * temperature * -math.log(-math.log(u)))
+
+
+def test_importance_resample_matches_reference_topk(spark):
+    """Keep set == the Python reference's top-k by (score+gumbel,
+    doc_id); exactly k rows keep; full decision surface preserved."""
+    rows = [(i, (i * 9173) % 2_000_000 - 1_000_000) for i in range(300)]
+    scored = spark.createDataFrame(rows, "doc_id long, score_micro long")
+    out = sampling.importance_resample(scored, k=40).collect()
+    assert len(out) == 300
+    ref = sorted(
+        ((s + _gumbel_micro(d), d) for d, s in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    ref_keep = {d for _, d in ref[:40]}
+    for r in out:
+        assert r.g_micro == _gumbel_micro(r.doc_id)
+        assert r.key_micro == r.score_micro + r.g_micro
+        assert r.keep == (r.doc_id in ref_keep), r
+    assert sum(r.keep for r in out) == 40
+
+
+def test_importance_resample_biases_toward_high_scores(spark):
+    """With a decisive score gap (>> gumbel spread) the kept set IS the
+    high-score block — the resample respects the importance weights."""
+    rows = [(i, 100_000_000 if i < 50 else 0) for i in range(500)]
+    scored = spark.createDataFrame(rows, "doc_id long, score_micro long")
+    kept = {
+        r.doc_id
+        for r in sampling.importance_resample(scored, k=50).collect()
+        if r.keep
+    }
+    assert kept == set(range(50))
+
+
+def test_importance_resample_k_exceeds_n_keeps_all(spark):
+    scored = spark.createDataFrame(
+        [(i, i) for i in range(7)], "doc_id long, score_micro long"
+    )
+    out = sampling.importance_resample(scored, k=100).collect()
+    assert len(out) == 7 and all(r.keep for r in out)
+
+
+def test_importance_resample_partitioning_invariant(spark):
+    rows = [(i, (i * 31) % 1000) for i in range(200)]
+    scored = spark.createDataFrame(rows, "doc_id long, score_micro long")
+    a = sorted(map(tuple, sampling.importance_resample(scored, k=25).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sampling.importance_resample(scored.repartition(11), k=25).collect(),
+        )
+    )
+    assert a == b
