@@ -1271,6 +1271,44 @@ def q_ann_topk_multiprobe(spark, sf_dir):
     return similarity.ann_topk_multiprobe(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
 
 
+def _centroids(spark, sf_dir, n=16):
+    """Deterministic IVF centroid list: the first ``n`` corpus vectors
+    (vec_id < n, id order) — rebuildable by the oracle. Production
+    would hand k-means output to the same operators."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [list(r["embedding"]) for r in rows]
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization (similarity.ivf_assign): every vector's
+    nearest-centroid cell by rounded cosine, ties to the lowest cid —
+    the data-adaptive partition key the 100 TB layout writes by.
+    Map-only, centroids are task-closure literals; full corpus
+    surface."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, _centroids(spark, sf_dir)).select(
+        "vec_id", "cid", "cid_cosine"
+    )
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k (similarity.ann_topk_ivf): probe the nprobe=4 of
+    16 cells nearest the query, exact cosine top-10 inside them —
+    reads ~1/4 of the corpus here, exactly nprobe partitions once the
+    table is cid-partitioned. Completes the ANN family: brute-force
+    exact, signbit LSH single/multiprobe, and IVF (data-adaptive
+    cells)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf(
+        emb, _centroids(spark, sf_dir), _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of the two ANN paths against the exact scan — the
     recall/cost dial as a measured gate row, not prose: single-probe
@@ -1975,6 +2013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "ann_topk_multiprobe": q_ann_topk_multiprobe,
+        "ivf_assign": q_ivf_assign,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "ann_recall": q_ann_recall,
         "latest_snapshot": q_latest_snapshot,
         "recrawl_change_rates": q_recrawl_change_rates,
@@ -2849,6 +2889,62 @@ SELECT e.vec_id,
   round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
                                list_transform(q.embedding, x -> x::DOUBLE)), 6) AS cosine
 FROM b e, q WHERE e.bucket = q.bucket
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        # IVF: the oracle rebuilds the deterministic centroid list
+        # (vec_id < 16) and replays the same rounded-cosine argmax
+        # with the same lowest-cid tie-break
+        "ivf_assign": """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+    round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                 list_transform(c.cvec, x -> x::DOUBLE)), 6) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+r AS (
+  SELECT vec_id, cid, s,
+    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+  FROM s
+)
+SELECT vec_id, CAST(cid AS INT) AS cid, s AS cid_cosine FROM r WHERE rn = 1
+""",
+        "ann_topk_ivf": """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+      row_number() OVER (
+        ORDER BY round(list_cosine_similarity(
+                   list_transform(c.cvec, x -> x::DOUBLE),
+                   list_transform(q.qvec, x -> x::DOUBLE)), 6) DESC, c.cid
+      ) AS rn
+    FROM cents c CROSS JOIN q
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+    round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                 list_transform(c.cvec, x -> x::DOUBLE)), 6) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM s
+  ) WHERE rn = 1
+)
+SELECT e.vec_id,
+  round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                               list_transform(q.qvec, x -> x::DOUBLE)), 6) AS cosine
+FROM embeddings e JOIN a USING (vec_id) CROSS JOIN q
+WHERE a.cid IN (SELECT cid FROM probes)
 ORDER BY cosine DESC, e.vec_id LIMIT 10
 """,
         "ann_topk_multiprobe": """

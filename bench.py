@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "url_resolve",
     "format_bytes",
     "ann_topk_multiprobe",
+    "ivf_assign",
+    "ann_topk_ivf",
     "multimodal_frames",
     "metrics_rollup",
     "dedup_exact",

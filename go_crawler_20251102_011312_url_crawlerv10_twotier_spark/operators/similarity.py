@@ -217,3 +217,118 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _round6_half_up(x: float) -> float:
+    """Python twin of Spark's round(x, 6) (BigDecimal HALF_UP) and
+    DuckDB's round — NOT python's round(), which is banker's."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME left-to-right fold as
+    cosine_sim's column expression, so centroid ranking agrees with
+    what the engine (and the oracle) would compute."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by rounded cosine (ties → the lowest centroid index, so
+    assignment is total and engine-independent). ``centroids`` is a
+    plain list of vectors — index = centroid id. Production derives it
+    from k-means over a sample; the operator takes ANY list, and the
+    gate uses a deterministic one (the first 16 corpus vectors) so the
+    oracle can rebuild it.
+
+    At 100 TB the assignment IS the physical layout: write the corpus
+    partitioned by ``cid`` and a query reads ``nprobe`` partitions
+    instead of scanning — the IVF counterpart of the signbit buckets
+    above (data-adaptive cells vs fixed hyperplanes). Map-only: the
+    centroid list ships as literals in the task closure (k is tens to
+    thousands); zero joins, zero shuffles, and the scores array is one
+    codegen'd expression per row.
+
+    Output: ``(id, vec, cid, cid_cosine)`` — every input row.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = F.array(
+        *[
+            F.round(
+                cosine_sim(
+                    v, F.array(*[F.lit(float(x)).cast("double") for x in c])
+                ),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    best = F.array_max(scores)
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(scores, best) - F.lit(1)).cast("int").alias("cid"),
+        best.alias("cid_cosine"),
+    )
+
+
+def ivf_probe_ids(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query, ranked by rounded
+    cosine (ties → lowest id). Pure driver-side config math — the
+    centroid list is tiny and local, no data is touched."""
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-_round6_half_up(_cos_py(centroids[i], query_vec)), i),
+    )
+    return ranked[: int(nprobe)]
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` centroid cells nearest the
+    query and run the exact cosine top-k inside them — reads
+    ~nprobe/n_centroids of the corpus (exactly that share once the
+    table is written partitioned by ``cid``; here the filter rides the
+    scan). The recall/cost dial is ``nprobe`` — same geometry as the
+    multiprobe dial above, but with data-adaptive cells."""
+    probes = ivf_probe_ids(centroids, query_vec, nprobe)
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+        .filter(F.col("cid").isin([int(p) for p in probes]))
+        .select(F.col(id_col), F.round(cosine_sim(v, q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -109,3 +109,53 @@ def test_ann_multiprobe_superset_of_single_probe(spark, sf_small):
         e = {(r.vec_id, r.cosine) for r in exact.collect()}
         # recall vs exact can only improve with more probes
         assert len(m & e) >= len(s & e)
+
+
+def test_ivf_assign_nearest_cell_and_tiebreak(spark):
+    """Each vector lands in its nearest centroid's cell; an exact
+    cosine tie picks the LOWEST centroid index."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    out = {
+        r.vec_id: (r.cid, r.cid_cosine)
+        for r in similarity.ivf_assign(_emb(spark), cents).collect()
+    }
+    # centroid 2 duplicates centroid 0 -> ties always resolve to cid 0
+    assert out[0] == (0, 1.0)
+    assert out[4][0] == 0
+    assert out[2] == (1, 1.0)
+    assert out[3][0] in (0, 1)  # opposite of c0: cos -1 vs 0 -> cid 1
+    assert out[3] == (1, 0.0)
+
+
+def test_ivf_probe_ids_ranking(spark):
+    cents = [[0.0, 1.0], [1.0, 0.0], [0.7, 0.7]]
+    assert similarity.ivf_probe_ids(cents, [1.0, 0.0], 2) == [1, 2]
+    # tie between identical centroids -> lowest id first
+    assert similarity.ivf_probe_ids(
+        [[1.0, 0.0], [1.0, 0.0]], [1.0, 0.0], 2
+    ) == [0, 1]
+
+
+def test_ivf_probe_all_equals_exact_topk(spark, sf_small):
+    """nprobe = n_centroids makes IVF lossless: the probed union is the
+    whole corpus, so the top-k must equal brute force exactly — the
+    completeness anchor of the recall/cost dial."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cents = [
+        list(r.embedding)
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    q = list(emb.filter("vec_id = 0").head().embedding)
+    exact = [
+        (r.vec_id, r.cosine)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    ]
+    ivf = [
+        (r.vec_id, r.cosine)
+        for r in similarity.ann_topk_ivf(emb, cents, q, k=10, nprobe=8).collect()
+    ]
+    assert ivf == exact
+    # and narrowing the probe set can only shrink/degrade, never error
+    narrow = similarity.ann_topk_ivf(emb, cents, q, k=10, nprobe=1).collect()
+    assert 0 < len(narrow) <= 10
+    assert narrow[0].vec_id == 0  # the query's own cell is probed first
