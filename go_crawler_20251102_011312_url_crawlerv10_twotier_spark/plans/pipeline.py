@@ -202,6 +202,7 @@ def run_training_pipeline(
     url_col: str = "url",
     html_col: str = "html",
     para_dedup: bool = False,
+    mix_alpha: float | None = None,
 ) -> PipelineResult:
     """Drive the nine-stage pipeline over a pages corpus. See module
     docstring for the stage list and checkpoint/resume semantics.
@@ -212,6 +213,13 @@ def run_training_pipeline(
     — it must run BEFORE normalize, whose whitespace collapse erases
     the line boundaries the paragraphs split on. Off by default so the
     nine-stage manifests (and the resume fixtures) stay byte-stable.
+
+    ``mix_alpha`` switches the refine stage's sampler from the POLICY
+    rate table (sampling.training_mix_sample) to the corpus-derived
+    temperature mix (sampling.lang_temperature_sample at that alpha):
+    the output language shares become proportional to n_lang**alpha —
+    the XLM/mT5 rebalance — with no rate table to maintain. None (the
+    default) keeps the policy sampler and byte-stable manifests.
 
     ``stop_after=k`` commits the first k stages then raises
     ``PipelineStopped`` — the controlled mid-pipeline-death used by
@@ -330,6 +338,7 @@ def run_training_pipeline(
         seq_len=seq_len,
         shard_docs=shard_docs,
         max_records_per_file=max_records_per_file,
+        mix_alpha=mix_alpha,
     )
 
 
@@ -342,6 +351,7 @@ def _funnel_tail(
     seq_len: int,
     shard_docs: int,
     max_records_per_file: int,
+    mix_alpha: float | None = None,
 ) -> PipelineResult:
     """Stages 5-9 of the funnel — exact dedup → near-dup clustering →
     refine → pack → shards — shared verbatim by the full and the
@@ -384,11 +394,20 @@ def _funnel_tail(
     # -- 7. refine: language strata + mix sample + token counts -------
     def do_refine() -> DataFrame:
         with_lang = canonical.withColumn("lang", lang_id(F.col("text")))
-        mix = (
-            sampling.training_mix_sample(with_lang)
-            .filter("keep")
-            .select("doc_id", "stratum", "weight")
-        )
+        if mix_alpha is None:
+            mix = (
+                sampling.training_mix_sample(with_lang)
+                .filter("keep")
+                .select("doc_id", "stratum", "weight")
+            )
+        else:
+            mix = (
+                sampling.lang_temperature_sample(with_lang, alpha=mix_alpha)
+                .filter("keep")
+                .select(
+                    "doc_id", F.col("lang").alias("stratum"), "weight"
+                )
+            )
         from ..functions.textstats import token_count_ws
 
         return (
@@ -461,6 +480,7 @@ def run_incremental_pipeline(
     stop_after: int | None = None,
     url_col: str = "url",
     html_col: str = "html",
+    mix_alpha: float | None = None,
 ) -> PipelineResult:
     """Incremental RECRAWL pipeline: reprocess only what changed.
 
@@ -650,6 +670,7 @@ def run_incremental_pipeline(
         seq_len=seq_len,
         shard_docs=shard_docs,
         max_records_per_file=max_records_per_file,
+        mix_alpha=mix_alpha,
     )
 
 

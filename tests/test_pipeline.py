@@ -225,3 +225,42 @@ def test_pipeline_optional_paragraph_dedup_stage(spark, tmp_path):
         rows["tier2_extract"][1], rows["tier2_extract"][1]
     )
     assert res.manifest.count() > 0
+
+
+def test_pipeline_temperature_mix_stage(spark, tmp_path):
+    """mix_alpha=0.5 swaps the refine sampler from the policy rate
+    table to the corpus-derived temperature mix: same nine stages, and
+    the refined (doc_id, stratum, weight) set equals
+    lang_temperature_sample applied independently to the committed
+    dedup_clusters stage output."""
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        lang_id,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        sampling,
+    )
+
+    pages, seeds = _inputs(spark)
+    wd = str(tmp_path / "tm")
+    res = run_training_pipeline(
+        spark, pages, seeds, wd, max_records_per_file=100, mix_alpha=0.5
+    )
+    assert [s.name for s in res.stages][-3:] == [
+        "corpus_refine", "sequence_pack", "training_shards",
+    ]
+    refined = spark.read.parquet(os.path.join(wd, "07_corpus_refine"))
+    canon = spark.read.parquet(os.path.join(wd, "06_dedup_clusters"))
+    exp = (
+        sampling.lang_temperature_sample(
+            canon.withColumn("lang", lang_id(F.col("text")))
+        )
+        .filter("keep")
+        .select("doc_id", F.col("lang").alias("stratum"), "weight")
+    )
+    got = {tuple(r) for r in refined.select("doc_id", "stratum", "weight").collect()}
+    want = {tuple(r) for r in exp.collect()}
+    assert got == want and got
+    # the rarest surviving language is kept whole: some weight == 1.0
+    assert any(w == 1.0 for _, _, w in got)
