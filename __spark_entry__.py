@@ -1794,8 +1794,13 @@ def q_dsir_resample(spark, sf_dir):
     TakeOrderedAndProject, the k-th (key, -doc_id) struct becomes a
     broadcast scalar threshold, membership a map-side comparison; the
     oracle's global row_number is equivalent because (key, doc_id) is
-    a total order."""
-    scored = q_dsir_importance(spark, sf_dir)
+    a total order. The scored input is lazily localCheckpointed so the
+    whole DSIR gram pipeline runs ONCE and both resample passes (top-k
+    job, membership scan) read the tiny (doc_id, 3 ints) materialized
+    frame — scores are corpus-independent-small, so at 100 TB this is
+    the persist-the-reduction side of the recompute-vs-spill trade
+    (the opposite call from dsir_importance's re-tokenize)."""
+    scored = q_dsir_importance(spark, sf_dir).localCheckpoint(eager=False)
     return sampling.importance_resample(scored, k=100)
 
 

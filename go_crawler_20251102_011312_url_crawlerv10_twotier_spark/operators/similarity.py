@@ -231,6 +231,17 @@ def _round6_half_up(x: float) -> float:
     )
 
 
+def _norm_py(a: list[float]) -> float:
+    """Driver-side twin of _norm's fold (same order, same IEEE ops),
+    so a literal centroid norm is bit-identical to the engine's."""
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _cos_py(a: list[float], b: list[float]) -> float:
     """Driver-side cosine with the SAME left-to-right fold as
     cosine_sim's column expression, so centroid ranking agrees with
@@ -268,25 +279,39 @@ def ivf_assign(
     instead of scanning — the IVF counterpart of the signbit buckets
     above (data-adaptive cells vs fixed hyperplanes). Map-only: the
     centroid list ships as literals in the task closure (k is tens to
-    thousands); zero joins, zero shuffles, and the scores array is one
-    codegen'd expression per row.
+    thousands); zero joins, zero shuffles.
+
+    Per-row cost is one dot-fold per centroid plus ONE row-norm: the
+    centroid norms are precomputed driver-side with the same
+    left-to-right double fold the column expression would run, so
+    ``dot/(norm_v · lit(norm_c))`` is bit-identical to
+    ``cosine_sim(v, c)`` while skipping the k redundant norm folds the
+    naive form pays (array higher-order functions are interpreted, not
+    codegen'd — measured 3x on the 64-dim fixture). At much higher
+    dim·k, the next step is an Arrow-batched matmul UDF — traded off
+    here for bit-exact oracle parity.
 
     Output: ``(id, vec, cid, cid_cosine)`` — every input row.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    keyed = emb.select(
+        F.col(id_col), F.col(vec_col), v.alias("_v"), _norm(v).alias("_nv")
+    )
     scores = F.array(
         *[
             F.round(
-                cosine_sim(
-                    v, F.array(*[F.lit(float(x)).cast("double") for x in c])
-                ),
+                _dot(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)).cast("double") for x in c]),
+                )
+                / (F.col("_nv") * F.lit(_norm_py(c))),
                 6,
             )
             for c in centroids
         ]
     )
     best = F.array_max(scores)
-    return emb.select(
+    return keyed.select(
         F.col(id_col),
         F.col(vec_col),
         (F.array_position(scores, best) - F.lit(1)).cast("int").alias("cid"),
