@@ -1309,6 +1309,69 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def q_kmeans_train(spark, sf_dir):
+    """Deterministic spherical k-means chain (similarity.kmeans_train
+    + kmeans_stats): init = the k=8 lowest-id vectors, one Lloyd
+    iteration (rounded-cosine argmax assign -> integer micro-unit
+    mean update, emptied cells keep their centroid), then the SECOND
+    iteration's sufficient statistics as the gate surface — per-cell
+    member count and per-dimension bigint micro sums. Every step is
+    engine-independent (int sums commute; the only floats are one
+    fixed chain per value), so the DuckDB oracle replays the full
+    two-step chain to bit-identical rows. This is the trainer that
+    feeds ivf_assign/ann_topk_ivf data-adaptive centroids; per
+    iteration it is ONE shuffle of k*(d+1) longs."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents1, _ = similarity.kmeans_train(emb, k=8, n_iters=1)
+    return similarity.kmeans_stats(emb, cents1)
+
+
+def _kmeans_oracle_sql(k=8, d=64):
+    """DuckDB replay of q_kmeans_train: init cells from vec_id < k,
+    assignment 1 (rounded-cosine argmax, ties -> lowest cid), integer
+    micro-unit mean update (emptied cells keep the init centroid),
+    assignment 2, then count + per-dimension micro sums per cell."""
+    micro = (
+        lambda i: f"CAST(round(e.embedding[{i + 1}]::DOUBLE * 1000000.0, 0) AS BIGINT)"
+    )
+    sums = ",\n    ".join(
+        f"CAST(sum({micro(i)}) AS BIGINT) AS s{i}" for i in range(d)
+    )
+    cvec1 = ", ".join(f"(m.s{i}::DOUBLE / m.n) / 1000000.0" for i in range(d))
+    assign = """
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round(list_cosine_similarity(
+          list_transform(e.embedding, x -> x::DOUBLE), c.cvec), 6) DESC,
+        c.cid) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+"""
+    return f"""
+WITH c0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM embeddings WHERE vec_id < {k}
+),
+a1 AS ({assign.format(cents="c0")}),
+m1 AS (
+  SELECT a.cid, count(*) AS n,
+    {sums}
+  FROM embeddings e JOIN a1 a USING (vec_id) GROUP BY a.cid
+),
+c1 AS (
+  SELECT c0.cid,
+    CASE WHEN m.cid IS NULL THEN c0.cvec ELSE [{cvec1}] END AS cvec
+  FROM c0 LEFT JOIN m1 m ON c0.cid = m.cid
+),
+a2 AS ({assign.format(cents="c1")})
+SELECT CAST(a.cid AS INT) AS cid, count(*) AS n,
+  {sums}
+FROM embeddings e JOIN a2 a USING (vec_id)
+GROUP BY a.cid
+"""
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of the two ANN paths against the exact scan — the
     recall/cost dial as a measured gate row, not prose: single-probe
@@ -2020,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_multiprobe": q_ann_topk_multiprobe,
         "ivf_assign": q_ivf_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "kmeans_train": q_kmeans_train,
         "ann_recall": q_ann_recall,
         "latest_snapshot": q_latest_snapshot,
         "recrawl_change_rates": q_recrawl_change_rates,
@@ -2952,6 +3016,10 @@ FROM embeddings e JOIN a USING (vec_id) CROSS JOIN q
 WHERE a.cid IN (SELECT cid FROM probes)
 ORDER BY cosine DESC, e.vec_id LIMIT 10
 """,
+        # k-means: replay the full two-step deterministic chain —
+        # init cells, assign, integer micro-mean update, re-assign,
+        # emit count + 64 bigint micro sums per cell
+        "kmeans_train": _kmeans_oracle_sql(),
         "ann_topk_multiprobe": """
 WITH b AS (
   SELECT vec_id, embedding,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ann_topk_multiprobe",
     "ivf_assign",
     "ann_topk_ivf",
+    "kmeans_train",
     "multimodal_frames",
     "metrics_rollup",
     "dedup_exact",

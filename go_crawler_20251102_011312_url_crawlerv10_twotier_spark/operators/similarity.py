@@ -357,3 +357,103 @@ def ann_topk_ivf(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def micro_vec(vec_col: str = "embedding") -> Column:
+    """array<bigint> micro-units of a float32 vector: round(1e6 · x)
+    per element. The float32→double cast is exact and round is
+    half-away-from-zero in both engines, so the integer vector is
+    engine-independent — the currency kmeans_train's sums trade in."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0), 0).cast(
+            "bigint"
+        ),
+    )
+
+
+def kmeans_stats(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd step's sufficient statistics as a DataFrame: assign
+    every vector to its nearest centroid (``ivf_assign``'s rounded-
+    cosine argmax, ties -> lowest cid) and reduce per cluster to the
+    member count ``n`` plus the per-dimension sums ``s0..s{d-1}`` of
+    the integer micro-unit vectors (``micro_vec``).
+
+    This is the distributed inner step of ``kmeans_train`` — a
+    map-only assignment fused into ONE groupBy(cid) shuffle carrying
+    d+1 map-side-partial longs per cluster; the result is k rows. The
+    integer sums commute, so the output is bit-identical under any
+    partitioning — and under the DuckDB oracle."""
+    d = len(centroids[0])
+    return (
+        ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+        .select("cid", micro_vec(vec_col).alias("_mv"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("_mv")[i]).alias(f"s{i}") for i in range(d)],
+        )
+    )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[int]]:
+    """Deterministic spherical k-means (Lloyd iterations under cosine)
+    — the trainer that produces ivf_assign's centroid list. Every step
+    is engine-independent, so a re-run, a resume, or the DuckDB oracle
+    reproduce the identical centroids:
+
+    * init: the ``k`` lowest-id vectors (float32→double, exact);
+    * assign: ivf_assign's rounded-cosine argmax, ties → lowest cid;
+    * update: per-cluster per-dimension MEAN computed from integer
+      micro-unit sums (``micro_vec``) — integer addition commutes, so
+      the sum is independent of partitioning/aggregation order, and
+      the only floating point is one fixed chain per (cid, dim):
+      ``(double(sum)/n)/1e6``. An emptied cluster keeps its previous
+      centroid (deterministic rule, no reseeding RNG).
+
+    Scale shape per iteration: one map-only assignment fused with a
+    groupBy(cid) aggregation carrying d+1 map-side-partial sums —
+    ONE shuffle of k·(d+1) longs; the driver handles k·d numbers
+    (the same bounded-collect budget as the Bloom shards). Micro sums
+    hold exactly in a bigint up to ~2^53/1e6 ≈ 9·10^9 rows per
+    cluster; beyond that, drop to 1e3 units or a decimal sum.
+
+    Returns ``(centroids, sizes)`` — python lists, ready to hand to
+    ivf_assign / ann_topk_ivf.
+    """
+    d_rows = (
+        emb.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .collect()
+    )
+    cents = [list(r[0]) for r in d_rows]
+    if not cents:
+        raise ValueError("k-means needs at least one init vector")
+    d = len(cents[0])
+    sizes = [0] * len(cents)
+    for _ in range(int(n_iters)):
+        stats = kmeans_stats(
+            emb, cents, id_col=id_col, vec_col=vec_col
+        ).collect()
+        by_cid = {r["cid"]: r for r in stats}
+        sizes = [0] * len(cents)
+        for cid, r in by_cid.items():
+            n = int(r["n"])
+            sizes[cid] = n
+            cents[cid] = [
+                (float(int(r[f"s{i}"])) / n) / 1_000_000.0 for i in range(d)
+            ]
+        # cids absent from by_cid keep their previous centroid
+    return cents, sizes

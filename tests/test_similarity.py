@@ -159,3 +159,53 @@ def test_ivf_probe_all_equals_exact_topk(spark, sf_small):
     narrow = similarity.ann_topk_ivf(emb, cents, q, k=10, nprobe=1).collect()
     assert 0 < len(narrow) <= 10
     assert narrow[0].vec_id == 0  # the query's own cell is probed first
+
+
+def test_kmeans_train_deterministic_and_partition_invariant(spark, sf_small):
+    """The trainer's whole chain is engine-independent: integer micro
+    sums commute, so retraining on a differently-partitioned input
+    yields bit-identical centroids and sizes."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    c_a, s_a = similarity.kmeans_train(emb, k=4, n_iters=2)
+    c_b, s_b = similarity.kmeans_train(emb.repartition(13), k=4, n_iters=2)
+    assert c_a == c_b and s_a == s_b
+    assert sum(s_a) == emb.count()  # every vector lands in exactly one cell
+    assert len(c_a) == 4 and all(len(c) == len(c_a[0]) for c in c_a)
+
+
+def test_kmeans_emptied_cell_keeps_centroid(spark):
+    """A cell that loses every member keeps its previous centroid
+    (deterministic rule, no RNG reseeding): vec 1 duplicates vec 0, so
+    the assignment tie-break sends both to cid 0 and cell 1 empties."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, sizes = similarity.kmeans_train(emb, k=2, n_iters=1)
+    assert sizes == [3, 0]
+    assert cents[1] == [1.0, 0.0]  # the init vector of vec_id 1, untouched
+
+
+def test_kmeans_improves_ivf_cell_cohesion(spark, sf_small):
+    """Trained centroids beat the arbitrary first-k init on the IVF
+    quality metric that matters for probe recall: the mean cosine of
+    each vector to its own cell centroid."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    init = [
+        list(r.embedding)
+        for r in emb.filter("vec_id < 4").orderBy("vec_id").collect()
+    ]
+    trained, _ = similarity.kmeans_train(emb, k=4, n_iters=3)
+
+    def cohesion(cents):
+        return (
+            similarity.ivf_assign(emb, cents)
+            .agg(F.avg("cid_cosine"))
+            .head()[0]
+        )
+
+    assert cohesion(trained) > cohesion(init)
