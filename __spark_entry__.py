@@ -1326,6 +1326,23 @@ def q_kmeans_train(spark, sf_dir):
     return similarity.kmeans_stats(emb, cents1)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (similarity.semdedup; Abbas et al. 2023): cluster by
+    the deterministic 16-cell IVF assignment, pair up within-cell
+    vectors with cosine >= 0.25 (the random fixture's top ~1 % of
+    within-cell pairs), and keep per eps-neighborhood the item LEAST
+    similar to its centroid (ties -> lowest id). max_cell_size=24
+    binds on the fixture (cells average ~31), so the
+    participation-cap rule — first 24 rows per cell by the keep order,
+    later rows pass through kept with examined=false — is itself
+    under oracle. Full decision surface: one row per input vector
+    with (cid, cid_cosine, examined, n_sem_dups, keep)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        emb, _centroids(spark, sf_dir), eps=0.25, max_cell_size=24
+    )
+
+
 def _kmeans_oracle_sql(k=8, d=64):
     """DuckDB replay of q_kmeans_train: init cells from vec_id < k,
     assignment 1 (rounded-cosine argmax, ties -> lowest cid), integer
@@ -2084,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
         "kmeans_train": q_kmeans_train,
+        "semdedup": q_semdedup,
         "ann_recall": q_ann_recall,
         "latest_snapshot": q_latest_snapshot,
         "recrawl_change_rates": q_recrawl_change_rates,
@@ -3020,6 +3038,55 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
         # init cells, assign, integer micro-mean update, re-assign,
         # emit count + 64 bigint micro sums per cell
         "kmeans_train": _kmeans_oracle_sql(),
+        # SemDeDup: rebuild the vec_id<16 centroid list, replay the
+        # argmax assignment, the (cid_cosine, vec_id) participation
+        # cap, the within-cell eps-pair join, and the
+        # keep-least-centroid-similar dominance rule
+        "semdedup": """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+    round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                 list_transform(c.cvec, x -> x::DOUBLE)), 6) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+a0 AS (
+  SELECT vec_id, cid, s AS cid_cosine FROM (
+    SELECT vec_id, cid, s,
+      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+a AS (
+  SELECT vec_id, cid, cid_cosine,
+    row_number() OVER (PARTITION BY cid ORDER BY cid_cosine, vec_id) <= 24
+      AS examined
+  FROM a0
+),
+p0 AS (
+  SELECT x.vec_id AS ia, y.vec_id AS ib,
+    x.cid_cosine AS ca, y.cid_cosine AS cb,
+    round(list_cosine_similarity(list_transform(ex.embedding, v -> v::DOUBLE),
+                                 list_transform(ey.embedding, v -> v::DOUBLE)), 6) AS cos
+  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                   AND x.examined AND y.examined
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+),
+p AS (SELECT * FROM p0 WHERE cos >= 0.25),
+d AS (
+  SELECT ia AS vec_id, (cb < ca OR (cb = ca AND ib < ia)) AS dom FROM p
+  UNION ALL
+  SELECT ib, (ca < cb OR (ca = cb AND ia < ib)) FROM p
+),
+g AS (SELECT vec_id, count(*) AS n, max(dom) AS anyd FROM d GROUP BY vec_id)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cid, a.cid_cosine, a.examined,
+  CAST(coalesce(g.n, 0) AS BIGINT) AS n_sem_dups,
+  NOT coalesce(g.anyd, FALSE) AS keep
+FROM a LEFT JOIN g USING (vec_id)
+""",
         "ann_topk_multiprobe": """
 WITH b AS (
   SELECT vec_id, embedding,

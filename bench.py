@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "ivf_assign",
     "ann_topk_ivf",
     "kmeans_train",
+    "semdedup",
     "multimodal_frames",
     "metrics_rollup",
     "dedup_exact",

@@ -457,3 +457,110 @@ def kmeans_train(
             ]
         # cids absent from by_cid keep their previous centroid
     return cents, sizes
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.95,
+    max_cell_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over
+    k-means cells. Cluster the corpus (``ivf_assign`` against the
+    given centroids — production hands it ``kmeans_train`` output),
+    find within-cell pairs with cosine >= ``eps``, and in each
+    eps-neighborhood KEEP the item least similar to its centroid (the
+    paper's keep-low-centroid-similarity rule: prefer the diverse
+    edge of the neighborhood), ties -> lowest id. Precisely: a row is
+    dropped iff some same-cell eps-neighbor ranks strictly lower by
+    (cid_cosine, id) — so the minimum of every eps-connected group
+    always survives, and the rule is total and engine-independent.
+
+    Scale shape: the only corpus-sized shuffles are the cell-keyed
+    self-join and an id-keyed count/join-back — pairs never leave
+    their cell, and a cell is 1/k of the corpus in expectation
+    (k-means balance, measured by ``kmeans_train``'s sizes). For
+    degenerate cells ``max_cell_size`` bounds participation: only a
+    cell's first ``max_cell_size`` rows by the keep order
+    (cid_cosine, id) enter the pair join; later rows pass through
+    kept with ``examined = false`` — audit with a cid count BEFORE
+    trusting capped output, never cap silently. At 100 TB the
+    ``cid`` from this same assignment is the table's partition key,
+    so the pair join reads co-located partitions.
+
+    Output, one row per input row (full decision surface):
+    ``(id, cid, cid_cosine, examined, n_sem_dups, keep)``.
+    """
+    a = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cid"), F.col("cid_cosine")
+    )
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cid").orderBy("cid_cosine", id_col)
+        a = a.withColumn(
+            "examined", F.row_number().over(w) <= int(max_cell_size)
+        )
+    else:
+        a = a.withColumn("examined", F.lit(True))
+    part = a.filter(F.col("examined"))
+    l = part.select(
+        F.col(id_col).alias("_ia"),
+        F.col("cid").alias("_ca"),
+        F.col("cid_cosine").alias("_cca"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_va"),
+    )
+    r = part.select(
+        F.col(id_col).alias("_ib"),
+        F.col("cid").alias("_cb"),
+        F.col("cid_cosine").alias("_ccb"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vb"),
+    )
+    pairs = (
+        l.join(r, (F.col("_ca") == F.col("_cb")) & (F.col("_ia") < F.col("_ib")))
+        .withColumn("_cos", F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("_cos") >= float(eps))
+        .select("_ia", "_ib", "_cca", "_ccb")
+    )
+    directional = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ia").alias("_id"),
+                    (
+                        (F.col("_ccb") < F.col("_cca"))
+                        | (
+                            (F.col("_ccb") == F.col("_cca"))
+                            & (F.col("_ib") < F.col("_ia"))
+                        )
+                    ).alias("_dom"),
+                ),
+                F.struct(
+                    F.col("_ib").alias("_id"),
+                    (
+                        (F.col("_cca") < F.col("_ccb"))
+                        | (
+                            (F.col("_cca") == F.col("_ccb"))
+                            & (F.col("_ia") < F.col("_ib"))
+                        )
+                    ).alias("_dom"),
+                ),
+            )
+        ).alias("_d")
+    ).select(F.col("_d._id").alias("_id"), F.col("_d._dom").alias("_dom"))
+    g = directional.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_dom").alias("_anyd")
+    )
+    return (
+        a.join(g, a[id_col] == g["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.col("cid_cosine"),
+            F.col("examined"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_sem_dups"),
+            (~F.coalesce(F.col("_anyd"), F.lit(False))).alias("keep"),
+        )
+    )

@@ -209,3 +209,82 @@ def test_kmeans_improves_ivf_cell_cohesion(spark, sf_small):
         )
 
     assert cohesion(trained) > cohesion(init)
+
+
+def test_semdedup_keeps_least_centroid_similar(spark):
+    """SemDeDup keep rule: in an eps-neighborhood, the item LEAST
+    similar to its centroid survives; everything it dominates drops.
+    Cell 1's three near-identical vectors -> exactly one kept, and it
+    is the one angled furthest from the centroid."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),   # cell 0, no eps-neighbor
+        (1, [0.0, 1.0, 0.0, 0.0]),    # cell 1, cid_cosine = 1.0
+        (2, [0.01, 1.0, 0.0, 0.0]),   # cell 1, near-dup of 1
+        (3, [0.05, 1.0, 0.0, 0.0]),   # cell 1, near-dup, furthest from centroid
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.semdedup(emb, cents, eps=0.99).collect()}
+    assert out[0].keep and out[0].n_sem_dups == 0 and out[0].cid == 0
+    # 1,2,3 pairwise cosine > 0.99; keeper = lowest cid_cosine = vec 3
+    assert [out[i].cid for i in (1, 2, 3)] == [1, 1, 1]
+    assert out[3].keep and not out[1].keep and not out[2].keep
+    assert out[1].n_sem_dups == 2 and out[2].n_sem_dups == 2 and out[3].n_sem_dups == 2
+    assert all(out[i].examined for i in (0, 1, 2, 3))
+
+
+def test_semdedup_eps_connected_minimum_survives(spark):
+    """Chain a~b, b~c with a!~c: the global minimum of the component
+    always survives; c also survives because its only neighbor b is
+    dominated-ranked above it? No — c drops only if a neighbor ranks
+    BELOW it. Pin the per-pair dominance semantics on a 3-chain."""
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    # angles chosen so cos(a,b)>=eps, cos(b,c)>=eps, cos(a,c)<eps
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # cid_cos = 1.0 (highest)
+        (1, [1.0, 0.25, 0.0, 0.0]),      # middle
+        (2, [1.0, 0.52, 0.0, 0.0]),      # lowest cid_cos (furthest out)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.semdedup(emb, cents, eps=0.97).collect()}
+    assert out[0].n_sem_dups == 1 and out[1].n_sem_dups == 2 and out[2].n_sem_dups == 1
+    # 2 has the lowest cid_cosine -> keeps; 1 is dominated by 2; 0 by 1
+    assert out[2].keep and not out[1].keep and not out[0].keep
+
+
+def test_semdedup_cell_cap_pass_through(spark):
+    """Rows beyond max_cell_size pass through kept and unexamined —
+    never silently dropped — and the participants are the first rows
+    by the keep order (cid_cosine, id)."""
+    cents = [[0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (0, [0.0, 1.0, 0.0, 0.0]),
+        (1, [0.01, 1.0, 0.0, 0.0]),
+        (2, [0.02, 1.0, 0.0, 0.0]),
+        (3, [0.03, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           similarity.semdedup(emb, cents, eps=0.99, max_cell_size=2).collect()}
+    # keep order is cid_cosine asc: vec 3 (furthest), then 2, then 1, then 0
+    assert out[3].examined and out[2].examined
+    assert not out[1].examined and not out[0].examined
+    assert out[1].keep and out[0].keep and out[1].n_sem_dups == 0
+    # among participants, 3 dominates 2
+    assert out[3].keep and not out[2].keep
+
+
+def test_semdedup_partitioning_invariant(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cents = [list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    a = similarity.semdedup(emb, cents, eps=0.25).orderBy("vec_id").collect()
+    b = (
+        similarity.semdedup(emb.repartition(7), cents, eps=0.25)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert a == b
+    assert any(not r.keep for r in a)  # non-trivial at sf0.001
