@@ -1343,6 +1343,27 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_cluster_reps(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.cluster_representatives):
+    the same LSH pair set and components as dedup_clusters, but each
+    cluster keeps its HIGHEST-quality member (micro-unit quality_score,
+    ties -> lowest doc_id) instead of the arbitrary min id. Oracle:
+    recursive-CTE closure + the qscore twin + a rank-1 window — exact
+    but quadratic per component, the small-scale cross-check."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
+    pairs = dedup.lsh_dup_pairs(
+        sig, k=8, rows_per_band=4, max_bucket_size="auto"
+    )
+    return dedup.cluster_representatives(
+        docs,
+        pairs,
+        score=F.round(textstats.quality_score(F.col("text")) * 1000000).cast(
+            "long"
+        ),
+    )
+
+
 def _kmeans_oracle_sql(k=8, d=64):
     """DuckDB replay of q_kmeans_train: init cells from vec_id < k,
     assignment 1 (rounded-cosine argmax, ties -> lowest cid), integer
@@ -2092,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_reps": q_cluster_reps,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_recall": q_lsh_recall,
@@ -2491,6 +2513,30 @@ SELECT doc_id,
       + 0.2 * (CASE WHEN n / greatest(words, 1) >= 3 AND n / greatest(words, 1) <= 12
                THEN 1.0 ELSE 0.0 END), 6) AS score
 FROM c
+""".strip()
+    # quality-aware canonical selection: closure labels + micro-unit
+    # quality, rank-1 per cluster (score DESC, doc_id ASC) — the SQL
+    # twin of dedup.cluster_representatives' min(struct(-score, id))
+    reps_sql = f"""
+WITH cl AS (SELECT doc_id, cluster_id FROM ({clusters_sql})),
+q AS ({qscore_sql}),
+scored AS (
+  SELECT cl.doc_id, cl.cluster_id,
+    CAST(round(q.score * 1000000) AS BIGINT) AS score
+  FROM cl JOIN q USING (doc_id)
+),
+reps AS (
+  SELECT cluster_id, doc_id AS rep_id FROM (
+    SELECT cluster_id, doc_id,
+      row_number() OVER (
+        PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC
+      ) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.cluster_id, s.score, r.rep_id,
+  s.doc_id = r.rep_id AS is_kept
+FROM scored s JOIN reps r USING (cluster_id)
 """.strip()
     refine_sql = f"""
 WITH qf AS (SELECT doc_id FROM ({qf_sql}) WHERE keep),
@@ -2932,6 +2978,7 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
         # per component; the small-scale twin of the impl's
         # large-star/small-star (which never materializes a closure)
         "dedup_clusters": clusters_sql,
+        "cluster_reps": reps_sql,
         "simhash": _simhash_sql(60),
         "jaccard_pairs": jacc_sql,
         # recall of banded MinHash-LSH vs the exact-Jaccard truth set,

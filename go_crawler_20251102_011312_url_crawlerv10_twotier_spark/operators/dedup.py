@@ -1038,6 +1038,71 @@ def dup_clusters(
     )
 
 
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Quality-aware canonical selection: :func:`dup_clusters` keeps
+    each component's MIN-id doc — an arbitrary survivor. Real curation
+    keeps the BEST copy (FineWeb/CCNet keep the longest or
+    highest-scoring member; the syndicated original usually outscores
+    the scraper that mirrored it). This picks each cluster's
+    representative by ``score`` (any integer-valued Column over
+    ``docs`` — micro-unit quality, token count, inlink rank), highest
+    score wins, ties break to the LOWEST doc_id so the choice is
+    deterministic under any partitioning.
+
+    The score should be integer-valued (micro-units) for cross-engine
+    exactness: a double score that differs by an ulp between engines
+    could flip a representative, cascading into a different keep-set.
+
+    Output, one row per doc: ``(doc_id, cluster_id, score, rep_id,
+    is_kept)`` — singleton docs (no pair) are their own cluster and
+    always kept.
+
+    Scale shape: scores ride the doc scan map-side; the component
+    labels come from the same O(log^2 n) large/small-star rounds as
+    :func:`dup_clusters`; the winner is ONE map-side-partial
+    ``groupBy(cluster_id)`` with a ``min(struct(-score, doc_id))``
+    (no row_number window — window state would be one whole cluster,
+    and a mega-cluster of 10^6 mirror pages would serialize through
+    one task's sort). The winner attach joins 1-row-per-cluster back
+    on cluster_id — broadcast when small, hash join keyed by a column
+    whose fan-out per key is the component size (bounded by the same
+    cap discipline as the pair emitters upstream).
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col, max_iters=max_iters)
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"), score.alias("score"))
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    reps = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("w")
+        )
+        .select("cluster_id", F.col("w.d").alias("rep_id"))
+    )
+    return scored.join(reps, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        "rep_id",
+        (F.col("doc_id") == F.col("rep_id")).alias("is_kept"),
+    )
+
+
 def ngram_span_scrub(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -303,6 +303,53 @@ def test_dup_clusters_keeplist(spark):
     }
 
 
+def test_cluster_representatives_best_quality_wins(spark):
+    # same components as the keeplist test, but the survivor is the
+    # highest-score member, not the min id; ties break to LOWEST id
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 99), (4, 99), (2, 7), (3, 7), (5, 1)],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.doc_id: (r.cluster_id, r.rep_id, r.is_kept)
+        for r in dedup.cluster_representatives(
+            docs, pairs, score=F.col("q")
+        ).collect()
+    }
+    assert rows == {
+        # {0,1,4}: 1 and 4 tie at 99 > 0's 10 -> lowest id of the tie (1)
+        0: (0, 1, False), 1: (0, 1, True), 4: (0, 1, False),
+        # {2,3}: tie at 7 -> lowest id (2)
+        2: (2, 2, True), 3: (2, 2, False),
+        # singleton always kept
+        5: (5, 5, True),
+    }
+
+
+def test_cluster_representatives_vs_dup_clusters_same_partition(spark):
+    # identical component structure as dup_clusters; only the survivor
+    # choice differs — and with score constant, the tie rule (lowest
+    # id) reproduces dup_clusters' canonical exactly
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(6, 7), (1, 3), (3, 5)], "id_a long, id_b long"
+    )
+    reps = dedup.cluster_representatives(docs, pairs, score=F.lit(0))
+    canon = dedup.dup_clusters(docs, pairs)
+    got = {(r.doc_id, r.cluster_id, r.is_kept) for r in reps.collect()}
+    want = {
+        (r.doc_id, r.cluster_id, r.is_canonical) for r in canon.collect()
+    }
+    assert got == want
+
+
 def test_ngram_span_scrub_removes_shared_spans(spark):
     # docs 0 and 1 share an 8-token span; doc 2 is clean
     shared = "alpha beta gamma delta epsilon zeta eta theta"
