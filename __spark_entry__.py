@@ -1410,6 +1410,76 @@ GROUP BY a.cid
 """
 
 
+def _bpe_oracle_sql(n_merges=8, min_freq=1, token_counts=False):
+    """DuckDB replay of q_bpe_train / q_bpe_token_counts. Per step s:
+    ``t{s}`` = the corpus-weighted adjacent-pair argmax (MATERIALIZED
+    so chained steps never re-evaluate upstream), ``f{s}`` = a
+    recursive CTE walking each word's symbol list position-by-position
+    with the same fuse-or-append fold as bpe._apply_merge (the merge
+    pair rides along as columns via LEFT JOIN ON TRUE, so an empty
+    t{s} — early stop — passes segmentations through unchanged,
+    matching the Spark loop's break). ``word[i]`` / substr are
+    character-based on both engines; '\\s+' splits identically on the
+    ASCII-space corpus."""
+    having = f"HAVING count(*) >= {min_freq}" if min_freq > 1 else ""
+    parts = [
+        rf"""w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word {having}
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+    list_append(list_transform(range(1, length(word)+1), i -> word[i]), '</w>') AS seg
+  FROM w
+)"""
+    ]
+    for s in range(1, n_merges + 1):
+        parts.append(
+            f"""t{s} AS MATERIALIZED (
+  SELECT a, b, cnt FROM (
+    SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      SELECT freq, unnest(list_transform(range(1, len(seg)), i -> [seg[i], seg[i+1]])) AS pr
+      FROM s{s - 1}
+    ) GROUP BY 1, 2
+  ) ORDER BY cnt DESC, a, b LIMIT 1
+),
+f{s} AS (
+  SELECT word, freq, seg, t.a AS ma, t.b AS mb, 2 AS pos, seg[1:1] AS acc
+  FROM s{s - 1} LEFT JOIN t{s} t ON TRUE
+  UNION ALL
+  SELECT word, freq, seg, ma, mb, pos + 1,
+    CASE WHEN acc[-1] = ma AND seg[pos] = mb
+         THEN list_append(acc[1:len(acc)-1], ma || mb)
+         ELSE list_append(acc, seg[pos]) END
+  FROM f{s} WHERE pos <= len(seg)
+),
+s{s} AS MATERIALIZED (SELECT word, freq, acc AS seg FROM f{s} WHERE pos = len(seg)+1)"""
+        )
+    if token_counts:
+        final = rf"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(coalesce(word_tokens, CAST(length(word) AS BIGINT) + 1)) AS BIGINT)
+    AS n_bpe_tokens
+FROM (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+) ex LEFT JOIN (
+  SELECT word, CAST(len(seg) AS BIGINT) AS word_tokens FROM s{n_merges}
+) pw USING (word)
+GROUP BY doc_id"""
+    else:
+        union = "\n  UNION ALL ".join(
+            f"SELECT CAST({s} AS INT) AS step, a, b, a||b AS merged,"
+            f" cnt AS pair_count FROM t{s}"
+            for s in range(1, n_merges + 1)
+        )
+        final = f"\nSELECT * FROM (\n  {union}\n) ORDER BY step"
+    return "WITH RECURSIVE\n" + ",\n".join(parts) + final
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of the two ANN paths against the exact scan — the
     recall/cost dial as a measured gate row, not prose: single-probe
@@ -1805,6 +1875,44 @@ def q_vocab_stats(spark, sf_dir):
     return curation.vocab_stats(docs, top_k=100)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE training (operators/bpe.py): collapse the
+    corpus to the distinct-word freq table, then 8 merge steps — each
+    is one pair aggregation over the word table + a ONE-ROW argmax
+    collect + a pure-Catalyst re-segmentation fold. Returns the
+    learned merge list (the model). Oracle = an unrolled DuckDB
+    replay: per-step MATERIALIZED pair-count CTE + argmax + a
+    recursive-CTE left-to-right fold, exact by the determinism
+    contract in the module docstring (integer counts, lowest-(a,b)
+    tiebreak, non-overlapping merge)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        bpe,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    words = bpe.word_freqs(docs)
+    merges, seg = bpe.bpe_train(spark, words, n_merges=8)
+    seg.unpersist()
+    return merges
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under a BPE vocabulary learned on
+    frequent words only (min_freq=900 at sf0.01 splits the corpus
+    vocab ~19 kept / 12 fallback, so the out-of-table char-count+1
+    fallback path is exercised, not just declared). The curation
+    signal: docs whose BPE token count approaches char count are
+    noise the vocabulary cannot compress."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        bpe,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    words = bpe.word_freqs(docs, min_freq=900)
+    _, seg = bpe.bpe_train(spark, words, n_merges=8)
+    return bpe.bpe_token_counts(docs, seg)
+
+
 def q_source_quality_rollup(spark, sf_dir):
     """Domain-level curation table (operators/curation.py): per-source
     doc/token counts, quality-filter keep rate, mean quality score
@@ -2144,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "source_quality_rollup": q_source_quality_rollup,
         "vocab_stats": q_vocab_stats,
+        "bpe_train": q_bpe_train,
+        "bpe_token_counts": q_bpe_token_counts,
         "sequence_pack": q_sequence_pack,
         "pack_stats": q_pack_stats,
         "unigram_commonness": q_unigram_commonness,
@@ -3085,6 +3195,10 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
         # init cells, assign, integer micro-mean update, re-assign,
         # emit count + 64 bigint micro sums per cell
         "kmeans_train": _kmeans_oracle_sql(),
+        "bpe_train": _bpe_oracle_sql(n_merges=8),
+        "bpe_token_counts": _bpe_oracle_sql(
+            n_merges=8, min_freq=900, token_counts=True
+        ),
         # SemDeDup: rebuild the vec_id<16 centroid list, replay the
         # argmax assignment, the (cid_cosine, vec_id) participation
         # cap, the within-cell eps-pair join, and the

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "training_shards",
     "source_quality_rollup",
     "vocab_stats",
+    "bpe_train",
+    "bpe_token_counts",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",
