@@ -34,6 +34,7 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm i
     normalize_url_compat,
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+    cuckoo,
     dedup,
     download_log,
     fetch,
@@ -736,6 +737,42 @@ def q_seen_anti_join_bloom(spark, sf_dir):
     cands = s.filter(F.col("id") % 2 == 0).select("url_norm")
     seen = s.filter((F.col("id") % 3 == 0) | (F.col("id") % 7 == 0)).select("url_norm")
     return dedup.dedup_new_candidates(cands, seen, use_bloom=True)
+
+
+def q_seen_anti_join_cuckoo(spark, sf_dir):
+    """J1 behind the sharded CUCKOO prefilter (operators/cuckoo.py —
+    the north_rule's other filter family): same exactness contract as
+    the Bloom path (no false negatives; FPs fall through to the exact
+    anti-join), lower FPP at comparable bytes/key, and — the reason it
+    exists — in-place deletion for recrawl invalidation."""
+    s = _synth(spark, sf_dir, URL_SYNTH_SQL).select(
+        "id", normalize_url_compat("url").alias("url_norm")
+    )
+    cands = s.filter(F.col("id") % 2 == 0).select("url_norm")
+    seen = s.filter((F.col("id") % 3 == 0) | (F.col("id") % 7 == 0)).select("url_norm")
+    return cuckoo.dedup_new_candidates_cuckoo(cands, seen)
+
+
+def q_seen_cuckoo_delete(spark, sf_dir):
+    """The deletable-filter path end-to-end: build shards over the
+    seen set, DELETE the recrawl-invalidated subset in place
+    (update_cuckoo_shards — no rebuild, only touched shards work),
+    then run J1 against the live remainder. Exact because deletions
+    never introduce false negatives (a (bucket,fp)-twin keeps
+    answering for both keys) and maybe-seen rows confirm via the
+    exact anti-join on the live set."""
+    s = _synth(spark, sf_dir, URL_SYNTH_SQL).select(
+        "id", normalize_url_compat("url").alias("url_norm")
+    )
+    cands = s.filter(F.col("id") % 2 == 0).select("url_norm")
+    seen = s.filter((F.col("id") % 3 == 0) | (F.col("id") % 7 == 0)).select("url_norm")
+    removed = s.filter(F.col("id") % 21 == 0).select("url_norm")
+    live = seen.join(removed, "url_norm", "left_anti")
+    n_shards = 32
+    shards = cuckoo.build_cuckoo_shards(seen, n_shards=n_shards)
+    updated = cuckoo.update_cuckoo_shards(shards, removals=removed, n_shards=n_shards)
+    new, maybe = cuckoo.cuckoo_probe_shards(cands, updated, n_shards=n_shards)
+    return new.unionByName(dedup.seen_anti_join(maybe, live))
 
 
 def q_seen_anti_join(spark, sf_dir):
@@ -2200,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_density": q_link_density,
         "seen_anti_join": q_seen_anti_join,
         "seen_anti_join_bloom": q_seen_anti_join_bloom,
+        "seen_anti_join_cuckoo": q_seen_anti_join_cuckoo,
+        "seen_cuckoo_delete": q_seen_cuckoo_delete,
         "extract_filename": q_extract_filename,
         "robots_filter": q_robots_filter,
         "stream_host_rates": q_stream_host_rates,
@@ -2773,6 +2812,25 @@ WITH synth AS ({URL_SYNTH_SQL}),
 norm AS (SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth)
 SELECT url_norm FROM norm WHERE id % 2 = 0
   AND url_norm NOT IN (SELECT url_norm FROM norm WHERE id % 3 = 0 OR id % 7 = 0)
+""",
+        # cuckoo variants share the Bloom oracle shape: the filter is
+        # an exactness-preserving prefilter, so the answer IS the
+        # anti-join (resp. the anti-join against seen-minus-removed)
+        "seen_anti_join_cuckoo": f"""
+WITH synth AS ({URL_SYNTH_SQL}),
+norm AS (SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth)
+SELECT url_norm FROM norm WHERE id % 2 = 0
+  AND url_norm NOT IN (SELECT url_norm FROM norm WHERE id % 3 = 0 OR id % 7 = 0)
+""",
+        "seen_cuckoo_delete": f"""
+WITH synth AS ({URL_SYNTH_SQL}),
+norm AS (SELECT id, lower(regexp_replace(url, '[#?].*$', '')) AS url_norm FROM synth),
+live AS (
+  SELECT url_norm FROM norm WHERE (id % 3 = 0 OR id % 7 = 0)
+    AND url_norm NOT IN (SELECT url_norm FROM norm WHERE id % 21 = 0)
+)
+SELECT url_norm FROM norm WHERE id % 2 = 0
+  AND url_norm NOT IN (SELECT url_norm FROM live)
 """,
         # tier-2 text: independent derivation — the engine DOM-parses;
         # the oracle strips tags textually (exact: fixture text has no

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "vocab_stats",
     "bpe_train",
     "bpe_token_counts",
+    "seen_anti_join_cuckoo",
+    "seen_cuckoo_delete",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",
