@@ -301,6 +301,39 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# mirror-shaped corpus: 12 hosts; m0/m1 serve identical page sets
+# (full mirrors), m2 mirrors the even half, m3..m11 are unique, and
+# EVERY host serves one parked-template page (a hot fingerprint the
+# pairing cap must exclude). p = page index = doc_id div 12, derived
+# portably (no DIV/// operator parity risk).
+MIRROR_SYNTH_SQL = """
+SELECT d.doc_id,
+  'm' || (d.doc_id % 12) || '.example' AS host,
+  CASE WHEN CAST((d.doc_id - d.doc_id % 12) / 12 AS BIGINT) = 0
+         THEN 'TEMPLATE parked page'
+       WHEN d.doc_id % 12 <= 1
+         THEN 'CONTENT ' || CAST((d.doc_id - d.doc_id % 12) / 12 AS BIGINT)
+       WHEN d.doc_id % 12 = 2 AND d.doc_id % 24 = 2
+         THEN 'CONTENT ' || CAST((d.doc_id - d.doc_id % 12) / 12 AS BIGINT)
+       ELSE 'CONTENT h' || (d.doc_id % 12) || ' p'
+            || CAST((d.doc_id - d.doc_id % 12) / 12 AS BIGINT)
+       END AS text
+FROM documents d
+""".strip()
+
+# DUST-shaped fetch log: page drives content, sessionid never does,
+# sort is pinned by page (no variation evidence). host/sort derive
+# from page so the oracle can re-derive everything closed-form from
+# (page, session) combos actually present at the SF.
+DUST_SYNTH_SQL = """
+SELECT d.doc_id,
+  'https://d' || ((d.doc_id % 20) % 5) || '.example/item?page=' || (d.doc_id % 20)
+    || '&sessionid=s' || (d.doc_id % 3)
+    || '&sort=' || ((d.doc_id % 20) % 2) AS url,
+  'ITEM ' || (d.doc_id % 20) || ' v' || ((d.doc_id % 20) % 2) AS text
+FROM documents d
+""".strip()
+
 # paragraph-duplication-shaped corpus: every doc opens with ONE shared
 # license paragraph (corpus-global hot duplicate), 1 in 3 docs carries
 # one of 5 syndicated promo paragraphs (medium-df duplicates), every
@@ -1717,6 +1750,48 @@ def q_url_features(spark, sf_dir):
     return url_features(_synth(spark, sf_dir, TRAP_SYNTH_SQL))
 
 
+def q_host_mirrors(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.py): host pairs by
+    content-fingerprint overlap, pairing capped at 8 hosts/fingerprint
+    (the parked template in the fixture is hotter and must contribute
+    to no pair), Jaccard mirror flag as an integer cross-multiply.
+    m0/m1 flag as mirrors; m2's half-overlap pairs list unflagged."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        mirrors,
+    )
+
+    docs = _synth(spark, sf_dir, MIRROR_SYNTH_SQL)
+    return mirrors.host_mirror_pairs(docs, max_hosts_per_fp=8)
+
+
+def q_mirror_cap_audit(spark, sf_dir):
+    """The no-silent-caps companion to host_mirrors: corpus
+    fingerprint count, how many the pairing cap excluded, and the
+    hottest fingerprint's host fan-out."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        mirrors,
+    )
+
+    docs = _synth(spark, sf_dir, MIRROR_SYNTH_SQL)
+    return mirrors.mirror_cap_audit(docs, max_hosts_per_fp=8)
+
+
+def q_dust_params(spark, sf_dir):
+    """DUST parameter mining (operators/traps.py dust_param_stats):
+    per (host, query-param) content-irrelevance learned by bucketing
+    urls on everything-but-the-param and counting fingerprint
+    collapse. Spark REALLY parses the url strings (regexp host/base,
+    posexplode params, sorted-others bucket key); the oracle
+    re-derives the bucket structure closed-form from the fixture's
+    (page, session) residues."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        dust_param_stats,
+    )
+
+    pages = _synth(spark, sf_dir, DUST_SYNTH_SQL)
+    return dust_param_stats(pages, min_urls=6, irrelevance_pct=90)
+
+
 def q_host_boilerplate(spark, sf_dir):
     """Host-level boilerplate removal (curation.strip_host_boilerplate)
     over the boilerplate-shaped corpus: lines on >= 3 distinct pages of
@@ -2308,6 +2383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": q_domain_cap_sample,
         "url_features": q_url_features,
         "host_trap_stats": q_host_trap_stats,
+        "host_mirrors": q_host_mirrors,
+        "mirror_cap_audit": q_mirror_cap_audit,
+        "dust_params": q_dust_params,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -3653,6 +3731,66 @@ SELECT host, n_urls, n_prefixes, max_prefix_urls,
   n_query / n_urls AS query_frac,
   (n_urls >= 20 AND (max_prefix_urls / n_urls >= 0.5 OR n_query / n_urls >= 0.5)) AS suspect
 FROM ph
+""",
+        # mirror detection: same fingerprint/cap/pair algebra in SQL;
+        # the template fp (12 hosts > cap 8) must reach no pair
+        "host_mirrors": f"""
+WITH synth AS ({MIRROR_SYNTH_SQL}),
+fps AS (SELECT DISTINCT host, md5(text) AS fp FROM synth),
+fph AS (SELECT fp, count(*) AS nh FROM fps GROUP BY fp),
+elig AS (SELECT f.host, f.fp FROM fps f JOIN fph USING (fp) WHERE nh <= 8),
+sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n_fps FROM fps GROUP BY host),
+sh AS (
+  SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS shared_fps
+  FROM elig a JOIN elig b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT host_a, host_b, shared_fps, sa.n_fps AS n_fps_a, sb.n_fps AS n_fps_b,
+  shared_fps * 100 >= 50 * (sa.n_fps + sb.n_fps - shared_fps) AS is_mirror
+FROM sh JOIN sizes sa ON sa.host = sh.host_a JOIN sizes sb ON sb.host = sh.host_b
+""",
+        "mirror_cap_audit": f"""
+WITH synth AS ({MIRROR_SYNTH_SQL}),
+fps AS (SELECT DISTINCT host, md5(text) AS fp FROM synth),
+fph AS (SELECT fp, count(*) AS nh FROM fps GROUP BY fp)
+SELECT CAST(count(*) AS BIGINT) AS n_fps,
+  CAST(sum(CASE WHEN nh > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+  CAST(max(nh) AS BIGINT) AS max_fp_hosts
+FROM fph
+""",
+        # DUST param mining: the oracle re-derives the bucket algebra
+        # closed-form from the fixture residues — sessionid buckets
+        # key on page alone (host/sort are page-determined), page
+        # buckets key on (session, sort), sort buckets key on
+        # (page, session) and so never vary
+        "dust_params": """
+WITH fu AS (SELECT DISTINCT d.doc_id % 20 AS p, d.doc_id % 3 AS s FROM documents d),
+f2 AS (SELECT p % 5 AS h, p, s, p % 2 AS r FROM fu),
+ses AS (
+  SELECT h, 'sessionid' AS param, CAST(count(*) AS BIGINT) AS n_urls,
+    CAST(count(DISTINCT p) AS BIGINT) AS n_groups,
+    CAST(count(DISTINCT p) AS BIGINT) AS n_contents
+  FROM f2 GROUP BY h
+),
+pag AS (
+  SELECT h, 'page' AS param, CAST(count(*) AS BIGINT) AS n_urls,
+    CAST(count(DISTINCT s * 2 + r) AS BIGINT) AS n_groups,
+    CAST(count(DISTINCT p * 3 + s) AS BIGINT) AS n_contents
+  FROM f2 GROUP BY h
+),
+srt AS (
+  SELECT h, 'sort' AS param, CAST(count(*) AS BIGINT) AS n_urls,
+    CAST(count(DISTINCT p * 3 + s) AS BIGINT) AS n_groups,
+    CAST(count(DISTINCT p * 3 + s) AS BIGINT) AS n_contents
+  FROM f2 GROUP BY h
+),
+u AS (
+  SELECT * FROM ses UNION ALL SELECT * FROM pag UNION ALL SELECT * FROM srt
+)
+SELECT 'd' || h || '.example' AS host, param, n_urls, n_groups, n_contents,
+  (n_urls > n_groups AND 100 * (n_urls - n_contents) >= 90 * (n_urls - n_groups))
+    AS irrelevant
+FROM u WHERE n_urls >= 6
 """,
         # PII redaction: identical rule sequence, each count taken on
         # the text state the previous rules produced

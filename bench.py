@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "seen_anti_join_cuckoo",
     "seen_cuckoo_delete",
+    "host_mirrors",
+    "dust_params",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

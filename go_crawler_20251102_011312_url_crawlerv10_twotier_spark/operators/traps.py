@@ -83,6 +83,110 @@ def host_trap_stats(
     )
 
 
+def dust_param_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 6,
+    irrelevance_pct: int = 90,
+) -> DataFrame:
+    """DUST-style query-parameter mining (Bar-Yossef et al. 2007,
+    "Do Not Crawl in the DUST"): learn, per (host, parameter), whether
+    the parameter changes content — a content-irrelevant parameter
+    (session ids, tracking tags, affiliate codes) multiplies every
+    page into an unbounded URL family, and stripping it in the
+    canonicalizer collapses the family BEFORE the seen-set probe.
+    This is the learned complement to P1's static normalization
+    (urlnorm strips what the reference strips; this discovers what
+    else is strippable on this corpus).
+
+    Method, self-join-free: for every fetched (url, fingerprint) pair
+    and every parameter ``p`` the url carries, bucket the url by
+    (everything except p) = base path + the OTHER parameters,
+    canonically sorted. Within a bucket, urls differ only in p. If p
+    is content-irrelevant, each bucket holds ONE distinct fingerprint;
+    if p drives content, distinct fingerprints ≈ urls. Rolled up per
+    (host, param):
+
+    ``irrelevant`` ⇔ buckets actually varied (n_urls > n_groups) AND
+    ``100*(n_urls - n_contents) >= pct*(n_urls - n_groups)`` — the
+    observed fingerprint collapse is >= pct of the maximum possible
+    collapse. Integer arithmetic throughout; duplicate fetches of the
+    same url collapse via an initial distinct so re-crawls cannot
+    inflate the evidence.
+
+    Scale shape: distinct (shuffle 1), a params-per-url explode
+    (bounded fan-out — urls carry few parameters), then two
+    map-side-partialed aggregations (bucket, then (host, param)).
+    Never pairs urls against each other.
+
+    Output: ``(host, param, n_urls, n_groups, n_contents,
+    irrelevant)`` for params observed on >= ``min_urls`` urls.
+    """
+    u = F.col(url_col)
+    rows = pages.select(
+        u.alias("url"), F.md5(F.col(text_col)).alias("fp")
+    ).distinct()
+    host = F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    base = F.regexp_replace("url", r"\?[^#]*", "")
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    params = F.split(query, "&")
+    ex = (
+        rows.select(
+            "fp",
+            host.alias("host"),
+            base.alias("base"),
+            params.alias("params"),
+            F.posexplode(params).alias("pos", "kv"),
+        )
+        .filter(F.col("kv") != "")
+        .select(
+            "fp",
+            "host",
+            F.split("kv", "=").getItem(0).alias("param"),
+            F.concat(
+                F.col("base"),
+                F.lit("?"),
+                F.array_join(
+                    F.array_sort(
+                        F.concat(
+                            F.slice(F.col("params"), F.lit(1), F.col("pos")),
+                            F.slice(
+                                F.col("params"),
+                                F.col("pos") + F.lit(2),
+                                F.size("params") - F.col("pos") - F.lit(1),
+                            ),
+                        )
+                    ),
+                    "&",
+                ),
+            ).alias("bucket"),
+        )
+    )
+    grp = ex.groupBy("host", "param", "bucket").agg(
+        F.count("*").alias("n_u"), F.countDistinct("fp").alias("n_f")
+    )
+    out = grp.groupBy("host", "param").agg(
+        F.sum("n_u").cast("bigint").alias("n_urls"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("n_f").cast("bigint").alias("n_contents"),
+    )
+    return out.filter(F.col("n_urls") >= F.lit(min_urls)).select(
+        "host",
+        "param",
+        "n_urls",
+        "n_groups",
+        "n_contents",
+        (
+            (F.col("n_urls") > F.col("n_groups"))
+            & (
+                (F.col("n_urls") - F.col("n_contents")) * 100
+                >= F.lit(irrelevance_pct) * (F.col("n_urls") - F.col("n_groups"))
+            )
+        ).alias("irrelevant"),
+    )
+
+
 def url_features(
     urls: DataFrame,
     url_col: str = "url_norm",
