@@ -1792,6 +1792,22 @@ def q_dust_params(spark, sf_dir):
     return dust_param_stats(pages, min_urls=6, irrelevance_pct=90)
 
 
+def q_dust_canonicalize(spark, sf_dir):
+    """The DUST composition end-to-end: dust_param_stats learns the
+    rules from the fixture's fetch log, strip_learned_params rewrites
+    every distinct url — sessionid vanishes, survivors sort — so a
+    3-session url family collapses to one seen-set key. Spark learns
+    AND applies; the oracle re-derives both closed-form."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        dust_param_stats,
+        strip_learned_params,
+    )
+
+    pages = _synth(spark, sf_dir, DUST_SYNTH_SQL)
+    rules = dust_param_stats(pages, min_urls=6, irrelevance_pct=90)
+    return strip_learned_params(pages.select("url").distinct(), rules)
+
+
 def q_host_boilerplate(spark, sf_dir):
     """Host-level boilerplate removal (curation.strip_host_boilerplate)
     over the boilerplate-shaped corpus: lines on >= 3 distinct pages of
@@ -2386,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirrors": q_host_mirrors,
         "mirror_cap_audit": q_mirror_cap_audit,
         "dust_params": q_dust_params,
+        "dust_canonicalize": q_dust_canonicalize,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
         "multimodal_probe": q_multimodal_probe,
@@ -3791,6 +3808,18 @@ SELECT 'd' || h || '.example' AS host, param, n_urls, n_groups, n_contents,
   (n_urls > n_groups AND 100 * (n_urls - n_contents) >= 90 * (n_urls - n_groups))
     AS irrelevant
 FROM u WHERE n_urls >= 6
+""",
+        # DUST applied: sessionid is the only learned-irrelevant param
+        # at the fixture's structure, so canon = base + (page, sort)
+        # sorted ('page' < 'sort' alphabetically)
+        "dust_canonicalize": """
+WITH fu AS (SELECT DISTINCT d.doc_id % 20 AS p, d.doc_id % 3 AS s FROM documents d),
+f2 AS (SELECT p % 5 AS h, p, s, p % 2 AS r FROM fu)
+SELECT
+  'https://d' || h || '.example/item?page=' || p
+    || '&sessionid=s' || s || '&sort=' || r AS url,
+  'https://d' || h || '.example/item?page=' || p || '&sort=' || r AS url_canon
+FROM f2
 """,
         # PII redaction: identical rule sequence, each count taken on
         # the text state the previous rules produced

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "seen_cuckoo_delete",
     "host_mirrors",
     "dust_params",
+    "dust_canonicalize",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

@@ -187,6 +187,57 @@ def dust_param_stats(
     )
 
 
+def strip_learned_params(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply learned DUST rules: rewrite each url with its host's
+    content-irrelevant parameters removed and the survivors sorted
+    canonically — the composition step that turns dust_param_stats'
+    evidence into frontier collapse (a session-id family of 10^6 urls
+    becomes ONE seen-set key). This is the learned extension of P1's
+    static canonicalization (urlnorm.canonicalize sorts params; this
+    decides which params deserve to exist at all).
+
+    ``rules`` is dust_param_stats' output (or any (host, param,
+    irrelevant) table). The rule table rolls up to one array row per
+    host and broadcast-joins onto the urls — per-host param lists are
+    tiny by construction; the url side never shuffles. Hosts without
+    rules pass through (params kept, still sorted). Urls without a
+    query keep their base unchanged.
+
+    Output: one row per input row, ``(url, url_canon)``.
+    """
+    bad = (
+        rules.filter(F.col("irrelevant"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("bad_params"))
+    )
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    base = F.regexp_replace(u, r"\?[^#]*", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    withr = urls.withColumn("_h", host).join(
+        F.broadcast(bad).withColumnRenamed("host", "_h"), "_h", "left"
+    )
+    kept = F.filter(
+        params,
+        lambda kv: ~F.coalesce(
+            F.array_contains(F.col("bad_params"), F.split(kv, "=").getItem(0)),
+            F.lit(False),
+        ),
+    )
+    canon = F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+    ).otherwise(base)
+    return withr.select(u.alias("url"), canon.alias("url_canon"))
+
+
 def url_features(
     urls: DataFrame,
     url_col: str = "url_norm",

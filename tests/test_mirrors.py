@@ -100,6 +100,52 @@ def test_dust_duplicate_fetches_do_not_inflate(spark):
     assert r.irrelevant
 
 
+def test_strip_learned_params_collapses_families(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        strip_learned_params,
+    )
+
+    rows = []
+    for p in range(4):
+        for s in range(3):
+            for v in range(2):
+                rows.append(
+                    (
+                        f"https://shop.example/item?page={p}&sess=s{s}&v={v}",
+                        f"ITEM {p} v{v}",
+                    )
+                )
+    pages = spark.createDataFrame(rows, "url string, text string")
+    rules = dust_param_stats(pages, min_urls=6)
+    out = strip_learned_params(pages.select("url").distinct(), rules)
+    canon = {r.url_canon for r in out.collect()}
+    # sess stripped, page+v kept sorted: 24 urls collapse to 8 keys
+    assert canon == {
+        f"https://shop.example/item?page={p}&v={v}" for p in range(4) for v in range(2)
+    }
+    assert out.count() == 24  # one row per input url
+
+
+def test_strip_learned_params_passthrough(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        strip_learned_params,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://other.example/a?z=1&a=2",),  # host with no rules
+            ("https://other.example/plain",),  # no query at all
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("shop.example", "sess", True)], "host string, param string, irrelevant boolean"
+    )
+    got = {r.url: r.url_canon for r in strip_learned_params(urls, rules).collect()}
+    assert got["https://other.example/a?z=1&a=2"] == "https://other.example/a?a=2&z=1"
+    assert got["https://other.example/plain"] == "https://other.example/plain"
+
+
 def test_dust_no_query_urls_contribute_nothing(spark):
     pages = spark.createDataFrame(
         [("https://h.example/a", "T1"), ("https://h.example/b", "T2")],
