@@ -1933,6 +1933,20 @@ def q_doc_keyterms(spark, sf_dir):
     )
 
 
+def q_bigram_commonness(spark, sf_dir):
+    """Conditional-bigram LM commonness (curation.bigram_commonness):
+    mean MLE P(w_i|w_{i-1}) per doc under the corpus' own bigram
+    distribution — catches common-word word-salad the unigram score
+    cannot. Micro-probabilities are int64 floor divisions materialized
+    once in the model table; per-doc sums are pure integers."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.bigram_commonness(docs)
+
+
 def q_unigram_commonness(spark, sf_dir):
     """CCNet-style LM filtering, exact-arithmetic twin
     (curation.unigram_commonness): per-doc mean unigram probability
@@ -2387,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "pack_stats": q_pack_stats,
         "unigram_commonness": q_unigram_commonness,
+        "bigram_commonness": q_bigram_commonness,
         "repetition_stats": q_repetition_stats,
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
@@ -3652,6 +3667,39 @@ SELECT id, n_tokens, sum_cnt,
   sum_cnt / (n_tokens * tot.total) AS mean_p,
   rare_occ / CAST(n_tokens AS DOUBLE) AS rare_rate
 FROM pd, tot
+""",
+        # bigram LM: same shifted-pair construction (range is
+        # end-exclusive, arrays 1-based — i pairs arr[i] with
+        # arr[i+1]), same int64 micro-probability floor division
+        "bigram_commonness": """
+WITH base AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+ex AS (
+  SELECT id,
+    unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1]))
+      AS bigram
+  FROM base
+),
+tf AS (SELECT id, bigram, count(*) AS tf FROM ex GROUP BY id, bigram),
+cb AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY bigram),
+cpre AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cp
+  FROM cb GROUP BY 1
+),
+model AS (
+  SELECT bigram, (1000000 * cb) // cp AS micro_p
+  FROM cb JOIN cpre ON split_part(bigram, ' ', 1) = w1
+),
+pd AS (
+  SELECT id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+    CAST(sum(tf * micro_p) AS BIGINT) AS sum_micro_p
+  FROM tf JOIN model USING (bigram) GROUP BY id
+)
+SELECT id, n_bigrams, sum_micro_p,
+  sum_micro_p / (n_bigrams * 1000000) AS mean_cond_p
+FROM pd
 """,
         "vocab_stats": """
 WITH toks AS (

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "host_mirrors",
     "dust_params",
     "dust_canonicalize",
+    "bigram_commonness",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

@@ -164,6 +164,83 @@ def unigram_commonness(
     )
 
 
+def bigram_commonness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-document CONDITIONAL bigram commonness — the next rung of
+    the CCNet-perplexity ladder above :func:`unigram_commonness`:
+    score each doc by the mean MLE conditional probability
+    P(w_i | w_{i-1}) of its bigram occurrences under the corpus' own
+    bigram distribution. This separates what the unigram score cannot:
+    word-salad built from common words ("the of and the is") carries
+    common unigrams but improbable transitions, scoring low here.
+
+    Exactness discipline (same rational-twin rule as the rest of this
+    module): each bigram's conditional probability materializes ONCE
+    in the model table as an integer micro-probability
+    ``(micro * c(w1 w2)) div c(w1 ·)`` — int64 floor division, never a
+    per-row float — so the per-doc aggregation is pure integer sums
+    (order-free) with one final double division. int64 headroom:
+    ``micro * c`` stays below 2^63 up to ~9·10^12 occurrences of a
+    single bigram; raise nothing at 100 TB text (a bigram at 10^12
+    occurrences would be pathological boilerplate your dedup already
+    removed, and the audit is a one-line max-count query).
+
+    Scale shape mirrors unigram_commonness: bigrams form map-side via
+    a shifted-slice zip (NO window — the dsir_importance trick), the
+    (id, bigram) tf agg reduces the stream before anything wide, the
+    model table aggregates the already-reduced tf table twice (bigram
+    count, then prefix count on the count table — vocabulary-sized,
+    not corpus-sized), and the attach join is bigram-keyed.
+
+    Docs with fewer than two tokens have no bigram evidence and are
+    absent from the output (callers LEFT-join and treat null as
+    no-signal, same convention as the packer's empty shards).
+
+    Output: ``(id, n_bigrams, sum_micro_p, mean_cond_p)``.
+    """
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    bg = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), F.explode(bg).alias("bigram")
+    )
+    tf = ex.groupBy("id", "bigram").agg(F.count("*").alias("tf"))
+    cb = tf.groupBy("bigram").agg(F.sum("tf").alias("cb"))
+    w1 = cb.withColumn("w1", F.split("bigram", " ").getItem(0))
+    cp = w1.groupBy("w1").agg(F.sum("cb").alias("cp"))
+    model = (
+        w1.join(cp, "w1")
+        .withColumn(
+            "micro_p",
+            F.expr(f"(CAST({micro} AS BIGINT) * cb) DIV cp"),
+        )
+        .select("bigram", "micro_p")
+    )
+    return (
+        tf.join(model, "bigram")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("micro_p")).cast("bigint").alias("sum_micro_p"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "sum_micro_p",
+            (
+                F.col("sum_micro_p") / (F.col("n_bigrams") * F.lit(micro))
+            ).alias("mean_cond_p"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

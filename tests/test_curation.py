@@ -78,6 +78,38 @@ def test_doc_keyterms_ranks_distinctive_tokens(spark):
     assert all(len(v) == 2 for v in by_doc.values())
 
 
+def test_bigram_commonness_hand_case(spark):
+    """Closed-form fixture: corpus bigrams ab:2 ba:1 bc:1 cc:1,
+    prefixes a:2 b:2 c:1 → micro ab=10^6, ba=bc=5·10^5, cc=10^6."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "c c"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r for r in curation.bigram_commonness(docs).collect()}
+    assert got[1].n_bigrams == 4
+    assert got[1].sum_micro_p == 2 * 1_000_000 + 500_000 + 500_000
+    assert got[1].mean_cond_p == 0.75
+    assert (got[2].n_bigrams, got[2].sum_micro_p, got[2].mean_cond_p) == (
+        1,
+        1_000_000,
+        1.0,
+    )
+    assert 3 not in got  # single-token doc: no bigram evidence
+
+
+def test_bigram_commonness_flags_word_salad(spark):
+    """Common words in improbable order score below fluent text built
+    from the same vocabulary — the separation unigrams cannot make."""
+    fluent = "the cat sat on the mat " * 5
+    salad = "the the on cat mat sat on mat the cat sat the"
+    docs = spark.createDataFrame(
+        [(1, fluent.strip()), (2, fluent.strip()), (3, salad)],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r.mean_cond_p for r in curation.bigram_commonness(docs).collect()}
+    assert got[3] < got[1]
+
+
 def test_unigram_commonness_hand_case(spark):
     """Corpus: 'the the cat' + 'the zxq' -> counts: the=3, cat=1,
     zxq=1, total=5. Exact rational expectations per doc."""
