@@ -514,6 +514,21 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_texts(pages)
 
 
+def q_anchor_profile(spark, sf_dir):
+    """Per-target anchor rollup (extract.target_anchor_profile):
+    inlink counts, distinct sources/anchors, and the modal anchor with
+    the deterministic (count DESC, anchor ASC) pick — the off-page
+    relevance signal for frontier prioritization and retrieval
+    labels."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        anchor_texts,
+        target_anchor_profile,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return target_anchor_profile(anchor_texts(pages))
+
+
 def q_extract_links_fast(spark, sf_dir):
     """E1 fast-path byte scan (tokenizer/fastpath.go:33-96) over the
     clean corpus (double-quoted absolute hrefs: scan == href regex)."""
@@ -2402,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "unigram_commonness": q_unigram_commonness,
         "bigram_commonness": q_bigram_commonness,
+        "anchor_profile": q_anchor_profile,
         "repetition_stats": q_repetition_stats,
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
@@ -2884,6 +2900,34 @@ SELECT id,
   unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href,
   unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 2)) AS anchor
 FROM p
+""",
+        # per-target rollup over the same anchors CTE; the modal pick
+        # replays the (count DESC, anchor ASC) row_number rule
+        "anchor_profile": f"""
+WITH p AS ({pagesrc.clean_pages_sql()}),
+an AS (
+  SELECT id,
+    unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href,
+    unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 2)) AS anchor
+  FROM p
+),
+per AS (SELECT href, anchor, count(*) AS cnt FROM an GROUP BY href, anchor),
+top AS (
+  SELECT href, anchor AS top_anchor, CAST(cnt AS BIGINT) AS top_anchor_count
+  FROM (
+    SELECT href, anchor, cnt,
+      row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor ASC) AS rn
+    FROM per
+  ) WHERE rn = 1
+),
+tot AS (
+  SELECT href, CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+    CAST(count(*) AS BIGINT) AS n_anchors
+  FROM per GROUP BY href
+),
+src AS (SELECT href, CAST(count(DISTINCT id) AS BIGINT) AS n_sources FROM an GROUP BY href)
+SELECT href, n_inlinks, n_sources, n_anchors, top_anchor, top_anchor_count
+FROM tot JOIN src USING (href) JOIN top USING (href)
 """,
         "extract_docs_slow": f"""
 WITH synth AS ({DOCURL_SYNTH_SQL})

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "dust_params",
     "dust_canonicalize",
     "bigram_commonness",
+    "anchor_profile",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

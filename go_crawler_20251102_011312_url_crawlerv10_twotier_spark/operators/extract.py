@@ -26,7 +26,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -416,6 +416,59 @@ def extract_stage(pages: DataFrame, url_col: str = "url", html_col: str = "html"
 
 
 ANCHOR_PATTERN = r'<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def target_anchor_profile(anchors: DataFrame) -> DataFrame:
+    """Per-TARGET anchor rollup over an anchor_texts table — the
+    classic off-page relevance signal (what other pages call a url is
+    better evidence of its content than its own title), used to
+    prioritize the frontier and to label retrieval training pairs.
+
+    Output, one row per href:
+    ``(href, n_inlinks, n_sources, n_anchors, top_anchor,
+    top_anchor_count)`` with the modal anchor chosen deterministically
+    (count DESC, anchor ASC — the vocab_stats cutoff rule, so the row
+    is engine- and partition-order-independent).
+
+    Scale shape: one (href, anchor) map-side-partial agg collapses the
+    anchor stream, the modal pick is a window over that REDUCED table
+    (state = one target's distinct anchors, not its raw inlinks — a
+    mega-target with 10^8 identical "click here" inlinks arrives at
+    the window as one row), and the per-target totals aggregate the
+    same reduced table. No raw-row shuffle happens twice.
+    """
+    per = anchors.groupBy("href", "anchor").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("id").alias("src"),
+    )
+    w = Window.partitionBy("href").orderBy(F.desc("cnt"), F.asc("anchor"))
+    top = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "href",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").cast("bigint").alias("top_anchor_count"),
+        )
+    )
+    totals = per.groupBy("href").agg(
+        F.sum("cnt").cast("bigint").alias("n_inlinks"),
+        F.sum("src").cast("bigint").alias("_src_sum"),
+        F.count("*").cast("bigint").alias("n_anchors"),
+    )
+    # n_sources needs distinct ids per href ACROSS anchors — a source
+    # linking the same target under two anchors must count once, so it
+    # cannot be summed from the (href, anchor) partials
+    sources = anchors.groupBy("href").agg(
+        F.countDistinct("id").cast("bigint").alias("n_sources")
+    )
+    return (
+        totals.join(sources, "href")
+        .join(top, "href")
+        .select(
+            "href", "n_inlinks", "n_sources", "n_anchors", "top_anchor", "top_anchor_count"
+        )
+    )
 
 
 def anchor_texts(

@@ -150,3 +150,29 @@ def test_anchor_texts_well_formed_subset(spark):
         ("https://a/2", "with attrs"),
         ("https://a/5", ""),
     ]
+
+
+def test_target_anchor_profile_hand_case(spark):
+    """Source linking one target under two anchors counts ONCE in
+    n_sources; the modal anchor tie-breaks (count DESC, anchor ASC)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        target_anchor_profile,
+    )
+
+    anchors = spark.createDataFrame(
+        [
+            (1, "https://t/x", "docs"),
+            (1, "https://t/x", "api docs"),  # same source, second anchor
+            (2, "https://t/x", "docs"),
+            (3, "https://t/x", "api docs"),
+            (3, "https://t/y", "home"),
+        ],
+        "id bigint, href string, anchor string",
+    )
+    got = {r.href: r for r in target_anchor_profile(anchors).collect()}
+    x = got["https://t/x"]
+    assert (x.n_inlinks, x.n_sources, x.n_anchors) == (4, 3, 2)
+    # 'api docs' and 'docs' tie at 2 -> lexicographically smaller wins
+    assert (x.top_anchor, x.top_anchor_count) == ("api docs", 2)
+    y = got["https://t/y"]
+    assert (y.n_inlinks, y.n_sources, y.top_anchor) == (1, 1, "home")
