@@ -205,6 +205,19 @@ class CrawlConfig:
     # seed set, pass explicit sizing for the EXPECTED final size.
     bloom_shards: int | None = None
     bloom_bits_per_shard: int | None = None
+    # the cuckoo alternative (north_rule names both families —
+    # operators/cuckoo.py): same exactness contract as use_bloom,
+    # maintained per superstep by INCREMENTAL INSERTS into the
+    # standing shard tables (update_cuckoo_shards touches only the
+    # delta's shards); pick it over Bloom when the seen set must also
+    # FORGET (recrawl invalidation deletes fingerprints in place).
+    # Mutually exclusive with use_bloom. Shard count None = auto from
+    # the initial seen count; like the Bloom sizing, pass an explicit
+    # value sized for the EXPECTED final seen set on a growing crawl
+    # (per-shard load grows with inserts; n_stash on the shard rows
+    # audits saturation).
+    use_cuckoo: bool = False
+    cuckoo_shards_n: int | None = None
     # corpus cache granularity dial: target bytes per prepared-corpus
     # partition and the partition-count cap as a multiple of total
     # cores. Defaults are the measured local-mode sweet spot (64 MB,
@@ -464,6 +477,19 @@ def crawl(
         bloom_shards = dedup_ops.build_bloom_shards(
             seen, "url_norm", bloom_ns, bloom_bits
         ).localCheckpoint(eager=True)
+    cuckoo_state = None
+    cuckoo_ns = 0
+    if cfg.use_cuckoo:
+        if cfg.use_bloom:
+            raise ValueError("use_bloom and use_cuckoo are mutually exclusive")
+        from ..operators import cuckoo as cuckoo_ops
+
+        cuckoo_ns = cfg.cuckoo_shards_n or cuckoo_ops.resolve_cuckoo_shards(
+            seen.count()
+        )
+        cuckoo_state = cuckoo_ops.build_cuckoo_shards(
+            seen, "url_norm", cuckoo_ns
+        ).localCheckpoint(eager=True)
 
     if store and start_iter == 0:
         store.write_iter(0, seen, frontier, dl_log)
@@ -574,6 +600,16 @@ def crawl(
             new = def_new.unionByName(
                 maybe.join(seen.select("url_norm"), "url_norm", "left_anti")
             )
+        elif cuckoo_state is not None:
+            from ..operators import cuckoo as cuckoo_ops
+
+            deduped = deduped.localCheckpoint(eager=True)  # same two-branch cut
+            def_new, maybe = cuckoo_ops.cuckoo_probe_shards(
+                deduped, cuckoo_state, "url_norm", cuckoo_ns
+            )
+            new = def_new.unionByName(
+                maybe.join(seen.select("url_norm"), "url_norm", "left_anti")
+            )
         else:
             new = deduped.join(seen.select("url_norm"), "url_norm", "left_anti")
         if robots_df is not None:
@@ -658,6 +694,13 @@ def crawl(
                 dedup_ops.build_bloom_shards(
                     seen_delta, "url_norm", bloom_ns, bloom_bits
                 ),
+            ).localCheckpoint(eager=True)
+        if cuckoo_state is not None:
+            from ..operators import cuckoo as cuckoo_ops
+
+            # incremental inserts — only the delta's shards do work
+            cuckoo_state = cuckoo_ops.update_cuckoo_shards(
+                cuckoo_state, additions=seen_delta, key="url_norm", n_shards=cuckoo_ns
             ).localCheckpoint(eager=True)
         if deferred is None:
             frontier = new

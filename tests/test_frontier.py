@@ -141,6 +141,23 @@ def test_bloom_crawl_identical(spark, full):
     assert got == full["seen"]
 
 
+def test_cuckoo_crawl_identical(spark, full):
+    """J1 behind the sharded-cuckoo prefilter (CrawlConfig.use_cuckoo,
+    operators/cuckoo.py) must be bit-for-bit the exact-join crawl —
+    the same contract as the Bloom path, with per-superstep state
+    maintenance via INCREMENTAL INSERTS instead of OR-merges."""
+    res = run_engine(spark, CrawlConfig(use_cuckoo=True, cuckoo_shards_n=8))
+    got = {(r.url_norm, r.depth) for r in res.seen.collect()}
+    assert got == full["seen"]
+
+
+def test_bloom_cuckoo_mutually_exclusive(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        run_engine(spark, CrawlConfig(use_bloom=True, use_cuckoo=True))
+
+
 def test_checkpoint_storage_bounded(spark):
     """A long (budget=1, 32-superstep) crawl must not accumulate
     superseded localCheckpoint blocks: the loop's periodic GC nudge
