@@ -2319,8 +2319,8 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL decode path (multimodal.decode_png_py / decode_wav_py /
-    decode_bmp_py):
-    conforming PNG/WAV/BMP payloads synthesized closed-form in doc_id
+    decode_bmp_py / decode_aiff_py):
+    conforming PNG/WAV/BMP/AIFF payloads synthesized closed-form in doc_id
     (attach_decodable_payload), decoded strict=True — no histogram
     fallback can hide a parse failure — and projected through
     features_digest. The oracle recomputes width/height/pixel and
@@ -4380,7 +4380,7 @@ FROM vec
         "multimodal_decode": """
 WITH png AS (
   SELECT d.doc_id, 4 + d.doc_id % 13 AS w, 3 + d.doc_id % 7 AS h
-  FROM documents d WHERE d.doc_id % 3 = 0
+  FROM documents d WHERE d.doc_id % 4 = 0
 ),
 pngpix AS (
   SELECT doc_id, w, h, (doc_id + 31 * (i % w) + 17 * (i // w)) % 256 AS v
@@ -4397,7 +4397,7 @@ pngfeat AS (
 ),
 wav AS (
   SELECT d.doc_id, 32 + d.doc_id % 64 AS n
-  FROM documents d WHERE d.doc_id % 3 = 1
+  FROM documents d WHERE d.doc_id % 4 = 1
 ),
 wavsmp AS (
   SELECT doc_id, n, ((doc_id * 7 + i * 13) % 2048) - 1024 AS s
@@ -4414,7 +4414,7 @@ wavfeat AS (
 ),
 bmp AS (
   SELECT d.doc_id, 2 + d.doc_id % 9 AS w, 2 + d.doc_id % 5 AS h
-  FROM documents d WHERE d.doc_id % 3 = 2
+  FROM documents d WHERE d.doc_id % 4 = 2
 ),
 bmppix AS (
   SELECT doc_id, w, h,
@@ -4431,10 +4431,29 @@ bmpfeat AS (
     [3, w, h, 24, w * h, mn, mx, sm, 0, 0, 0, 0, 0, 0, 0, 0] AS l
   FROM bmpagg
 ),
+aiff AS (
+  SELECT d.doc_id, 16 + d.doc_id % 48 AS n, 8000 + 1000 * (d.doc_id % 5) AS rate
+  FROM documents d WHERE d.doc_id % 4 = 3
+),
+aiffsmp AS (
+  SELECT doc_id, n, rate, ((doc_id * 11 + i * 17) % 4096) - 2048 AS s
+  FROM (SELECT doc_id, n, rate, unnest(range(n)) AS i FROM aiff)
+),
+aiffagg AS (
+  SELECT doc_id, n, rate, min(s) AS mn, max(s) AS mx, sum(s) AS sm,
+         sum(abs(s)) AS sa
+  FROM aiffsmp GROUP BY doc_id, n, rate
+),
+aifffeat AS (
+  SELECT doc_id, 'audio/aiff' AS mime,
+    [4, 1, rate, 16, n, mn, mx, sm, sa, 0, 0, 0, 0, 0, 0, 0] AS l
+  FROM aiffagg
+),
 allf AS (
   SELECT * FROM pngfeat
   UNION ALL SELECT * FROM wavfeat
   UNION ALL SELECT * FROM bmpfeat
+  UNION ALL SELECT * FROM aifffeat
 )
 SELECT doc_id, mime, 16 AS n_features,
        md5(array_to_string(l, ',')) AS features_md5

@@ -39,6 +39,7 @@ _MAGIC = (
     (b"GIF8", "image/gif"),
     (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),  # RIFF container (wav/avi; refined by fourcc)
+    (b"FORM", "audio/aiff"),  # IFF container (aiff/aifc; refined by fourcc)
     (b"ID3", "audio/mpeg"),
     (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with size prefix
 )
@@ -107,9 +108,12 @@ FEATURES_SCHEMA = "doc_id long, mime string, features array<float>"
 #          min_s, max_s, sum_s, sum_abs_s, 0...]
 #   BMP : [3, width, height, bpp, n_pixels,
 #          min_v, max_v, sum_v, 0...]   (v over ALL channel bytes)
+#   AIFF: [4, channels, sample_rate, bits, n_samples,
+#          min_s, max_s, sum_s, sum_abs_s, 0...]
 KIND_IMAGE = 1.0
 KIND_AUDIO = 2.0
 KIND_IMAGE_BMP = 3.0
+KIND_AUDIO_AIFF = 4.0
 
 
 def decode_png_py(p: bytes) -> list[float]:
@@ -241,10 +245,89 @@ def decode_bmp_py(p: bytes) -> list[float]:
     ] + [0.0] * (FEATURE_DIM - 8)
 
 
+def _ext80_encode(n: int) -> bytes:
+    """IEEE 754 80-bit extended-precision encoding of a positive
+    integer (the AIFF COMM sampleRate field — the one genuinely
+    exotic parse in the format). Explicit leading-1 mantissa:
+    exponent = 16383 + floor(log2 n), mantissa = n normalized to
+    bit 63."""
+    if n <= 0:
+        raise ValueError("ext80 encoder handles positive integers only")
+    e = n.bit_length() - 1
+    mant = n << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _ext80_to_int(b: bytes) -> int:
+    """Decode an 80-bit extended float to an exact positive integer;
+    raises on negatives, specials, and non-integral values (a
+    conforming PCM AIFF has an integral sample rate)."""
+    se, mant = struct.unpack(">HQ", b)
+    if se & 0x8000:
+        raise ValueError("negative sample rate")
+    exp = se - 16383
+    if exp < 0 or exp > 62 or not (mant >> 63):
+        raise ValueError("non-integral or unnormalized sample rate")
+    shift = 63 - exp
+    if mant & ((1 << shift) - 1):
+        raise ValueError("non-integral sample rate")
+    return mant >> shift
+
+
+def decode_aiff_py(p: bytes) -> list[float]:
+    """REAL AIFF decode, stdlib only (the aifc module left the stdlib
+    in Python 3.13 — this does not need it): IFF FORM walk to ``COMM``
+    (big-endian fields + the 80-bit extended-float sample rate) and
+    ``SSND`` (offset/blockSize header, then BIG-endian int16 samples —
+    the endianness twin of the WAV decoder). Raises ValueError on
+    anything that is not a conforming mono PCM-16 AIFF, same
+    strict-subset discipline as the other three decoders."""
+    if not p or len(p) < 12 or p[:4] != b"FORM" or p[8:12] != b"AIFF":
+        raise ValueError("not an IFF/AIFF")
+    pos = 12
+    comm = None
+    samples = None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        (length,) = struct.unpack(">I", p[pos + 4 : pos + 8])
+        data = p[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        if cid == b"COMM":
+            if length < 18:
+                raise ValueError("short COMM chunk")
+            channels, nframes, bits = struct.unpack(">HIH", data[:8])
+            rate = _ext80_to_int(data[8:18])
+            comm = (channels, nframes, bits, rate)
+        elif cid == b"SSND":
+            if comm is None:
+                raise ValueError("SSND before COMM")
+            channels, nframes, bits, rate = comm
+            if channels != 1 or bits != 16:
+                raise ValueError("unsupported AIFF variant (mono PCM-16 only)")
+            offset, block = struct.unpack(">II", data[:8])
+            if offset != 0 or block != 0:
+                raise ValueError("unsupported SSND block alignment")
+            body = data[8 : 8 + nframes * 2]
+            if len(body) != nframes * 2:
+                raise ValueError("truncated sample data")
+            samples = list(struct.unpack(f">{nframes}h", body))
+        pos += 8 + length + (length & 1)  # IFF chunks pad to even
+    if comm is None or samples is None:
+        raise ValueError("missing COMM/SSND chunk")
+    channels, _nframes, bits, rate = comm
+    return [
+        KIND_AUDIO_AIFF, float(channels), float(rate), float(bits),
+        float(len(samples)), float(min(samples)), float(max(samples)),
+        float(sum(samples)), float(sum(abs(s) for s in samples)),
+    ] + [0.0] * (FEATURE_DIM - 9)
+
+
 _DECODERS = {
     "image/png": decode_png_py,
     "audio/wav": decode_wav_py,
     "image/bmp": decode_bmp_py,
+    "audio/aiff": decode_aiff_py,
 }
 
 
@@ -427,6 +510,19 @@ def encode_bmp_py(width: int, height: int, pixel_fn) -> bytes:
     return header + dib + pix
 
 
+def encode_aiff_py(samples: list[int], rate: int = 8000) -> bytes:
+    """Minimal REAL mono PCM-16 AIFF encoder (conforming FORM layout,
+    big-endian samples, 80-bit extended sample rate)."""
+    body = struct.pack(f">{len(samples)}h", *samples)
+    comm = struct.pack(">HIH", 1, len(samples), 16) + _ext80_encode(rate)
+    ssnd = struct.pack(">II", 0, 0) + body
+    chunks = (
+        b"COMM" + struct.pack(">I", len(comm)) + comm + (b"\x00" * (len(comm) & 1))
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" * (len(ssnd) & 1))
+    )
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
 def encode_wav_py(samples: list[int], rate: int = 8000) -> bytes:
     """Minimal REAL PCM-16 mono WAV encoder (conforming RIFF layout)."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -456,30 +552,33 @@ BMP_H = lambda d: 2 + d % 5  # noqa: E731
 # channel c in (0=B, 1=G, 2=R): distinct per-channel values so a
 # swapped/ignored channel cannot cancel out in the summed features
 BMP_PX = lambda d, x, y, c: ((d + 13 * x + 7 * y) * (c + 1)) % 256  # noqa: E731
+AIFF_N = lambda d: 16 + d % 48  # noqa: E731
+AIFF_S = lambda d, i: ((d * 11 + i * 17) % 4096) - 2048  # noqa: E731
+AIFF_RATE = lambda d: 8000 + 1000 * (d % 5)  # noqa: E731 — exercises ext80
 
 
 def attach_decodable_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL media payloads for the decode path: ids
-    rotate by ``doc_id % 3`` through a conforming 8-bit grayscale PNG,
-    a PCM-16 WAV, and a 24-bpp BMP — sizes, pixels and samples all
-    closed-form in doc_id, so a SQL oracle can recompute the decoded
-    features without any decoder of its own."""
+    rotate by ``doc_id % 4`` through a conforming 8-bit grayscale PNG,
+    a PCM-16 WAV, a 24-bpp BMP and a mono PCM-16 AIFF — sizes, pixels,
+    samples and rates all closed-form in doc_id, so a SQL oracle can
+    recompute the decoded features without any decoder of its own."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for d in pdf[id_col]:
                 d = int(d)
-                if d % 3 == 0:
+                if d % 4 == 0:
                     w, h = PNG_W(d), PNG_H(d)
                     payloads.append(
                         encode_png_py(w, h, lambda x, y, d=d: PNG_PX(d, x, y))
                     )
-                elif d % 3 == 1:
+                elif d % 4 == 1:
                     payloads.append(
                         encode_wav_py([WAV_S(d, i) for i in range(WAV_N(d))])
                     )
-                else:
+                elif d % 4 == 2:
                     payloads.append(
                         encode_bmp_py(
                             BMP_W(d),
@@ -487,6 +586,13 @@ def attach_decodable_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                             lambda x, y, d=d: tuple(
                                 BMP_PX(d, x, y, c) for c in range(3)
                             ),
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_aiff_py(
+                            [AIFF_S(d, i) for i in range(AIFF_N(d))],
+                            rate=AIFF_RATE(d),
                         )
                     )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})

@@ -199,3 +199,52 @@ def test_sample_frames_fanout_and_digests(spark):
         (1, 4, 6, dig(p[1024:1280])),
         (2, 0, 1, dig(b"ab")),
     ]
+
+
+def test_aiff_roundtrip_pure_python():
+    """Mono PCM-16 AIFF encode -> decode round trip: big-endian
+    samples (the endianness twin of WAV) and the 80-bit extended
+    sample rate parsed back exactly."""
+    samples = [((9 * 11 + i * 17) % 4096) - 2048 for i in range(24)]
+    p = M.encode_aiff_py(samples, rate=11025)
+    feats = M.decode_aiff_py(p)
+    assert feats[:9] == [
+        M.KIND_AUDIO_AIFF, 1.0, 11025.0, 16.0, 24.0,
+        float(min(samples)), float(max(samples)),
+        float(sum(samples)), float(sum(abs(s) for s in samples)),
+    ]
+    with pytest.raises(ValueError):
+        M.decode_aiff_py(b"FORM1234AIFFgarbage")
+    with pytest.raises(ValueError):
+        M.decode_aiff_py(M.encode_wav_py(samples))  # wrong container
+
+
+def test_ext80_exact_roundtrip():
+    """The 80-bit extended float: every common audio rate (and the
+    degenerate 1 Hz) survives encode -> decode bit-exactly; truncated
+    mantissas and negatives are rejected."""
+    import struct as _st
+
+    for rate in (1, 8000, 11025, 22050, 44100, 48000, 96000, 192000):
+        assert M._ext80_to_int(M._ext80_encode(rate)) == rate
+    with pytest.raises(ValueError):
+        M._ext80_encode(0)
+    with pytest.raises(ValueError):
+        M._ext80_to_int(_st.pack(">HQ", 0x8000 | 16395, 1 << 63))  # negative
+    with pytest.raises(ValueError):
+        M._ext80_to_int(_st.pack(">HQ", 16383, (1 << 63) | 1))  # non-integral
+
+
+def test_aiff_strict_variants_rejected():
+    samples = [0, 100, -100]
+    p = bytearray(M.encode_aiff_py(samples))
+    import struct as _st
+
+    # stereo COMM rejected (mono-only strict subset)
+    p2 = bytearray(p)
+    p2[20:22] = _st.pack(">H", 2)
+    with pytest.raises(ValueError):
+        M.decode_aiff_py(bytes(p2))
+    # truncated SSND body rejected
+    with pytest.raises(ValueError):
+        M.decode_aiff_py(bytes(p[:-2]))
