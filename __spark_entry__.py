@@ -1171,6 +1171,21 @@ def q_host_pagerank(spark, sf_dir):
     return pr.select("host", F.round("host_rank", 6).alias("pagerank"))
 
 
+def q_host_reciprocity(spark, sf_dir):
+    """Link-farm reciprocity signal (ranks.host_reciprocity) over the
+    E1-extracted host graph: distinct cross-host out-degree, how many
+    out-neighbors link straight back, and the integer-exact farm flag.
+    Oracle reuses the closed-form edge graph (pages.edges_sql) with an
+    EXISTS for the reverse edge."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_edges,
+        host_reciprocity,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return host_reciprocity(host_edges(pages))
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A2 routing-split metrics over the clean corpus."""
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
@@ -2372,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
+        "host_reciprocity": q_host_reciprocity,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "ngram_span_dedup": q_ngram_span_dedup,
@@ -3165,6 +3181,22 @@ FROM e GROUP BY 1
         # 3 PageRank iterations unrolled as chained CTEs; constants are
         # written as (1.0-0.85) etc. so DuckDB evaluates the SAME IEEE
         # doubles the Spark operator computes (ranks.host_pagerank).
+        # reciprocity: same host-pair derivation, EXISTS reverse-edge
+        "host_reciprocity": f"""
+WITH e0 AS ({pagesrc.edges_sql()}),
+eh AS (SELECT 'host' || {pagesrc._h('e0.src')} || '.example' AS s,
+              'host' || {pagesrc._h('e0.dst')} || '.example' AS t
+       FROM e0),
+e AS (SELECT DISTINCT s, t FROM eh WHERE s <> t),
+r AS (SELECT e.s, e.t FROM e
+      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.s = e.t AND e2.t = e.s)),
+nr AS (SELECT s, CAST(count(*) AS BIGINT) AS n_reciprocal FROM r GROUP BY s),
+no AS (SELECT s, CAST(count(*) AS BIGINT) AS n_out FROM e GROUP BY s)
+SELECT no.s AS host, n_out,
+  CAST(coalesce(nr.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+  (n_out >= 2 AND 100 * coalesce(nr.n_reciprocal, 0) >= 50 * n_out) AS link_farm
+FROM no LEFT JOIN nr ON nr.s = no.s
+""",
         "host_pagerank": f"""
 WITH e0 AS ({pagesrc.edges_sql()}),
 e AS (SELECT DISTINCT 'host' || {pagesrc._h('e0.src')} || '.example' AS s,

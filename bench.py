@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "dust_canonicalize",
     "bigram_commonness",
     "anchor_profile",
+    "host_reciprocity",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

@@ -61,6 +61,58 @@ def host_edges(
     ).filter(host_present(F.col("dst_host")))
 
 
+def host_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    min_out: int = 2,
+    farm_pct: int = 50,
+) -> DataFrame:
+    """Link-farm signal over the host graph: the fraction of a host's
+    distinct out-neighbors that link straight back. Organic linking is
+    overwhelmingly asymmetric (a blog links wikipedia; wikipedia does
+    not link back), while link-exchange rings reciprocate by
+    construction — high reciprocity at non-trivial out-degree is the
+    classic farm fingerprint (complements host_pagerank, which farms
+    are designed to inflate, and host_trap_stats' URL-shape view).
+
+    Output: ``(host, n_out, n_reciprocal, link_farm)`` with
+    ``link_farm`` = n_out >= ``min_out`` AND ``100*n_reciprocal >=
+    farm_pct*n_out`` — integer cross-multiply, engine-exact.
+
+    Scale shape: edges dedup to distinct cross-host pairs (one
+    shuffle), reciprocation is a LEFT SEMI self-join on the (s, t)
+    pair key — output bounded by the edge list, never host-quadratic —
+    and two map-side-partial aggs. Self-loops are excluded BEFORE the
+    dedup so a host's internal links never count toward either side.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    rev = e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    rec = e.join(rev, ["s", "t"], "left_semi")
+    n_out = e.groupBy("s").agg(F.count("*").cast("bigint").alias("n_out"))
+    n_rec = rec.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("n_reciprocal")
+    )
+    out = n_out.join(n_rec, "s", "left").select(
+        F.col("s").alias("host"),
+        "n_out",
+        F.coalesce(F.col("n_reciprocal"), F.lit(0)).cast("bigint").alias("n_reciprocal"),
+    )
+    return out.select(
+        "host",
+        "n_out",
+        "n_reciprocal",
+        (
+            (F.col("n_out") >= F.lit(min_out))
+            & (F.col("n_reciprocal") * 100 >= F.lit(farm_pct) * F.col("n_out"))
+        ).alias("link_farm"),
+    )
+
+
 def host_pagerank(
     edges: DataFrame,
     n_iters: int = 3,

@@ -247,3 +247,30 @@ def test_recrawl_wave_refetches_through_tier2(spark, sf_small):
     ).collect()
     assert len(out) == wave.count()
     assert all(r.status == 200 and r.text is not None for r in out)
+
+
+def test_host_reciprocity_hand_case(spark):
+    """Ring a<->b<->c<->a fully reciprocated (farm); d links out to
+    the ring and gets nothing back; self-loops never count."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_reciprocity,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),
+            ("b", "c"), ("c", "b"),
+            ("c", "a"), ("a", "c"),
+            ("d", "a"), ("d", "b"), ("d", "d"),
+            ("a", "b"),  # duplicate edge collapses
+        ],
+        "src_host string, dst_host string",
+    )
+    got = {r.host: r for r in host_reciprocity(edges).collect()}
+    for h in "abc":
+        assert (got[h].n_out, got[h].n_reciprocal, got[h].link_farm) == (2, 2, True)
+    assert (got["d"].n_out, got["d"].n_reciprocal, got["d"].link_farm) == (
+        2,
+        0,
+        False,
+    )
