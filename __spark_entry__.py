@@ -334,6 +334,24 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# registered-domain-shaped host mix: subdomain fan-outs over .co.uk /
+# .com / .com.au suffixes, a bare-name host, and an IPv4 literal —
+# each branch's pay-level domain is closed-form, so the oracle states
+# the answer instead of re-implementing the suffix walk
+DOMAIN_SYNTH_SQL = """
+SELECT d.doc_id,
+  CASE d.doc_id % 6
+    WHEN 0 THEN 'a' || (d.doc_id % 7) || '.shop.example' || (d.doc_id % 4) || '.co.uk'
+    WHEN 1 THEN 'www.example' || (d.doc_id % 4) || '.co.uk'
+    WHEN 2 THEN 'cdn.example' || (d.doc_id % 4) || '.com'
+    WHEN 3 THEN 'example' || (d.doc_id % 4) || '.com'
+    WHEN 4 THEN CASE WHEN d.doc_id % 2 = 0 THEN 'localhost'
+                     ELSE '10.0.' || (d.doc_id % 4) || '.1' END
+    ELSE 'deep.a.b.example' || (d.doc_id % 4) || '.com.au'
+  END AS host
+FROM documents d
+""".strip()
+
 # paragraph-duplication-shaped corpus: every doc opens with ONE shared
 # license paragraph (corpus-global hot duplicate), 1 in 3 docs carries
 # one of 5 syndicated promo paragraphs (medium-df duplicates), every
@@ -1169,6 +1187,27 @@ def q_host_pagerank(spark, sf_dir):
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
     pr = host_pagerank(host_edges(pages), n_iters=3, damping=0.85)
     return pr.select("host", F.round("host_rank", 6).alias("pagerank"))
+
+
+def q_registered_domains(spark, sf_dir):
+    """Pay-level-domain rollup (urlnorm.registered_domain_col, PSL-lite):
+    group the host mix by registered domain — the budget principal
+    per-host politeness cannot see (a.shop.x.co.uk and www.x.co.uk are
+    one crawl target). Spark walks the suffix rules; the oracle states
+    each fixture branch's known answer."""
+    s = _synth(spark, sf_dir, DOMAIN_SYNTH_SQL)
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm import (
+        registered_domain_col,
+    )
+
+    return (
+        s.select("host", registered_domain_col(F.col("host")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
 
 
 def q_host_reciprocity(spark, sf_dir):
@@ -2388,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
         "host_reciprocity": q_host_reciprocity,
+        "registered_domains": q_registered_domains,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "ngram_span_dedup": q_ngram_span_dedup,
@@ -3181,6 +3221,28 @@ FROM e GROUP BY 1
         # 3 PageRank iterations unrolled as chained CTEs; constants are
         # written as (1.0-0.85) etc. so DuckDB evaluates the SAME IEEE
         # doubles the Spark operator computes (ranks.host_pagerank).
+        # registered domains: the oracle re-derives each fixture
+        # branch's KNOWN pay-level domain instead of re-implementing
+        # the suffix walk (independent-derivation discipline)
+        "registered_domains": f"""
+WITH s AS ({DOMAIN_SYNTH_SQL}),
+d2 AS (
+  SELECT host,
+    CASE doc_id % 6
+      WHEN 0 THEN 'example' || (doc_id % 4) || '.co.uk'
+      WHEN 1 THEN 'example' || (doc_id % 4) || '.co.uk'
+      WHEN 2 THEN 'example' || (doc_id % 4) || '.com'
+      WHEN 3 THEN 'example' || (doc_id % 4) || '.com'
+      WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 'localhost'
+                       ELSE '10.0.' || (doc_id % 4) || '.1' END
+      ELSE 'example' || (doc_id % 4) || '.com.au'
+    END AS domain
+  FROM s
+)
+SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM d2 GROUP BY domain
+""",
         # reciprocity: same host-pair derivation, EXISTS reverse-edge
         "host_reciprocity": f"""
 WITH e0 AS ({pagesrc.edges_sql()}),

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "bigram_commonness",
     "anchor_profile",
     "host_reciprocity",
+    "registered_domains",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

@@ -249,3 +249,41 @@ def get_extension_col(url):
     return F.when(F.size(F.split(url, r"\.")) > 1, F.concat(F.lit("."), stripped)).otherwise(
         F.lit("")
     )
+
+
+# multi-label public suffixes a crawler budget-groups under (PSL-lite:
+# the high-traffic two-label suffixes; the full Mozilla list is a data
+# file swap, the grouping algebra is identical)
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+
+def registered_domain_col(host):
+    """The registered (pay-level) domain of a host — the granularity
+    production crawlers group politeness budgets and dedup stats
+    under: `a.shop.example.co.uk` and `b.example.co.uk` are ONE
+    crawl-budget principal, which per-host budgeting (the reference's
+    granularity, crawler_twotier.go's per-host maps) cannot see.
+    Last-two labels, or last-three when the last-two form a known
+    multi-label public suffix (MULTI_SUFFIXES — PSL-lite); hosts with
+    <= 2 labels (and bare/degenerate names) pass through unchanged.
+    Pure Catalyst — rides any scan, no shuffle, no UDF."""
+    host = F.lower(host)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    return (
+        F.when(host.rlike(r"^[0-9.]+$"), host)  # IPv4 literals pass through
+        .when(n <= 2, host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )

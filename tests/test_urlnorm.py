@@ -155,3 +155,29 @@ def test_pandas_udfs_run(spark):
     assert rows[0]["c"] == "https://a.b/C?x"
     assert rows[0]["h"] == "A.B"
     assert rows[1]["n"] is None
+
+
+def test_registered_domain_col(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.urlnorm import (
+        registered_domain_col,
+    )
+    from pyspark.sql import functions as F
+
+    cases = {
+        "a.shop.example.co.uk": "example.co.uk",
+        "WWW.Example.CO.UK": "example.co.uk",
+        "cdn.example.com": "example.com",
+        "example.com": "example.com",
+        "deep.a.b.example.com.au": "example.com.au",
+        "localhost": "localhost",
+        "10.0.3.1": "10.0.3.1",  # IPv4 literal passes through
+        "co.uk": "co.uk",  # bare suffix: <=2 labels pass through
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: r.domain
+        for r in df.select(
+            "host", registered_domain_col(F.col("host")).alias("domain")
+        ).collect()
+    }
+    assert got == cases
