@@ -547,6 +547,20 @@ def q_anchor_profile(spark, sf_dir):
     return target_anchor_profile(anchor_texts(pages))
 
 
+def q_retrieval_pairs(spark, sf_dir):
+    """Anchor-supervised retrieval pairs (extract.retrieval_pairs):
+    distinct (anchor query, target) with the target's DOM-extracted
+    text as the positive document and distinct-source endorsement
+    counts. Engine DOM-parses; oracle strips tags textually (exact on
+    the markup-free clean fixture, the tier2 gate's own trick)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        retrieval_pairs,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return retrieval_pairs(pages)
+
+
 def q_extract_links_fast(spark, sf_dir):
     """E1 fast-path byte scan (tokenizer/fastpath.go:33-96) over the
     clean corpus (double-quoted absolute hrefs: scan == href regex)."""
@@ -2474,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_commonness": q_unigram_commonness,
         "bigram_commonness": q_bigram_commonness,
         "anchor_profile": q_anchor_profile,
+        "retrieval_pairs": q_retrieval_pairs,
         "repetition_stats": q_repetition_stats,
         "doc_keyterms": q_doc_keyterms,
         "redact_pii": q_redact_pii,
@@ -2984,6 +2999,30 @@ tot AS (
 src AS (SELECT href, CAST(count(DISTINCT id) AS BIGINT) AS n_sources FROM an GROUP BY href)
 SELECT href, n_inlinks, n_sources, n_anchors, top_anchor, top_anchor_count
 FROM tot JOIN src USING (href) JOIN top USING (href)
+""",
+        # retrieval pairs: same anchors CTE; target text via textual
+        # tag-strip (exact on the markup-free fixture — tier2's trick)
+        "retrieval_pairs": f"""
+WITH p AS ({pagesrc.clean_pages_sql()}),
+an AS (
+  SELECT id,
+    unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href,
+    unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 2)) AS anchor
+  FROM p
+),
+q AS (
+  SELECT trim(anchor) AS query, href, id FROM an
+  WHERE length(trim(anchor)) >= 3
+),
+pairs AS (
+  SELECT query, href, CAST(count(DISTINCT id) AS BIGINT) AS n_sources
+  FROM q GROUP BY query, href
+),
+t AS (
+  SELECT url AS href, md5(regexp_replace(html, '<[^>]*>', '', 'g')) AS doc_md5
+  FROM p
+)
+SELECT query, href AS url, doc_md5, n_sources FROM pairs JOIN t USING (href)
 """,
         "extract_docs_slow": f"""
 WITH synth AS ({DOCURL_SYNTH_SQL})

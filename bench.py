@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "anchor_profile",
     "host_reciprocity",
     "registered_domains",
+    "retrieval_pairs",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

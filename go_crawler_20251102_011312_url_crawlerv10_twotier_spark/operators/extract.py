@@ -418,6 +418,58 @@ def extract_stage(pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ANCHOR_PATTERN = r'<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
 
 
+def retrieval_pairs(
+    pages: DataFrame,
+    id_col: str = "id",
+    url_col: str = "url",
+    html_col: str = "html",
+    min_query_chars: int = 3,
+) -> DataFrame:
+    """(query, positive-document) pairs for retrieval training, mined
+    from the link graph: the anchor text one page writes to link
+    another is a human-authored query for the TARGET's content — the
+    classic anchor-text supervision signal (DPR-style pair mining with
+    no click log needed). One row per distinct (query, target); the
+    positive document is the target's tier-2 extracted text (the SAME
+    DOM text contract the reference's tokenize stage ships, md5'd for
+    compact transport) and ``n_sources`` counts independent
+    endorsements — distinct linking pages — for pair weighting.
+
+    Trivial anchors (trimmed length < ``min_query_chars``) are
+    dropped; targets outside the corpus (dangling hrefs) drop in the
+    inner join.
+
+    Scale shape: anchors collapse map-side to distinct (query, href)
+    BEFORE the target join (10^6 "click here -> x" duplicates arrive
+    as one row), the join is href-keyed, and html crosses the Arrow
+    boundary exactly once (the target-side text UDF) — never on the
+    pair side.
+
+    Output: ``(query, url, doc_md5, n_sources)``.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def dom_text(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda h: (lambda r: r.text() if r is not None else None)(_parse_dom(h))
+        )
+
+    an = anchor_texts(pages, id_col, html_col)
+    q = an.select(
+        F.trim(F.col("anchor")).alias("query"), "href", "id"
+    ).filter(F.length("query") >= F.lit(min_query_chars))
+    pairs = q.groupBy("query", "href").agg(
+        F.countDistinct("id").cast("bigint").alias("n_sources")
+    )
+    targets = pages.select(
+        F.col(url_col).alias("href"),
+        F.md5(dom_text(F.col(html_col))).alias("doc_md5"),
+    )
+    return pairs.join(targets, "href").select(
+        "query", F.col("href").alias("url"), "doc_md5", "n_sources"
+    )
+
+
 def target_anchor_profile(anchors: DataFrame) -> DataFrame:
     """Per-TARGET anchor rollup over an anchor_texts table — the
     classic off-page relevance signal (what other pages call a url is

@@ -176,3 +176,30 @@ def test_target_anchor_profile_hand_case(spark):
     assert (x.top_anchor, x.top_anchor_count) == ("api docs", 2)
     y = got["https://t/y"]
     assert (y.n_inlinks, y.n_sources, y.top_anchor) == (1, 1, "home")
+
+
+def test_retrieval_pairs_hand_case(spark):
+    """Two sources linking one target under the same anchor collapse
+    to one pair with n_sources=2; short anchors drop; dangling targets
+    drop; the positive doc md5 is the target's DOM text."""
+    import hashlib
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.extract import (
+        retrieval_pairs,
+    )
+
+    t_html = "<html><body><p>Target body text</p></body></html>"
+    pages = spark.createDataFrame(
+        [
+            (1, "https://s1/", '<a href="https://t/">spark guide</a>'),
+            (2, "https://s2/", '<a href="https://t/">spark guide</a>'
+                               '<a href="https://t/">ok</a>'  # < 3 chars: dropped
+                               '<a href="https://gone/">dangling link</a>'),
+            (3, "https://t/", t_html),
+        ],
+        "id bigint, url string, html string",
+    )
+    got = [(r.query, r.url, r.doc_md5, r.n_sources)
+           for r in retrieval_pairs(pages).collect()]
+    want_md5 = hashlib.md5("Target body text".encode()).hexdigest()
+    assert got == [("spark guide", "https://t/", want_md5, 2)]
