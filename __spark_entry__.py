@@ -2252,6 +2252,21 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_latency_percentiles(spark, sf_dir):
+    """Exact nearest-rank p50/p95 per event_type
+    (operators/metrics.py exact_percentiles): integer milli-units,
+    histogram-reduction shape — the window runs over the value space,
+    never the raw stream — where percentile_approx would be neither
+    exact nor engine-stable. The tail signal the reference's mean
+    counters (downloader.go:51-57) cannot see."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.metrics import (
+        exact_percentiles,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return exact_percentiles(ev, "event_type", "value")
+
+
 def q_multimodal_probe(spark, sf_dir):
     """Binary-payload plumbing (mapInPandas probe). Fully oracle-
     checked: the DuckDB twin re-synthesizes the payload blob (magic ||
@@ -2507,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_canonicalize": q_dust_canonicalize,
         "fingerprint": q_fingerprint,
         "events_rollup": q_events_rollup,
+        "latency_percentiles": q_latency_percentiles,
         "multimodal_probe": q_multimodal_probe,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4409,6 +4425,29 @@ SELECT stratum,
   CAST(sum(CAST(round(weight * 1000000) AS BIGINT) * n_tokens) AS BIGINT)
     / 1000000.0 AS weighted_tokens
 FROM refined GROUP BY stratum
+""",
+        # exact percentiles: same histogram-reduction + nearest-rank
+        # integer arithmetic (round parity pinned by events_rollup)
+        "latency_percentiles": """
+WITH c AS (
+  SELECT event_type AS key, CAST(round(value * 1000) AS BIGINT) AS v,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT key, v, c,
+    sum(c) OVER (PARTITION BY key ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY key) AS n
+  FROM c
+)
+SELECT key AS event_type, CAST(max(n) AS BIGINT) AS n,
+  CAST(min(v) AS BIGINT) AS min_milli, CAST(max(v) AS BIGINT) AS max_milli,
+  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS BIGINT)
+    AS p50_milli,
+  CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS BIGINT)
+    AS p95_milli
+FROM cum GROUP BY key
 """,
         "events_rollup": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

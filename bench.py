@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "host_reciprocity",
     "registered_domains",
     "retrieval_pairs",
+    "latency_percentiles",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",
