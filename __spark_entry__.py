@@ -1224,6 +1224,29 @@ def q_registered_domains(spark, sf_dir):
     )
 
 
+def q_politeness_domain(spark, sf_dir):
+    """Politeness at pay-level-domain granularity
+    (politeness.schedule_by_domain): the subdomain fan-out in the
+    domain fixture shares one budget per registered domain — the
+    wildcard-DNS/link-farm bypass per-host budgets leave open. Cut is
+    the deterministic (depth ASC, url_norm ASC) rule; oracle replays
+    it with a row_number over the closed-form domain."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.politeness import (
+        schedule_by_domain,
+    )
+
+    s = _synth(spark, sf_dir, DOMAIN_SYNTH_SQL)
+    frontier = s.select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("doc_id")).alias(
+            "url_norm"
+        ),
+        (F.col("doc_id") % 5).cast("int").alias("depth"),
+    )
+    scheduled, _deferred = schedule_by_domain(frontier, budget_per_domain=3)
+    return scheduled.select("url_norm", "host", "depth")
+
+
 def q_host_reciprocity(spark, sf_dir):
     """Link-farm reciprocity signal (ranks.host_reciprocity) over the
     E1-extracted host graph: distinct cross-host out-degree, how many
@@ -2457,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_reciprocity": q_host_reciprocity,
         "registered_domains": q_registered_domains,
+        "politeness_domain": q_politeness_domain,
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "ngram_span_dedup": q_ngram_span_dedup,
@@ -3297,6 +3321,31 @@ d2 AS (
 SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
   CAST(count(*) AS BIGINT) AS n_rows
 FROM d2 GROUP BY domain
+""",
+        # domain politeness: same closed-form domain + the scheduler's
+        # exact (depth ASC, url_norm ASC) cut as a row_number replay
+        "politeness_domain": f"""
+WITH s AS ({DOMAIN_SYNTH_SQL}),
+f AS (
+  SELECT host,
+    'https://' || host || '/p/' || doc_id AS url_norm,
+    CAST(doc_id % 5 AS INT) AS depth,
+    CASE doc_id % 6
+      WHEN 0 THEN 'example' || (doc_id % 4) || '.co.uk'
+      WHEN 1 THEN 'example' || (doc_id % 4) || '.co.uk'
+      WHEN 2 THEN 'example' || (doc_id % 4) || '.com'
+      WHEN 3 THEN 'example' || (doc_id % 4) || '.com'
+      WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 'localhost'
+                       ELSE '10.0.' || (doc_id % 4) || '.1' END
+      ELSE 'example' || (doc_id % 4) || '.com.au'
+    END AS domain
+  FROM s
+)
+SELECT url_norm, host, depth FROM (
+  SELECT url_norm, host, depth,
+    row_number() OVER (PARTITION BY domain ORDER BY depth ASC, url_norm ASC) AS rn
+  FROM f
+) WHERE rn <= 3
 """,
         # reciprocity: same host-pair derivation, EXISTS reverse-edge
         "host_reciprocity": f"""

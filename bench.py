@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "registered_domains",
     "retrieval_pairs",
     "latency_percentiles",
+    "politeness_domain",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

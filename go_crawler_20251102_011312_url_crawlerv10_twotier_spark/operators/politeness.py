@@ -148,3 +148,32 @@ def priority_order(frontier: DataFrame) -> DataFrame:
     return frontier.repartition("host").sortWithinPartitions(
         *_order_cols(has_priority)
     )
+
+
+def schedule_by_domain(
+    frontier: DataFrame,
+    budget_per_domain: int | None,
+    **kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`schedule` at the PAY-LEVEL-domain granularity
+    (functions/urlnorm.registered_domain_col, PSL-lite): a subdomain
+    fan-out — a.shop.x.co.uk … z.shop.x.co.uk — shares ONE budget
+    instead of minting a fresh per-host budget per vanity subdomain,
+    which is exactly the bypass wildcard-DNS traps and link farms use
+    against per-host politeness (the reference's granularity,
+    crawler_twotier.go's per-host maps). Same split contract and
+    deterministic (depth ASC, url_norm ASC) cut; the original host
+    column survives untouched on both outputs. The domain derivation
+    is pure Catalyst riding the same scan — no extra shuffle beyond
+    schedule's own."""
+    from ..functions.urlnorm import registered_domain_col
+
+    f2 = frontier.withColumnRenamed("host", "_orig_host").withColumn(
+        "host", registered_domain_col(F.col("_orig_host"))
+    )
+    scheduled, deferred = schedule(f2, budget_per_domain, **kwargs)
+
+    def _restore(df: DataFrame) -> DataFrame:
+        return df.drop("host").withColumnRenamed("_orig_host", "host")
+
+    return _restore(scheduled), _restore(deferred)

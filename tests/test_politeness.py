@@ -230,3 +230,25 @@ def test_recrawl_diff_classes(spark):
         "u3": "removed",
         "u4": "new",
     }
+
+
+def test_schedule_by_domain_shares_one_budget(spark):
+    """Ten vanity subdomains of one registered domain get ONE shared
+    budget (the per-host bypass closed); an unrelated host keeps its
+    own. Host column survives untouched."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.politeness import (
+        schedule_by_domain,
+    )
+
+    rows = [(f"s{i}.farm.co.uk", f"https://s{i}.farm.co.uk/", 1) for i in range(10)]
+    rows += [("other.com", "https://other.com/a", 0), ("other.com", "https://other.com/b", 2)]
+    f = spark.createDataFrame(rows, "host string, url_norm string, depth int")
+    sched, defer = schedule_by_domain(f, budget_per_domain=2)
+    got = sorted((r.host, r.url_norm) for r in sched.collect())
+    # farm family: depth ties broken by url_norm ASC -> s0, s1
+    assert [h for h, _ in got if h.endswith("co.uk")] == [
+        "s0.farm.co.uk", "s1.farm.co.uk"
+    ]
+    assert [h for h, _ in got if h == "other.com"] == ["other.com", "other.com"]
+    assert defer.count() == 8
+    assert set(sched.columns) >= {"host", "url_norm", "depth"}
