@@ -946,6 +946,40 @@ def q_stream_host_rates(spark, sf_dir):
     )
 
 
+def q_stream_latency_percentiles(spark, sf_dir):
+    """Live exact percentiles: the stream maintains the windowed
+    (window, host, milli-value) histogram (feed.stream_value_histogram
+    — state bounded by value space × watermarked windows), then the
+    identical nearest-rank extraction the batch gate uses
+    (metrics.percentiles_from_counts) runs over the sink. Oracle =
+    batch windowed histogram + the same integer rank arithmetic."""
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.metrics import (
+        percentiles_from_counts,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        run_to_memory_sink,
+        stream_value_histogram,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="feed_")
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        F.col("event_type").alias("host"), "value", "ts"
+    ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+
+    hist = stream_value_histogram(spark, feed_dir)
+    q = run_to_memory_sink(hist, name="latency_hist_gate")
+    q.awaitTermination()
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    sink = spark.table("latency_hist_gate").select(
+        F.col("window.start").cast("long").alias("win_start"), "host", "v", "c"
+    )
+    return percentiles_from_counts(sink, ["win_start", "host"])
+
+
 def q_stream_host_budget(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState,
     streaming/stateful.py): lifetime per-host politeness budget over a
@@ -2468,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_filename": q_extract_filename,
         "robots_filter": q_robots_filter,
         "stream_host_rates": q_stream_host_rates,
+        "stream_latency_percentiles": q_stream_latency_percentiles,
         "stream_host_budget": q_stream_host_budget,
         "stream_host_budget_multibatch": q_stream_host_budget_multibatch,
         "stream_seen_dedup": q_stream_seen_dedup,
@@ -3178,6 +3213,30 @@ SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS win_start,
        min(CAST(round(value * 1000) AS INT) % 14) AS min_depth
 FROM events
 GROUP BY 1, 2
+""",
+        # streaming histogram == batch windowed histogram; identical
+        # nearest-rank integer extraction on both sides
+        "stream_latency_percentiles": """
+WITH c AS (
+  SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS win_start,
+         event_type AS host,
+         CAST(round(value * 1000) AS BIGINT) AS v, count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT win_start, host, v, c,
+    sum(c) OVER (PARTITION BY win_start, host ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY win_start, host) AS n
+  FROM c
+)
+SELECT win_start, host, CAST(max(n) AS BIGINT) AS n,
+  CAST(min(v) AS BIGINT) AS min_milli, CAST(max(v) AS BIGINT) AS max_milli,
+  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS BIGINT)
+    AS p50_milli,
+  CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS BIGINT)
+    AS p95_milli
+FROM cum GROUP BY win_start, host
 """,
         # single-micro-batch replay of the stateful budget operator ==
         # the batch row_number window over the same (ts, url) total order

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "retrieval_pairs",
     "latency_percentiles",
     "politeness_domain",
+    "stream_latency_percentiles",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

@@ -49,26 +49,43 @@ def exact_percentiles(
         .groupBy("key", "v")
         .agg(F.count("*").alias("c"))
     )
+    return percentiles_from_counts(counts, ["key"], pcts=pcts).withColumnRenamed(
+        "key", key_col
+    )
+
+
+def percentiles_from_counts(
+    counts: DataFrame,
+    key_cols: list[str],
+    v_col: str = "v",
+    c_col: str = "c",
+    pcts: tuple[int, ...] = (50, 95),
+) -> DataFrame:
+    """Nearest-rank percentiles from a PRE-REDUCED (key..., value,
+    count) histogram — the shared tail of :func:`exact_percentiles`,
+    split out so streaming-maintained histograms (feed.py
+    stream_value_histogram keeps exactly this shape as windowed state)
+    get the identical extraction."""
     w = (
-        Window.partitionBy("key")
-        .orderBy("v")
+        Window.partitionBy(*key_cols)
+        .orderBy(v_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wn = Window.partitionBy("key")
-    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
-        "n", F.sum("c").over(wn)
+    wn = Window.partitionBy(*key_cols)
+    cum = counts.withColumn("cum", F.sum(c_col).over(w)).withColumn(
+        "n", F.sum(c_col).over(wn)
     )
-    # nearest-rank: ceil(p*n/100) with pure integer arithmetic
     aggs = [
         F.max("n").cast("bigint").alias("n"),
-        F.min("v").cast("bigint").alias("min_milli"),
-        F.max("v").cast("bigint").alias("max_milli"),
+        F.min(v_col).cast("bigint").alias("min_milli"),
+        F.max(v_col).cast("bigint").alias("max_milli"),
     ]
     for p in pcts:
-        rank = F.expr(f"(n * {p} + 99) DIV 100")  # int64-exact ceil
+        # nearest-rank: ceil(p*n/100) with pure int64 arithmetic
+        rank = F.expr(f"(n * {p} + 99) DIV 100")
         aggs.append(
-            F.min(F.when(F.col("cum") >= rank, F.col("v")))
+            F.min(F.when(F.col("cum") >= rank, F.col(v_col)))
             .cast("bigint")
             .alias(f"p{p}_milli")
         )
-    return cum.groupBy("key").agg(*aggs).withColumnRenamed("key", key_col)
+    return cum.groupBy(*key_cols).agg(*aggs)

@@ -87,3 +87,35 @@ def stream_seen_dedup(
         .dropDuplicatesWithinWatermark(["url_key"])
         .select("url_key", "url_norm")
     )
+
+
+def stream_value_histogram(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "host string, value double, ts timestamp",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    milli: int = 1000,
+) -> DataFrame:
+    """Streaming windowed value histogram — the state layer of live
+    EXACT percentiles (operators/metrics.py discipline carried into
+    Structured Streaming): per (window, host) the stream maintains
+    counts per integer milli-value, so state is bounded by the VALUE
+    SPACE per window per host, never the event stream, and watermark
+    eviction bounds the window axis. Percentile extraction stays a
+    batch query over this histogram
+    (metrics.percentiles_from_counts on the sink) — the stream keeps
+    the reduction hot; the dashboard pick is exact, not
+    percentile_approx. The streaming twin of the latency_percentiles
+    gate, and the tail-latency view the reference's atomic mean
+    counters (downloader.go:51-57) cannot provide."""
+    feed = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        feed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window),
+            F.col("host"),
+            F.round(F.col("value") * milli).cast("long").alias("v"),
+        )
+        .agg(F.count("*").alias("c"))
+    )

@@ -183,3 +183,35 @@ def test_stream_seen_dedup_state_survives_and_evicts(spark):
             "http://a.x/p",
             "http://a.x/p",  # re-emitted after eviction: twice total
         ]
+
+
+def test_stream_value_histogram_exact_percentiles(spark):
+    """The streamed windowed histogram + batch nearest-rank extraction
+    equals the hand answer: 10 values 1..10 in one window -> p50=5000,
+    p95=10000; a second window holds one value."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.metrics import (
+        percentiles_from_counts,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        stream_value_histogram,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [("h.x", float(i + 1), f"2025-01-01 00:00:0{i % 10}") for i in range(10)]
+        rows += [("h.x", 42.0, "2025-01-01 00:01:00")]
+        df = spark.createDataFrame(rows, "host string, value double, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.write.mode("overwrite").parquet(d + "/feed")
+
+        hist = stream_value_histogram(spark, d + "/feed")
+        q = run_to_memory_sink(hist, "t_latency_hist")
+        q.awaitTermination(60)
+        sink = spark.table("t_latency_hist").select(
+            F.col("window.start").cast("long").alias("w"), "host", "v", "c"
+        )
+        got = {r.w: r for r in percentiles_from_counts(sink, ["w", "host"]).collect()}
+        wins = sorted(got)
+        first, second = got[wins[0]], got[wins[1]]
+        assert (first.n, first.p50_milli, first.p95_milli) == (10, 5000, 10000)
+        assert (second.n, second.p50_milli, second.max_milli) == (1, 42000, 42000)
