@@ -2087,6 +2087,28 @@ def q_bigram_commonness(spark, sf_dir):
     return curation.bigram_commonness(docs)
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (curation.vocab_growth): exact
+    distinct-vocab at 10 doc_id-prefix cutoffs from ONE corpus pass
+    (per-token first-occurrence + broadcast cutoff ladder)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    return curation.vocab_growth(load(spark, sf_dir, "documents"))
+
+
+def q_freq_spectrum(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies (curation.freq_spectrum):
+    N_f type counts + token mass per frequency — the unseen-mass and
+    vocab-cutoff planning table."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        curation,
+    )
+
+    return curation.freq_spectrum(load(spark, sf_dir, "documents"))
+
+
 def q_unigram_commonness(spark, sf_dir):
     """CCNet-style LM filtering, exact-arithmetic twin
     (curation.unigram_commonness): per-doc mean unigram probability
@@ -2561,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "unigram_commonness": q_unigram_commonness,
         "bigram_commonness": q_bigram_commonness,
+        "vocab_growth": q_vocab_growth,
+        "freq_spectrum": q_freq_spectrum,
         "anchor_profile": q_anchor_profile,
         "retrieval_pairs": q_retrieval_pairs,
         "repetition_stats": q_repetition_stats,
@@ -4001,6 +4025,37 @@ pd AS (
 SELECT id, n_bigrams, sum_micro_p,
   sum_micro_p / (n_bigrams * 1000000) AS mean_cond_p
 FROM pd
+""",
+        # Heaps ladder: same tokenization, per-token min doc id, and
+        # the same int64 ceil-division cutoffs
+        "vocab_growth": """
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+first AS (SELECT token, min(id) AS first_id FROM toks GROUP BY token),
+mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+ck AS (
+  SELECT j AS checkpoint, (m * j + 9) // 10 AS n_docs
+  FROM range(1, 11) t(j), mx
+)
+SELECT checkpoint, n_docs, CAST(count(*) AS BIGINT) AS vocab_size
+FROM ck JOIN first ON first_id < n_docs
+GROUP BY checkpoint, n_docs
+""",
+        "freq_spectrum": """
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY id, token),
+cnt AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token)
+SELECT CAST(cnt AS BIGINT) AS occurrences,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(cnt * count(*) AS BIGINT) AS type_tokens
+FROM cnt GROUP BY cnt
 """,
         "vocab_stats": """
 WITH toks AS (

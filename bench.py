@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "latency_percentiles",
     "politeness_domain",
     "stream_latency_percentiles",
+    "vocab_growth",
+    "freq_spectrum",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

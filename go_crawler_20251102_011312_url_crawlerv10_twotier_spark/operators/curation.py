@@ -19,6 +19,82 @@ from ..functions.textstats import quality_filter, quality_score, token_count_ws
 from .dedup import dup_clusters
 
 
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve — the tokenizer-planning
+    question ("how big is the vocab at 10× this corpus?") answered
+    exactly instead of eyeballed: distinct-token count of the corpus
+    prefix ``doc_id < cutoff`` at ``n_checkpoints`` evenly spaced
+    cutoffs. The prefix order is the stable doc_id order, so the curve
+    is deterministic and engine-exact (no sampling).
+
+    One corpus pass: per-token FIRST doc id (map-side-partial min
+    agg over the already-reduced tf table), then a broadcast join
+    against the ``n_checkpoints``-row cutoff ladder — vocab at cutoff
+    = tokens whose first occurrence precedes it. Nothing rescans the
+    corpus per checkpoint.
+
+    Output: ``(checkpoint, n_docs, vocab_size)``.
+    """
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    )
+    first = toks.groupBy("token").agg(F.min("id").alias("first_id"))
+    m = docs.agg((F.max(id_col) + 1).alias("m"))
+    spark = docs.sparkSession
+    ladder = (
+        spark.range(1, n_checkpoints + 1)
+        .withColumnRenamed("id", "checkpoint")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "checkpoint",
+            F.expr(f"(m * checkpoint + {n_checkpoints - 1}) DIV {n_checkpoints}").alias(
+                "n_docs"
+            ),
+        )
+    )
+    return (
+        first.join(F.broadcast(ladder), F.col("first_id") < F.col("n_docs"))
+        .groupBy("checkpoint", "n_docs")
+        .agg(F.count("*").cast("bigint").alias("vocab_size"))
+    )
+
+
+def freq_spectrum(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-of-frequencies table (Good-Turing's N_f): how many
+    token types occur exactly f times corpus-wide. The smoothing /
+    unseen-mass planning input (N_1/N estimates the probability the
+    NEXT crawl batch brings an unseen token), and the long-tail audit
+    for vocab truncation (how much type mass a min-frequency cutoff
+    discards). Two map-side-partial aggregations over already-reduced
+    tables; output is at most as many rows as distinct frequencies.
+
+    Output: ``(occurrences, n_types, type_tokens)`` with
+    ``type_tokens = occurrences * n_types`` (the token mass at that
+    frequency, so cutoff cost is a running sum away).
+    """
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    return cnt.groupBy("cnt").agg(F.count("*").cast("bigint").alias("n_types")).select(
+        F.col("cnt").cast("bigint").alias("occurrences"),
+        "n_types",
+        (F.col("cnt") * F.col("n_types")).cast("bigint").alias("type_tokens"),
+    )
+
+
 def vocab_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -377,3 +377,30 @@ def test_paragraph_dedup_all_dropped_doc_survives(spark):
     assert got[0].clean_text == "a" + P + "b"
     assert got[1].clean_text == "" and got[1].n_dropped == 2
     assert got[2].n_paras == 0 and got[2].clean_text == ""
+
+
+def test_vocab_growth_hand_case(spark):
+    """4 docs ids 0..3: checkpoints at ceil(4j/10) docs. Vocab after
+    doc0={a,b}, doc1 adds c, doc3 adds d — monotone, exact."""
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "a c"), (3, "d")],
+        "doc_id bigint, text string",
+    )
+    got = {r.checkpoint: (r.n_docs, r.vocab_size)
+           for r in curation.vocab_growth(docs).collect()}
+    assert got[1] == (1, 2)   # cutoff 1: doc 0 only -> {a,b}
+    assert got[3] == (2, 3)   # cutoff 2: +c
+    assert got[8] == (4, 4)   # cutoff 4: +d
+    assert got[10] == (4, 4)
+    sizes = [got[j][1] for j in sorted(got)]
+    assert sizes == sorted(sizes)  # growth is monotone
+
+
+def test_freq_spectrum_hand_case(spark):
+    """Corpus a×3 b×1 c×1: N_1=2 (b,c), N_3=1 (a)."""
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id bigint, text string"
+    )
+    got = {r.occurrences: (r.n_types, r.type_tokens)
+           for r in curation.freq_spectrum(docs).collect()}
+    assert got == {1: (2, 2), 3: (1, 3)}
