@@ -32,36 +32,45 @@ def vocab_growth(
     cutoffs. The prefix order is the stable doc_id order, so the curve
     is deterministic and engine-exact (no sampling).
 
-    One corpus pass: per-token FIRST doc id (map-side-partial min
-    agg over the already-reduced tf table), then a broadcast join
-    against the ``n_checkpoints``-row cutoff ladder — vocab at cutoff
-    = tokens whose first occurrence precedes it. Nothing rescans the
-    corpus per checkpoint.
+    One corpus pass, join-free: per-token FIRST doc id (map-side-
+    partial min agg over the already-reduced token table), then each
+    token's earliest checkpoint is pure arithmetic —
+    ``j_min = (n·first_id) div m + 1`` (the smallest j whose cutoff
+    ``ceil(m·j/n)`` exceeds first_id) — and the token explodes into
+    its ≤ ``n_checkpoints`` memberships. No theta join, so the plan
+    never falls into a BroadcastNestedLoopJoin (the contract
+    test_plans enforces); the only cross join is the exempt 1-row
+    scalar attach of the corpus size.
 
     Output: ``(checkpoint, n_docs, vocab_size)``.
     """
+    n = n_checkpoints
     toks = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
     )
     first = toks.groupBy("token").agg(F.min("id").alias("first_id"))
     m = docs.agg((F.max(id_col) + 1).alias("m"))
-    spark = docs.sparkSession
-    ladder = (
-        spark.range(1, n_checkpoints + 1)
-        .withColumnRenamed("id", "checkpoint")
-        .crossJoin(F.broadcast(m))
+    ex = (
+        first.crossJoin(F.broadcast(m))
         .select(
-            "checkpoint",
-            F.expr(f"(m * checkpoint + {n_checkpoints - 1}) DIV {n_checkpoints}").alias(
-                "n_docs"
-            ),
+            F.explode(
+                F.sequence(
+                    F.expr(f"(CAST({n} AS BIGINT) * first_id) DIV m + 1"),
+                    F.lit(n).cast("bigint"),
+                )
+            ).alias("checkpoint")
         )
     )
     return (
-        first.join(F.broadcast(ladder), F.col("first_id") < F.col("n_docs"))
-        .groupBy("checkpoint", "n_docs")
+        ex.groupBy("checkpoint")
         .agg(F.count("*").cast("bigint").alias("vocab_size"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "checkpoint",
+            F.expr(f"(m * checkpoint + {n - 1}) DIV {n}").alias("n_docs"),
+            "vocab_size",
+        )
     )
 
 
