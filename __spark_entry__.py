@@ -908,6 +908,32 @@ def q_robots_filter(spark, sf_dir):
     return filter_allowed(frontier, rules).select("url_norm")
 
 
+def q_robots_sitemap_urls(spark, sf_dir):
+    """robots.txt ``Sitemap:`` directive discovery
+    (robots.robots_sitemaps): any position, any case, flexible
+    whitespace, several per file. Spark parses REAL robots bodies; the
+    oracle states each fixture branch's known directives."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    _docs_view(spark, sf_dir)
+    corpus = spark.sql(
+        """
+        SELECT 'https://host' || h || '.example/robots.txt' AS url_norm,
+               'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+               || CASE WHEN h % 2 = 0
+                    THEN 'Sitemap: https://host' || h || '.example/sitemap.xml'
+                         || chr(10) ELSE '' END
+               || CASE WHEN h % 3 = 0
+                    THEN '  SITEMAP:  https://host' || h || '.example/news.xml'
+                         || chr(10) ELSE '' END AS html
+        FROM (SELECT DISTINCT doc_id % 20 AS h FROM documents)
+        """
+    )
+    return robots_sitemaps(corpus)
+
+
 def q_stream_host_rates(spark, sf_dir):
     """Structured Streaming surface (streaming/feed.py): tumbling
     10 s windows + watermark over a bounded file feed, driven with
@@ -2533,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_hostrank": q_politeness_hostrank,
         "politeness_crawl_delay": q_politeness_crawl_delay,
         "sitemap_seeds": q_sitemap_seeds,
+        "robots_sitemap_urls": q_robots_sitemap_urls,
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
         "host_reciprocity": q_host_reciprocity,
@@ -3229,6 +3256,18 @@ FROM seg
 WITH f AS ({ROBOTS_FRONTIER_SQL})
 SELECT url_norm FROM f
 WHERE h % 2 = 1 OR shape = 0 OR shape = 2
+""",
+        # robots Sitemap: directives — oracle states each branch's
+        # known answer (independent of the engine's regexp walk)
+        "robots_sitemap_urls": """
+WITH hs AS (SELECT DISTINCT doc_id % 20 AS h FROM documents)
+SELECT 'host' || h || '.example' AS host,
+       'https://host' || h || '.example/sitemap.xml' AS sitemap_url
+FROM hs WHERE h % 2 = 0
+UNION ALL
+SELECT 'host' || h || '.example' AS host,
+       'https://host' || h || '.example/news.xml' AS sitemap_url
+FROM hs WHERE h % 3 = 0
 """,
         "stream_host_rates": """
 SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS win_start,

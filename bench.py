@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "stream_latency_percentiles",
     "vocab_growth",
     "freq_spectrum",
+    "robots_sitemap_urls",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

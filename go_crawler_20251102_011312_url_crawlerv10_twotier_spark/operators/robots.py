@@ -257,3 +257,31 @@ def filter_allowed(
         .filter(verdict(F.col("_path"), F.col("rules")))
         .drop("_rhost", "rules", "_path")
     )
+
+
+def robots_sitemaps(
+    corpus: DataFrame, url_col: str = "url_norm", body_col: str = "html"
+) -> DataFrame:
+    """``Sitemap:`` directive discovery — the missing first hop of the
+    discovery chain robots.txt → sitemap index → urlset
+    (operators/sitemaps.py ingests what this finds, and
+    CrawlConfig.discover_sitemaps merges the result into the seed
+    frontier). Per the robots.txt spec the directive is a non-group
+    record: it may appear anywhere in the file, any letter case,
+    multiple times, with an absolute URL value.
+
+    Pure Catalyst (the sitemaps.py discipline): one multiline
+    case-insensitive ``regexp_extract_all`` + explode; bodies never
+    leave the scan stage. Output: distinct ``(host, sitemap_url)``.
+    """
+    robots = corpus.filter(F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$"))
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    maps = F.regexp_extract_all(
+        F.col(body_col).cast("string"),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+        F.lit(1),
+    )
+    return (
+        robots.select(host.alias("host"), F.explode(maps).alias("sitemap_url"))
+        .distinct()
+    )

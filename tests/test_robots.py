@@ -187,3 +187,32 @@ def test_crawl_honors_crawl_delay_budgets(spark):
     assert sum(m["fetched"] for m in throttled.metrics) == sum(
         m["fetched"] for m in free.metrics
     )
+
+
+def test_robots_sitemaps_directive_parse(spark):
+    """Sitemap: anywhere in the file, any case, flexible whitespace,
+    several per file; non-robots urls and directive-free bodies emit
+    nothing; duplicates collapse."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    body_a = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.example/s1.xml\n"
+        "  sitemap:\thttps://a.example/s2.xml\n"
+        "SITEMAP: https://a.example/s1.xml\n"  # duplicate collapses
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("https://a.example/robots.txt", body_a),
+            ("https://b.example/robots.txt", "User-agent: *\nAllow: /\n"),
+            ("https://c.example/page.html", "Sitemap: https://c.example/s.xml"),
+        ],
+        "url_norm string, html string",
+    )
+    got = sorted((r.host, r.sitemap_url) for r in robots_sitemaps(corpus).collect())
+    assert got == [
+        ("a.example", "https://a.example/s1.xml"),
+        ("a.example", "https://a.example/s2.xml"),
+    ]
