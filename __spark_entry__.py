@@ -1493,6 +1493,16 @@ def q_embedding_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization
+    (similarity.quantize_embeddings) — the 4x ANN memory lever —
+    projected through quantization_digest for the exact gate (dims,
+    scale, code stats, order-committing codes md5). Dequantized
+    retrieval recall is pytest-pinned (test_similarity)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.quantization_digest(similarity.quantize_embeddings(emb))
+
+
 def q_ann_topk_bucketed(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ann_topk_bucketed(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
@@ -2578,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_recall": q_lsh_recall,
         "embedding_topk": q_embedding_topk,
+        "embedding_quantize": q_embedding_quantize,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "ann_topk_multiprobe": q_ann_topk_multiprobe,
         "ivf_assign": q_ivf_assign,
@@ -3643,6 +3654,32 @@ t AS (SELECT CAST(count(*) AS INT) AS total FROM truth),
             f"FROM h{i}, t"
             for i, (name, _, _, _) in enumerate(LSH_RECALL_CONFIGS)
         ),
+        # int8 quantization digest: float32 inputs promote to double
+        # exactly on both engines, so scale/round/codes agree bitwise;
+        # DuckDB CAST(double AS INT) rounds, applied post-round = exact
+        "embedding_quantize": """
+WITH q AS (
+  SELECT vec_id,
+    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+      AS scale,
+    embedding
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, scale,
+    list_transform(
+      embedding,
+      x -> CAST(round(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)) AS INT)
+    ) AS codes
+  FROM q
+)
+SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims, scale,
+  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+  CAST(list_min(codes) AS BIGINT) AS code_min,
+  CAST(list_max(codes) AS BIGINT) AS code_max,
+  md5(array_to_string(codes, ',')) AS codes_md5
+FROM c
+""",
         "embedding_topk": """
 SELECT e.vec_id,
   round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),

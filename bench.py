@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "vocab_growth",
     "freq_spectrum",
     "robots_sitemap_urls",
+    "embedding_quantize",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

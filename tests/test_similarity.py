@@ -288,3 +288,47 @@ def test_semdedup_partitioning_invariant(spark, sf_small):
     )
     assert a == b
     assert any(not r.keep for r in a)  # non-trivial at sf0.001
+
+
+def test_quantization_roundtrip_and_recall(spark):
+    """int8 quantization: codes bounded to [-127,127], zero vector
+    guarded, and dequantized top-10 keeps >=0.9 recall vs the float
+    scan on a deterministic 64-dim corpus."""
+    import numpy as np
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.similarity import (
+        cosine_topk,
+        dequantized_topk,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 64)).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(200)]
+    rows.append((200, [0.0] * 64))  # zero vector
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    quant = quantize_embeddings(emb).cache()
+
+    stats = {r.vec_id: r for r in quant.collect()}
+    assert all(
+        max(abs(c) for c in r.codes) <= 127 for r in stats.values() if any(r.codes)
+    )
+    z = stats[200]
+    assert z.scale == 0.0 and all(c == 0 for c in z.codes)
+
+    # retrieval audit over the nonzero corpus (cosine of the zero
+    # vector is undefined in the float path too)
+    qv = [float(x) for x in vecs[0]]
+    exact = [
+        r.vec_id for r in cosine_topk(emb.filter("vec_id < 200"), qv, k=10).collect()
+    ]
+    qrow = stats[0]
+    deq = [
+        r.vec_id
+        for r in dequantized_topk(
+            quant.filter("vec_id < 200"), qrow.codes, qrow.scale, k=10
+        ).collect()
+    ]
+    recall = len(set(exact) & set(deq)) / 10
+    assert recall >= 0.9, f"int8 recall {recall}"
+    quant.unpersist()
