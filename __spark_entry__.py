@@ -1197,6 +1197,31 @@ def q_politeness_hostrank(spark, sf_dir):
     return scheduled.select("url_norm", "host", "depth")
 
 
+def q_politeness_quality(spark, sf_dir):
+    """The crawl → quality → priority feedback loop composed end-to-
+    end: per-host mean quality_score in exact micro-units
+    (textstats.host_quality_ranks) feeds schedule(host_ranks=...), so
+    historically-fluent hosts win the global trim. Oracle nests the
+    quality-score SQL and replays the deterministic two-level cut."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        host_quality_ranks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ranks = host_quality_ranks(docs)
+    frontier = docs.select(
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d/"), F.col("doc_id")
+        ).alias("url_norm"),
+        (F.col("doc_id") % 13).cast("int").alias("depth"),
+    )
+    scheduled, _ = politeness.schedule(
+        frontier, budget_per_host=5, host_ranks=ranks, global_budget=40
+    )
+    return scheduled.select("url_norm", "host", "depth")
+
+
 def q_politeness_crawl_delay(spark, sf_dir):
     """robots Crawl-delay driving the per-host politeness budget
     (operators/robots.host_crawl_delays + delay_budgets feeding
@@ -2568,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
         "politeness_crawl_delay": q_politeness_crawl_delay,
+        "politeness_quality": q_politeness_quality,
         "sitemap_seeds": q_sitemap_seeds,
         "robots_sitemap_urls": q_robots_sitemap_urls,
         "host_inlink_ranks": q_host_inlink_ranks,
@@ -3421,6 +3447,33 @@ r AS (SELECT f.url_norm, f.host, f.depth, f.priority,
       FROM f LEFT JOIN rk ON f.host = rk.host),
 g AS (SELECT url_norm, host, depth,
         row_number() OVER (ORDER BY priority DESC, host_rank DESC, depth, url_norm) AS gn
+      FROM r WHERE rn <= 5)
+SELECT url_norm, host, depth FROM g WHERE gn <= 40
+""",
+        # quality-reputation scheduling: the quality-score SQL nests
+        # verbatim, ranks are exact micro-int means, and the same
+        # two-level (per-host 5, global 40) deterministic cut replays
+        "politeness_quality": f"""
+WITH q AS ({qscore_sql}),
+rk AS (
+  SELECT d.source AS host,
+    sum(CAST(round(q.score * 1000000) AS BIGINT)) / CAST(count(*) AS DOUBLE)
+      AS host_rank
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  GROUP BY 1
+),
+f AS (
+  SELECT d.source AS host,
+    'https://' || d.source || '.example/d/' || d.doc_id AS url_norm,
+    CAST(d.doc_id % 13 AS INT) AS depth
+  FROM documents d
+),
+r AS (SELECT f.url_norm, f.host, f.depth,
+        row_number() OVER (PARTITION BY f.host ORDER BY f.depth, f.url_norm) AS rn,
+        coalesce(rk.host_rank, 0) AS host_rank
+      FROM f LEFT JOIN rk ON f.host = rk.host),
+g AS (SELECT url_norm, host, depth,
+        row_number() OVER (ORDER BY host_rank DESC, depth, url_norm) AS gn
       FROM r WHERE rn <= 5)
 SELECT url_norm, host, depth FROM g WHERE gn <= 40
 """,

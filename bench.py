@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "freq_spectrum",
     "robots_sitemap_urls",
     "embedding_quantize",
+    "politeness_quality",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

@@ -380,3 +380,28 @@ def script_profile(df, id_col: str = "doc_id", text_col: str = "text"):
         *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_CLASSES],
         dominant.alias("dominant"),
     )
+
+
+def host_quality_ranks(
+    df, host_col: str = "source", text_col: str = "text"
+):
+    """Quality-reputation prior per host: mean quality_score of the
+    host's fetched documents, as the ``(host, host_rank)`` table
+    ``politeness.schedule(host_ranks=...)`` expects — closing the
+    production feedback loop crawl → quality → next crawl's priority
+    (hosts that historically yield fluent text outrank template
+    farms in the global per-iteration trim).
+
+    Exactness discipline: per-doc scores commit to integer micro
+    units (round ×10^6), the per-host aggregation is integer sums,
+    and the mean is ONE final double division — order-free and
+    engine-identical. One map-side-partialed groupBy; map-only above
+    it (rides the corpus scan).
+    """
+    micro = F.round(quality_score(F.col(text_col)) * 1_000_000).cast("long")
+    agg = (
+        df.select(F.col(host_col).alias("host"), micro.alias("q"))
+        .groupBy("host")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("c"))
+    )
+    return agg.select("host", (F.col("s") / F.col("c")).alias("host_rank"))

@@ -252,3 +252,35 @@ def test_schedule_by_domain_shares_one_budget(spark):
     assert [h for h, _ in got if h == "other.com"] == ["other.com", "other.com"]
     assert defer.count() == 8
     assert set(sched.columns) >= {"host", "url_norm", "depth"}
+
+
+def test_host_quality_ranks_prioritize_fluent_hosts(spark):
+    """The quality feedback loop: the host serving fluent text wins
+    the global trim over the template host, under equal depths."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        host_quality_ranks,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.politeness import (
+        schedule,
+    )
+
+    fluent = (
+        "the quick brown fox jumps over the lazy dog, and then the "
+        "small cat walks by the old house near the river with a calm mood."
+    )
+    docs = spark.createDataFrame(
+        [(0, fluent, "good.example"), (1, fluent, "good.example"),
+         (2, "zz", "junk.example"), (3, "zz", "junk.example")],
+        "doc_id bigint, text string, source string",
+    )
+    ranks = host_quality_ranks(docs)
+    got = {r.host: r.host_rank for r in ranks.collect()}
+    assert got["good.example"] > got["junk.example"]
+
+    frontier = spark.createDataFrame(
+        [("good.example", "https://good.example/a", 1),
+         ("junk.example", "https://junk.example/a", 1)],
+        "host string, url_norm string, depth int",
+    )
+    sched, _ = schedule(frontier, budget_per_host=5, host_ranks=ranks, global_budget=1)
+    assert [r.host for r in sched.collect()] == ["good.example"]
