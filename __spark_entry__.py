@@ -934,6 +934,43 @@ def q_robots_sitemap_urls(spark, sf_dir):
     return robots_sitemaps(corpus)
 
 
+def q_clean_params(spark, sf_dir):
+    """Clean-param end-to-end (robots.clean_param_rules +
+    strip_declared_params): the site DECLARES its irrelevant query
+    params (scoped to a path prefix), the canonicalizer strips them —
+    the spec-side twin of the learned DUST rules, applicable from the
+    first fetch. Spark parses real robots bodies and real urls; the
+    oracle states each branch's closed-form answer."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        clean_param_rules,
+        strip_declared_params,
+    )
+
+    _docs_view(spark, sf_dir)
+    robots = spark.sql(
+        """
+        SELECT 'https://host' || h || '.example/robots.txt' AS url_norm,
+               'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+               || CASE WHEN h % 2 = 0
+                    THEN 'Clean-param: sid&ref /shop/' || chr(10) ELSE '' END
+               || CASE WHEN h % 3 = 0
+                    THEN 'clean-param:  utm' || chr(10) ELSE '' END AS html
+        FROM (SELECT DISTINCT doc_id % 20 AS h FROM documents)
+        """
+    )
+    urls = spark.sql(
+        """
+        SELECT 'https://host' || (doc_id % 20) || '.example'
+          || CASE WHEN CAST((doc_id - doc_id % 20) / 20 AS BIGINT) % 2 = 0
+               THEN '/shop/item' ELSE '/blog/post' END
+          || CAST((doc_id - doc_id % 20) / 20 AS BIGINT)
+          || '?id=' || doc_id || '&sid=s' || (doc_id % 3) || '&utm=x' AS url
+        FROM documents
+        """
+    )
+    return strip_declared_params(urls, clean_param_rules(robots))
+
+
 def q_stream_host_rates(spark, sf_dir):
     """Structured Streaming surface (streaming/feed.py): tumbling
     10 s windows + watermark over a bounded file feed, driven with
@@ -2596,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_quality": q_politeness_quality,
         "sitemap_seeds": q_sitemap_seeds,
         "robots_sitemap_urls": q_robots_sitemap_urls,
+        "clean_params": q_clean_params,
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
         "host_reciprocity": q_host_reciprocity,
@@ -3293,6 +3331,30 @@ FROM seg
 WITH f AS ({ROBOTS_FRONTIER_SQL})
 SELECT url_norm FROM f
 WHERE h % 2 = 1 OR shape = 0 OR shape = 2
+""",
+        # Clean-param applied: sid strips on shop paths of h%2=0
+        # hosts, utm strips host-wide on h%3=0 hosts, id survives;
+        # survivors already sort (id < sid < utm)
+        "clean_params": """
+WITH d AS (
+  SELECT doc_id, doc_id % 20 AS h,
+    CAST((doc_id - doc_id % 20) / 20 AS BIGINT) AS p
+  FROM documents
+),
+f AS (
+  SELECT doc_id, h, p,
+    'https://host' || h || '.example'
+      || CASE WHEN p % 2 = 0 THEN '/shop/item' ELSE '/blog/post' END || p
+      AS base
+  FROM d
+)
+SELECT
+  base || '?id=' || doc_id || '&sid=s' || (doc_id % 3) || '&utm=x' AS url,
+  base || '?id=' || doc_id
+    || CASE WHEN NOT (h % 2 = 0 AND p % 2 = 0)
+         THEN '&sid=s' || (doc_id % 3) ELSE '' END
+    || CASE WHEN NOT h % 3 = 0 THEN '&utm=x' ELSE '' END AS url_canon
+FROM f
 """,
         # robots Sitemap: directives — oracle states each branch's
         # known answer (independent of the engine's regexp walk)

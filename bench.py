@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "robots_sitemap_urls",
     "embedding_quantize",
     "politeness_quality",
+    "clean_params",
     "sequence_pack",
     "doc_keyterms",
     "redact_pii",

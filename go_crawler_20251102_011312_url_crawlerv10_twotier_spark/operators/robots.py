@@ -285,3 +285,87 @@ def robots_sitemaps(
         robots.select(host.alias("host"), F.explode(maps).alias("sitemap_url"))
         .distinct()
     )
+
+
+def clean_param_rules(
+    corpus: DataFrame, url_col: str = "url_norm", body_col: str = "html"
+) -> DataFrame:
+    """``Clean-param:`` directive parse (the Yandex robots extension:
+    ``Clean-param: p1&p2 /path-prefix``) — the DECLARED twin of the
+    learned DUST rules (operators/traps.py dust_param_stats): the site
+    itself names its content-irrelevant query parameters, scoped to an
+    optional path prefix (missing prefix = whole host). Stripping
+    declared params needs no fingerprint evidence at all, so these
+    rules apply from the very first fetch of a host.
+
+    Pure Catalyst: one multiline regexp pass per robots file, params
+    explode from their ``&`` list. Output: distinct
+    ``(host, param, path_prefix)`` with '/' as the whole-host prefix.
+    """
+    robots = corpus.filter(F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$"))
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    lines = F.regexp_extract_all(
+        F.col(body_col).cast("string"),
+        F.lit(r"(?im)^[ \t]*clean-param[ \t]*:[ \t]*([^\r\n]+)"),
+        F.lit(1),
+    )
+    ex = robots.select(host.alias("host"), F.explode(lines).alias("line"))
+    params = F.split(F.regexp_extract(F.col("line"), r"^(\S+)", 1), "&")
+    prefix = F.regexp_extract(F.col("line"), r"^\S+[ \t]+(\S+)", 1)
+    return (
+        ex.select(
+            "host",
+            F.explode(params).alias("param"),
+            F.when(prefix == "", F.lit("/")).otherwise(prefix).alias("path_prefix"),
+        )
+        .filter(F.col("param") != "")
+        .distinct()
+    )
+
+
+def strip_declared_params(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Apply Clean-param rules: rewrite each url with its host's
+    declared parameters removed WHERE the url's path starts with the
+    rule's prefix; survivors sort canonically (the
+    traps.strip_learned_params contract, so declared and learned rules
+    compose by chaining the two passes). Rules roll up to one struct
+    array per host and broadcast — the url side never shuffles.
+
+    Output: one row per input row, ``(url, url_canon)``.
+    """
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("param", "path_prefix")).alias("cp")
+    )
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+        r"[?#].*$",
+        "",
+    )
+    base = F.regexp_replace(u, r"\?[^#]*", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    withr = urls.withColumn("_h", host).withColumn("_p", path).join(
+        F.broadcast(per_host).withColumnRenamed("host", "_h"), "_h", "left"
+    )
+    kept = F.filter(
+        params,
+        lambda kv: ~F.coalesce(
+            F.exists(
+                F.col("cp"),
+                lambda s: (F.split(kv, "=").getItem(0) == s["param"])
+                & F.col("_p").startswith(s["path_prefix"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    canon = F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+    ).otherwise(base)
+    return withr.select(u.alias("url"), canon.alias("url_canon"))

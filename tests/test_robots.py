@@ -216,3 +216,46 @@ def test_robots_sitemaps_directive_parse(spark):
         ("a.example", "https://a.example/s1.xml"),
         ("a.example", "https://a.example/s2.xml"),
     ]
+
+
+def test_clean_param_rules_and_strip(spark):
+    """Clean-param: params strip only under their declared path
+    prefix; prefix-less rules apply host-wide; unrelated hosts pass
+    through; survivors sort canonically."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        clean_param_rules,
+        strip_declared_params,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "https://a.example/robots.txt",
+                "User-agent: *\nClean-param: sid&ref /shop/\nCLEAN-PARAM: utm\n",
+            ),
+        ],
+        "url_norm string, html string",
+    )
+    rules = {
+        (r.host, r.param, r.path_prefix)
+        for r in clean_param_rules(robots).collect()
+    }
+    assert rules == {
+        ("a.example", "sid", "/shop/"),
+        ("a.example", "ref", "/shop/"),
+        ("a.example", "utm", "/"),
+    }
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/shop/i?z=1&sid=9&utm=x&ref=r",),
+            ("https://a.example/blog/p?z=1&sid=9&utm=x",),
+            ("https://other.example/shop/i?sid=9",),
+        ],
+        "url string",
+    )
+    got = {r.url: r.url_canon for r in strip_declared_params(urls, clean_param_rules(robots)).collect()}
+    assert got["https://a.example/shop/i?z=1&sid=9&utm=x&ref=r"] == "https://a.example/shop/i?z=1"
+    # sid scoped to /shop/: kept on the blog path; utm host-wide: gone
+    assert got["https://a.example/blog/p?z=1&sid=9&utm=x"] == "https://a.example/blog/p?sid=9&z=1"
+    assert got["https://other.example/shop/i?sid=9"] == "https://other.example/shop/i?sid=9"
