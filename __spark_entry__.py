@@ -97,6 +97,23 @@ SELECT d.doc_id AS id,
 FROM documents d
 """.strip()
 
+# redirect map: one row per doc URL, dst NULL when not a redirect.
+# Precedence (top CASE arm wins): a 2-cycle pair at doc_id%97 in (5,6)
+# (loop -> stuck), descending chains of length 1..14 at doc_id%53 in
+# 1..14 (tops exceed the 10-hop policy -> stuck; bottoms resolve ok),
+# short 1..3-hop chains at doc_id%7 in (1,2,3). Chains may hand over
+# to an earlier arm mid-walk (e.g. into the 2-cycle) — deterministic,
+# same CASE on both engines.
+REDIRECT_SYNTH_SQL = f"""
+SELECT {pagesrc._url('d.doc_id', 'r')} AS src,
+  CASE WHEN d.doc_id % 97 = 5 THEN {pagesrc._url('(d.doc_id + 1)', 'r')}
+       WHEN d.doc_id % 97 = 6 THEN {pagesrc._url('(d.doc_id - 1)', 'r')}
+       WHEN d.doc_id % 53 BETWEEN 1 AND 14 THEN {pagesrc._url('(d.doc_id - 1)', 'r')}
+       WHEN d.doc_id % 7 IN (1, 2, 3) THEN {pagesrc._url('(d.doc_id - 1)', 'r')}
+       ELSE NULL END AS dst
+FROM documents d
+""".strip()
+
 # frontier rows for the robots filter: hosts 0..19, three path shapes;
 # even hosts get a robots.txt (Disallow /private, Allow /private/ok)
 ROBOTS_FRONTIER_SQL = """
@@ -1369,6 +1386,31 @@ def q_politeness_domain(spark, sf_dir):
     return scheduled.select("url_norm", "host", "depth")
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (redirects.resolve_redirects): Go
+    net/http's 10-hop redirect policy (inherited by colly — only the
+    final response reaches downloader/downloader.go:200) replayed as
+    a pointer-doubling join over the (src, dst) redirect map. Chains
+    that terminate within 10 hops resolve ok with exact hop counts;
+    loops and over-long chains are stuck, like net/http's "stopped
+    after 10 redirects". Oracle walks the same functional graph with
+    a bounded recursive CTE. n_hops uses -1 for stuck (nullable-int
+    pandas dtypes don't round-trip)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        redirects as rd,
+    )
+
+    s = _synth(spark, sf_dir, REDIRECT_SYNTH_SQL)
+    requests = s.select(F.col("src").alias("url"))
+    out = rd.resolve_redirects(requests, s, max_hops=10)
+    return out.select(
+        "url",
+        "status",
+        "final_url",
+        F.coalesce("n_hops", F.lit(-1)).cast("long").alias("n_hops"),
+    )
+
+
 def q_host_reciprocity(spark, sf_dir):
     """Link-farm reciprocity signal (ranks.host_reciprocity) over the
     E1-extracted host graph: distinct cross-host out-degree, how many
@@ -2637,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
         "host_reciprocity": q_host_reciprocity,
+        "redirect_resolve": q_redirect_resolve,
         "registered_domains": q_registered_domains,
         "politeness_domain": q_politeness_domain,
         "metrics_rollup": q_metrics_rollup,
@@ -3610,6 +3653,33 @@ SELECT no.s AS host, n_out,
   CAST(coalesce(nr.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
   (n_out >= 2 AND 100 * coalesce(nr.n_reciprocal, 0) >= 50 * n_out) AS link_farm
 FROM no LEFT JOIN nr ON nr.s = no.s
+""",
+        "redirect_resolve": f"""
+WITH RECURSIVE
+m AS ({REDIRECT_SYNTH_SQL}),
+r AS (SELECT src, dst FROM m WHERE dst IS NOT NULL),
+walk(url, cur, hops) AS (
+  SELECT src, dst, 1 FROM r
+  UNION ALL
+  SELECT w.url, r2.dst, w.hops + 1
+  FROM walk w JOIN r r2 ON r2.src = w.cur
+  WHERE w.hops < 10
+),
+term AS (
+  SELECT w.url, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.src = w.cur)
+)
+SELECT q.src AS url,
+  CASE WHEN rr.src IS NULL OR t.url IS NOT NULL THEN 'ok'
+       ELSE 'stuck' END AS status,
+  CASE WHEN rr.src IS NULL THEN q.src
+       WHEN t.url IS NOT NULL THEN t.cur END AS final_url,
+  CAST(CASE WHEN rr.src IS NULL THEN 0
+            WHEN t.url IS NOT NULL THEN t.hops
+            ELSE -1 END AS BIGINT) AS n_hops
+FROM m q
+LEFT JOIN (SELECT DISTINCT src FROM r) rr ON q.src = rr.src
+LEFT JOIN term t ON q.src = t.url
 """,
         "host_pagerank": f"""
 WITH e0 AS ({pagesrc.edges_sql()}),

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "bigram_commonness",
     "anchor_profile",
     "host_reciprocity",
+    "redirect_resolve",
     "registered_domains",
     "retrieval_pairs",
     "latency_percentiles",
