@@ -293,3 +293,42 @@ def url_features(
         url_len.alias("url_len"),
         score.alias("shape_score"),
     )
+
+
+# --- soft-404 detection ----------------------------------------------------
+
+# Error-page phrasing that leaks through a 200 status. One alternation,
+# RE2-compatible, shared verbatim with the DuckDB oracle.
+SOFT404_PATTERN = (
+    "(page not found|error 404|404 not found|404 error"
+    "|does not exist|no longer available|nothing here)"
+)
+# Genuine articles QUOTE error phrasing; real soft-404 bodies are short.
+SOFT404_MAX_WORDS = 80
+
+
+def soft404_flags(
+    pages: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Flag 200-status pages whose *content* is an error page.
+
+    The reference's F5 gate (downloader/downloader.go:200) only sees the
+    status code, so a server that answers 200 with a "Page not found"
+    body poisons the corpus and — worse — its outlinks keep feeding the
+    frontier. Classification: an error phrase in the lowercased text AND
+    a body under ``SOFT404_MAX_WORDS`` whitespace tokens (long pages
+    merely *mentioning* errors stay clean). Pure Catalyst (rlike +
+    split), map-only, zero shuffle — rides the corpus scan.
+
+    Output: (id, n_words, phrase_hit, soft404).
+    """
+    low = F.lower(F.col(text_col))
+    trimmed = F.trim(F.col(text_col))
+    n_words = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    phrase = low.rlike(SOFT404_PATTERN)
+    return pages.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("bigint").alias("n_words"),
+        phrase.alias("phrase_hit"),
+        (phrase & (n_words <= F.lit(SOFT404_MAX_WORDS))).alias("soft404"),
+    )

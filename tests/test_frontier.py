@@ -201,6 +201,35 @@ def test_host_trap_stats_flags_concentrated_hosts(spark):
     assert not tiny.suspect  # shape is trappy but below min_urls
 
 
+def test_soft404_hand_cases(spark):
+    """Error phrasing behind a 200: short error bodies flag, a long
+    article QUOTING an error phrase does not, clean text never does."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        soft404_flags,
+    )
+
+    long_quote = ("word " * 100) + "page not found"
+    rows = [
+        ("err1", "Page Not Found - this page does not exist."),
+        ("err2", "HTTP Error 404 Not Found"),
+        ("quote", long_quote),
+        ("clean", "An ordinary article about nothing in particular."),
+        ("empty", ""),
+    ]
+    out = {
+        r["id"]: r
+        for r in soft404_flags(
+            spark.createDataFrame(rows, "url string, text string")
+        ).collect()
+    }
+    assert out["err1"].soft404 and out["err1"].phrase_hit
+    assert out["err2"].soft404
+    assert out["quote"].phrase_hit and not out["quote"].soft404
+    assert out["quote"].n_words == 103
+    assert not out["clean"].phrase_hit and not out["clean"].soft404
+    assert out["empty"].n_words == 0 and not out["empty"].soft404
+
+
 def test_url_features_hand_case(spark):
     """Closed-form shape features: depth counts path slashes only,
     params count &-separated pairs, digit density is exact permille."""
