@@ -45,6 +45,8 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
     PREFIX_PATTERN as _TRAP_PREFIX_PATTERN,
+    SOFT404_MAX_WORDS as _TRAP_SOFT404_MAX_WORDS,
+    SOFT404_PATTERN as _TRAP_SOFT404_PATTERN,
 )
 from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
     CrawlConfig,
@@ -111,6 +113,33 @@ SELECT {pagesrc._url('d.doc_id', 'r')} AS src,
        WHEN d.doc_id % 53 BETWEEN 1 AND 14 THEN {pagesrc._url('(d.doc_id - 1)', 'r')}
        WHEN d.doc_id % 7 IN (1, 2, 3) THEN {pagesrc._url('(d.doc_id - 1)', 'r')}
        ELSE NULL END AS dst
+FROM documents d
+""".strip()
+
+# soft-404 bodies: three error-page shapes, one long genuine article
+# that merely QUOTES an error phrase (phrase hit, not soft404), one
+# empty body, the rest real document text
+SOFT404_SYNTH_SQL = """
+SELECT d.doc_id AS id,
+  CASE WHEN d.doc_id % 13 = 0
+         THEN 'Page Not Found - the page you requested does not exist.'
+       WHEN d.doc_id % 13 = 1 THEN 'HTTP Error 404 Not Found'
+       WHEN d.doc_id % 13 = 2 THEN 'Sorry, this article is no longer available.'
+       WHEN d.doc_id % 13 = 3
+         THEN repeat('lorem ipsum dolor sit amet ', 20)
+              || 'page not found in the archive index'
+       WHEN d.doc_id % 13 = 4 THEN ''
+       ELSE d.text END AS text
+FROM documents d
+""".strip()
+
+# within-doc duplicate lines: [A, Share, B, Share, A] per doc — the
+# scrub must keep [A, Share, B] in order
+LINEDUP_SYNTH_SQL = """
+SELECT d.doc_id,
+  substr(d.text, 1, 60) || chr(10) || 'Share this article' || chr(10)
+  || substr(d.text, 61, 60) || chr(10) || 'Share this article' || chr(10)
+  || substr(d.text, 1, 60) AS text
 FROM documents d
 """.strip()
 
@@ -1411,6 +1440,33 @@ def q_redirect_resolve(spark, sf_dir):
     )
 
 
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (traps.soft404_flags): error-page phrasing
+    behind a 200 status — the corpus-poisoning class the reference's
+    status-only gate (downloader/downloader.go:200) cannot see. Long
+    pages that merely quote an error phrase stay clean via the
+    word-count bound; map-only Catalyst."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.traps import (
+        soft404_flags,
+    )
+
+    s = _synth(spark, sf_dir, SOFT404_SYNTH_SQL)
+    return soft404_flags(s, id_col="id", text_col="text")
+
+
+def q_line_dedup_scrub(spark, sf_dir):
+    """Within-doc duplicate-line removal (curation.line_dedup_scrub):
+    keep-first per line, original order, zero shuffles — the repair
+    half of repetition_stats. Oracle replays keep-first with a
+    row_number over (doc, line, pos)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        line_dedup_scrub,
+    )
+
+    s = _synth(spark, sf_dir, LINEDUP_SYNTH_SQL)
+    return line_dedup_scrub(s)
+
+
 def q_host_reciprocity(spark, sf_dir):
     """Link-farm reciprocity signal (ranks.host_reciprocity) over the
     E1-extracted host graph: distinct cross-host out-degree, how many
@@ -2680,6 +2736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_reciprocity": q_host_reciprocity,
         "redirect_resolve": q_redirect_resolve,
+        "soft404": q_soft404,
+        "line_dedup_scrub": q_line_dedup_scrub,
         "registered_domains": q_registered_domains,
         "politeness_domain": q_politeness_domain,
         "metrics_rollup": q_metrics_rollup,
@@ -3653,6 +3711,39 @@ SELECT no.s AS host, n_out,
   CAST(coalesce(nr.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
   (n_out >= 2 AND 100 * coalesce(nr.n_reciprocal, 0) >= 50 * n_out) AS link_farm
 FROM no LEFT JOIN nr ON nr.s = no.s
+""",
+        "line_dedup_scrub": f"""
+WITH s AS ({LINEDUP_SYNTH_SQL}),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM s),
+e AS (SELECT doc_id, arr,
+        unnest(arr) AS line,
+        unnest(range(1, len(arr) + 1)) AS pos
+      FROM sp),
+k AS (SELECT doc_id, line, pos,
+        row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM e),
+r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT sp.doc_id,
+  CAST(len(sp.arr) AS BIGINT) AS n_lines,
+  r.n_kept,
+  CAST(len(sp.arr) - r.n_kept AS BIGINT) AS n_dropped,
+  r.clean_text
+FROM sp JOIN r USING (doc_id)
+""",
+        "soft404": f"""
+WITH s AS ({SOFT404_SYNTH_SQL}),
+c AS (
+  SELECT id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+    regexp_matches(lower(text), '{_TRAP_SOFT404_PATTERN}') AS phrase_hit
+  FROM s
+)
+SELECT id, CAST(n_words AS BIGINT) AS n_words, phrase_hit,
+  phrase_hit AND n_words <= {_TRAP_SOFT404_MAX_WORDS} AS soft404
+FROM c
 """,
         "redirect_resolve": f"""
 WITH RECURSIVE

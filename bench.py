@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "anchor_profile",
     "host_reciprocity",
     "redirect_resolve",
+    "soft404",
+    "line_dedup_scrub",
     "registered_domains",
     "retrieval_pairs",
     "latency_percentiles",

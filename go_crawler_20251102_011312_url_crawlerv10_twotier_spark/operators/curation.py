@@ -793,3 +793,41 @@ def paragraph_dedup(
         .alias("n_dropped"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def line_dedup_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """WITHIN-doc exact duplicate-line removal (the Gopher repetition
+    *repair*, where ``repetition_stats`` only measures): every line
+    keeps its first occurrence inside the document, later copies are
+    dropped, and the doc is reassembled in original order. Complements
+    the two cross-doc passes (``strip_host_boilerplate`` host-scoped,
+    ``paragraph_dedup`` corpus-global): share buttons, repeated CTAs
+    and template fragments that recur *inside one page* collapse here
+    without any cross-doc state.
+
+    Scale shape: pure Catalyst higher-order functions — the keep-first
+    scan is ``filter(arr, (x, i) -> array_position(arr, x) == i+1)``
+    per row, so the whole operator is map-only with ZERO shuffles and
+    rides the corpus scan. Per-line cost is quadratic in the line
+    count of one document (bounded by the 5 MB body cap), never in
+    corpus size.
+
+    Output: (doc_id, *keep, n_lines, n_kept, n_dropped, clean_text).
+    """
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    kept = F.filter(arr, lambda x, i: F.array_position(arr, x) == i + 1)
+    n_lines = F.size(arr).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep],
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        (n_lines - n_kept).cast("bigint").alias("n_dropped"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+    )

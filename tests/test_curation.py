@@ -404,3 +404,41 @@ def test_freq_spectrum_hand_case(spark):
     got = {r.occurrences: (r.n_types, r.type_tokens)
            for r in curation.freq_spectrum(docs).collect()}
     assert got == {1: (2, 2), 3: (1, 3)}
+
+
+def test_line_dedup_scrub_keep_first_order(spark):
+    """[A, S, B, S, A] -> [A, S, B]; empty doc -> one '' line kept."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        line_dedup_scrub,
+    )
+
+    rows = [
+        (1, "A\nShare\nB\nShare\nA"),
+        (2, "x\nx\nx\nx"),
+        (3, ""),
+        (4, "only"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].clean_text == "A\nShare\nB"
+    assert (out[1].n_lines, out[1].n_kept, out[1].n_dropped) == (5, 3, 2)
+    assert out[2].clean_text == "x" and out[2].n_dropped == 3
+    assert out[3].clean_text == "" and out[3].n_lines == 1 and out[3].n_kept == 1
+    assert out[4].clean_text == "only" and out[4].n_dropped == 0
+
+
+def test_line_dedup_scrub_is_map_only(spark):
+    """Zero exchanges: the scrub must ride the scan."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        line_dedup_scrub,
+    )
+
+    df = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = (
+        line_dedup_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
