@@ -143,6 +143,17 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# BM25 term queries over the documents vocabulary: common terms,
+# a rare term, and a multi-term mix (VALUES runs on both engines)
+BM25_QUERY_SQL = """
+SELECT * FROM (VALUES
+  (0, 'spark'), (0, 'join'),
+  (1, 'window'), (1, 'hash'), (1, 'scan'),
+  (2, 'customer'), (2, 'vector'),
+  (3, 'dup'), (3, 'stream')
+) AS q(query_id, term)
+""".strip()
+
 # frontier rows for the robots filter: hosts 0..19, three path shapes;
 # even hosts get a robots.txt (Disallow /private, Allow /private/ok)
 ROBOTS_FRONTIER_SQL = """
@@ -1467,6 +1478,22 @@ def q_line_dedup_scrub(spark, sf_dir):
     return line_dedup_scrub(s)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (search.bm25_topk) over the documents table for
+    four term queries. Scores are integer micro-units computed from
+    exact (tf, df, dl, N, total_len) — the float-free-aggregation
+    pattern — so the oracle replays the identical expression tree in
+    SQL. Postings agg is map-side-partialed; query terms broadcast;
+    top-k is a per-query window, never a global sort."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.search import (
+        bm25_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    queries = _synth(spark, sf_dir, BM25_QUERY_SQL)
+    return bm25_topk(docs, queries, k=10)
+
+
 def q_host_reciprocity(spark, sf_dir):
     """Link-farm reciprocity signal (ranks.host_reciprocity) over the
     E1-extracted host graph: distinct cross-host out-degree, how many
@@ -2738,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "soft404": q_soft404,
         "line_dedup_scrub": q_line_dedup_scrub,
+        "bm25_topk": q_bm25_topk,
         "registered_domains": q_registered_domains,
         "politeness_domain": q_politeness_domain,
         "metrics_rollup": q_metrics_rollup,
@@ -3711,6 +3739,39 @@ SELECT no.s AS host, n_out,
   CAST(coalesce(nr.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
   (n_out >= 2 AND 100 * coalesce(nr.n_reciprocal, 0) >= 50 * n_out) AS link_farm
 FROM no LEFT JOIN nr ON nr.s = no.s
+""",
+        "bm25_topk": f"""
+WITH q AS ({BM25_QUERY_SQL}),
+tok AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+sc AS (SELECT qq.query_id, p.doc_id,
+  CAST(round(
+    1000000.0
+    * ln(1.0 + (CAST(t.n_docs - d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5))
+    * (CAST(p.tf AS DOUBLE) * 2.2)
+    / (CAST(p.tf AS DOUBLE)
+       + 1.2 * (1.0 - 0.75
+                + 0.75 * (CAST(l.dl AS DOUBLE) * t.n_docs) / t.total_len))
+  ) AS BIGINT) AS s_u
+  FROM p JOIN q qq USING (term) JOIN dfs d USING (term)
+  JOIN dl l USING (doc_id) CROSS JOIN tot t),
+agg AS (SELECT query_id, doc_id, CAST(sum(s_u) AS BIGINT) AS score_micro
+        FROM sc GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score_micro,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+        ) AS BIGINT) AS rnk
+      FROM agg)
+SELECT query_id, doc_id, rnk, score_micro FROM r WHERE rnk <= 10
 """,
         "line_dedup_scrub": f"""
 WITH s AS ({LINEDUP_SYNTH_SQL}),

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "redirect_resolve",
     "soft404",
     "line_dedup_scrub",
+    "bm25_topk",
     "registered_domains",
     "retrieval_pairs",
     "latency_percentiles",

@@ -1,0 +1,113 @@
+"""Corpus search: inverted postings and BM25 top-k retrieval.
+
+A crawled corpus is only useful if you can query it; the reference
+stores extracted text as flat files (downloader/downloader.go:204-215)
+with no retrieval path at all. This module adds the batch search
+surface a 100 TB corpus needs: a term-postings build (the inverted
+index) and Lucene-flavored BM25 ranking for a set of term queries.
+
+Determinism contract (exact-gate safe): every per-row score is a fixed
+IEEE-double expression tree over EXACT integer inputs (tf, df, dl,
+n_docs, total_len) — no float aggregates feed any float. The per-term
+score is rounded to integer micro-units *before* the per-doc sum, so
+the aggregation is pure BIGINT and partition-order-free (the
+source_quality_rollup / dsir_importance pattern). avgdl never exists
+as a float: ``b * dl / avgdl`` is computed as ``b * (dl * N) /
+total_len`` from the two exact totals.
+
+Scale shape: tokenize + tf is one map-side-partialed aggregation; the
+query term list is broadcast; df is computed only for query terms;
+the final top-k is a per-query window (partitioned by query_id, never
+a global sort). Nothing materializes the full postings list driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+K1 = 1.2
+B = 0.75
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf) — lowercase alnum-run tokens, exact counts."""
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k docs per query.
+
+    ``queries``: (query_id, term) — one row per query term. Returns
+    (query_id, doc_id, rnk, score_micro) with ``score_micro`` =
+    sum over query terms of round(1e6 * idf * tfnorm) as BIGINT,
+    idf = ln(1 + (N - df + .5)/(df + .5)) (Lucene BM25), ranked by
+    (score_micro DESC, doc_id ASC), rnk 1-based, at most ``k`` rows
+    per query.
+    """
+    p = term_postings(docs, id_col, text_col)
+    dl = p.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    tot = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    terms = queries.select("term").distinct()
+    dfs = (
+        p.join(F.broadcast(terms), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    matched = (
+        p.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(K1) * (
+        F.lit(1.0)
+        - F.lit(B)
+        + F.lit(B) * (F.col("dl").cast("double") * F.col("n_docs")) / F.col("total_len")
+    )
+    s_u = (
+        F.round(
+            F.lit(1000000.0) * idf * (F.col("tf").cast("double") * F.lit(K1 + 1.0)) / denom
+        )
+        .cast("bigint")
+        .alias("s_u")
+    )
+    agg = (
+        matched.select("query_id", "doc_id", s_u)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s_u").cast("bigint").alias("score_micro"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rnk", "score_micro")
+    )
