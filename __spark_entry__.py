@@ -1066,6 +1066,45 @@ def q_stream_host_rates(spark, sf_dir):
     )
 
 
+def q_stream_host_sessions(spark, sf_dir):
+    """Session windows (feed.stream_host_sessions): per-host activity
+    bursts over the events feed, gap 2 h, driven availableNow in
+    complete mode (Spark 4 rejects UPDATE for session windows —
+    merged sessions can't be keyed as updates). Session keys cross the
+    gate as epoch MICROseconds (unix_micros / epoch_us — exact
+    BIGINTs; raw timestamps never hash-match). Oracle is the
+    gaps-and-islands rewrite: new island when idle is STRICTLY
+    greater than the gap (Spark merges boundary-touching sessions —
+    pinned by the hand test at exact equality)."""
+    import shutil
+    import tempfile
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        run_to_memory_sink,
+        stream_host_sessions,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="feed_")
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        F.col("event_type").alias("host"), F.col("ts")
+    ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+
+    agg = stream_host_sessions(spark, feed_dir)
+    q = run_to_memory_sink(agg, name="host_sessions_gate", output_mode="complete")
+    q.awaitTermination()
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    return spark.sql(
+        """
+        SELECT host,
+               unix_micros(session_window.start) AS win_start_us,
+               unix_micros(session_window.end) AS win_end_us,
+               n_events
+        FROM host_sessions_gate
+        """
+    )
+
+
 def q_stream_latency_percentiles(spark, sf_dir):
     """Live exact percentiles: the stream maintains the windowed
     (window, host, milli-value) histogram (feed.stream_value_histogram
@@ -2751,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_host_budget": q_stream_host_budget,
         "stream_host_budget_multibatch": q_stream_host_budget_multibatch,
         "stream_seen_dedup": q_stream_seen_dedup,
+        "stream_host_sessions": q_stream_host_sessions,
         "simhash_neardup": q_simhash_neardup,
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
@@ -3560,6 +3600,24 @@ SELECT host, url, seq, (seq <= 300) AS scheduled FROM numbered
 """,
         # streaming seen set: exactly one row per distinct normalized
         # URL (the compat normalizer's oracle twin, DISTINCT'ed)
+        "stream_host_sessions": """
+WITH e AS (SELECT event_type AS host, epoch_us(ts) AS us FROM events),
+m AS (SELECT host, us,
+        CASE WHEN lag(us) OVER (PARTITION BY host ORDER BY us) IS NULL
+               OR us - lag(us) OVER (PARTITION BY host ORDER BY us)
+                  > 7200000000
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT host, us,
+        sum(brk) OVER (PARTITION BY host ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT host,
+  min(us) AS win_start_us,
+  max(us) + 7200000000 AS win_end_us,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY host, sid
+""",
         "stream_seen_dedup": """
 SELECT DISTINCT
   lower(regexp_replace(

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "latency_percentiles",
     "politeness_domain",
     "stream_latency_percentiles",
+    "stream_host_sessions",
     "vocab_growth",
     "freq_spectrum",
     "robots_sitemap_urls",

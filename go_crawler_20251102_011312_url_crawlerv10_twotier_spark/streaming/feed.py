@@ -35,16 +35,21 @@ def stream_host_rates(
     )
 
 
-def run_to_memory_sink(agg: DataFrame, name: str = "host_rates"):
+def run_to_memory_sink(
+    agg: DataFrame, name: str = "host_rates", output_mode: str = "complete"
+):
     """Drive a bounded file-backed stream to completion synchronously
     (test/smoke harness); returns the started query.
 
     complete mode: with availableNow the whole backlog can land in one
     micro-batch, so the watermark never advances past the last window
     and append mode would emit nothing — a known bounded-replay pitfall.
+    Session windows additionally reject UPDATE mode in Spark 4
+    (merged sessions can't be keyed as updates) — complete is the one
+    mode that drives them through a bounded replay.
     """
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -118,4 +123,33 @@ def stream_value_histogram(
             F.round(F.col("value") * milli).cast("long").alias("v"),
         )
         .agg(F.count("*").alias("c"))
+    )
+
+
+def stream_host_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "host string, ts timestamp",
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Gap-based SESSION windows per host: contiguous bursts of
+    activity to one host, closed after ``gap`` idle — the live view of
+    a host's fetch burst that per-interval tumbling windows
+    (stream_host_rates) smear. A politeness controller reads this as
+    "how long have we been hammering host H continuously"; tumbling
+    windows cannot answer that because a burst straddles bucket edges.
+
+    ``session_window`` state merges adjacent events while their
+    [ts, ts+gap) ranges overlap OR TOUCH — an idle stretch of exactly
+    ``gap`` still merges; a new session starts only when idle is
+    strictly greater (pinned by the boundary test). Watermark eviction
+    bounds state. Emitted session bounds follow Spark's contract:
+    start = first event, end = last event + gap.
+    """
+    feed = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        feed.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("host"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
     )

@@ -215,3 +215,49 @@ def test_stream_value_histogram_exact_percentiles(spark):
         first, second = got[wins[0]], got[wins[1]]
         assert (first.n, first.p50_milli, first.p95_milli) == (10, 5000, 10000)
         assert (second.n, second.p50_milli, second.max_milli) == (1, 42000, 42000)
+
+
+def test_stream_host_sessions_gap_boundary(spark):
+    """Session merge/split at the exact gap boundary: idle < gap merges,
+    idle == gap starts a new session; bounds = [first, last + gap)."""
+    import shutil
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.streaming.feed import (
+        stream_host_sessions,
+    )
+
+    rows = [
+        # host a: idle == gap (00:30 -> 02:30) still MERGES (Spark
+        # merges boundary-touching sessions); idle < gap merges too
+        ("a", "2025-01-01 00:00:00"),
+        ("a", "2025-01-01 00:30:00"),
+        ("a", "2025-01-01 02:30:00"),
+        ("a", "2025-01-01 04:29:59"),
+        # 1 us past the gap after 04:29:59 -> strictly greater -> split
+        ("a", "2025-01-01 06:29:59.000001"),
+        # host b: single event
+        ("b", "2025-01-01 05:00:00"),
+    ]
+    feed_dir = tempfile.mkdtemp(prefix="sess_")
+    (
+        spark.createDataFrame(rows, "host string, t string")
+        .select("host", F.to_timestamp("t").alias("ts"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    agg = stream_host_sessions(spark, feed_dir, gap="2 hours")
+    q = run_to_memory_sink(agg, name="sess_test", output_mode="complete")
+    q.awaitTermination()
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    out = spark.sql(
+        "SELECT host, CAST(session_window.start AS STRING) AS s,"
+        " CAST(session_window.end AS STRING) AS e, n_events"
+        " FROM sess_test ORDER BY host, s"
+    ).collect()
+    got = [(r["host"], r["s"], r["e"], r["n_events"]) for r in out]
+    assert got == [
+        ("a", "2025-01-01 00:00:00", "2025-01-01 06:29:59", 4),
+        ("a", "2025-01-01 06:29:59.000001", "2025-01-01 08:29:59.000001", 1),
+        ("b", "2025-01-01 05:00:00", "2025-01-01 07:00:00", 1),
+    ]
