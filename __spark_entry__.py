@@ -143,6 +143,35 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# rel=canonical corpus: base pages (no canonical), ?utm / /amp
+# variants pointing at their base, a 2-level chain (d%4==3 -> the amp
+# variant of d-1 -> base), and a canonical 2-cycle pair at d%101 in
+# (7,8) that must fall back to self
+CANON_SYNTH_SQL = f"""
+SELECT
+  CASE WHEN d.doc_id % 101 IN (7, 8) THEN {pagesrc._url('d.doc_id', 'c')}
+       WHEN d.doc_id % 4 = 1 THEN {pagesrc._url('d.doc_id', 'c')} || '?utm=1'
+       WHEN d.doc_id % 4 = 2 THEN {pagesrc._url('d.doc_id', 'c')} || '/amp'
+       ELSE {pagesrc._url('d.doc_id', 'c')} END AS url,
+  CASE WHEN d.doc_id % 101 = 7 THEN
+         '<html><head><link rel="canonical" href="'
+         || {pagesrc._url('(d.doc_id + 1)', 'c')} || '"></head></html>'
+       WHEN d.doc_id % 101 = 8 THEN
+         '<html><head><link rel="canonical" href="'
+         || {pagesrc._url('(d.doc_id - 1)', 'c')} || '"></head></html>'
+       WHEN d.doc_id % 4 = 1 THEN
+         '<html><head><link rel="canonical" href="'
+         || {pagesrc._url('(d.doc_id - 1)', 'c')} || '"></head></html>'
+       WHEN d.doc_id % 4 = 2 THEN
+         '<html><head><link rel="canonical" href="'
+         || {pagesrc._url('(d.doc_id - 2)', 'c')} || '"></head></html>'
+       WHEN d.doc_id % 4 = 3 THEN
+         '<html><head><link rel="canonical" href="'
+         || {pagesrc._url('(d.doc_id - 1)', 'c')} || '/amp"></head></html>'
+       ELSE '<html><head></head><body>page</body></html>' END AS html
+FROM documents d
+""".strip()
+
 # BM25 term queries over the documents vocabulary: common terms,
 # a rare term, and a multi-term mix (VALUES runs on both engines)
 BM25_QUERY_SQL = """
@@ -1517,6 +1546,21 @@ def q_line_dedup_scrub(spark, sf_dir):
     return line_dedup_scrub(s)
 
 
+def q_canonical_clusters(spark, sf_dir):
+    """rel=canonical clustering (redirects.canonical_clusters):
+    map-only href extraction, then the SAME pointer-doubling jump
+    table as redirect_resolve over the canonical edge graph —
+    variants collapse to their base through 2-level chains, canonical
+    loops fall back to self. Cluster sizes attach via the unique-url
+    join (no hot-canonical-key path)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.redirects import (
+        canonical_clusters,
+    )
+
+    s = _synth(spark, sf_dir, CANON_SYNTH_SQL)
+    return canonical_clusters(s, url_col="url", html_col="html")
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 retrieval (search.bm25_topk) over the documents table for
     four term queries. Scores are integer micro-units computed from
@@ -2806,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "line_dedup_scrub": q_line_dedup_scrub,
         "bm25_topk": q_bm25_topk,
+        "canonical_clusters": q_canonical_clusters,
         "registered_domains": q_registered_domains,
         "politeness_domain": q_politeness_domain,
         "metrics_rollup": q_metrics_rollup,
@@ -3797,6 +3842,40 @@ SELECT no.s AS host, n_out,
   CAST(coalesce(nr.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
   (n_out >= 2 AND 100 * coalesce(nr.n_reciprocal, 0) >= 50 * n_out) AS link_farm
 FROM no LEFT JOIN nr ON nr.s = no.s
+""",
+        "canonical_clusters": f"""
+WITH RECURSIVE
+pg AS ({CANON_SYNTH_SQL}),
+ed AS (SELECT url AS src,
+         regexp_extract(html, '<link rel="canonical" href="([^"]+)"', 1) AS dst
+       FROM pg),
+r AS (SELECT src, dst FROM ed WHERE dst <> '' AND dst <> src),
+walk(url, cur, hops) AS (
+  SELECT src, dst, 1 FROM r
+  UNION ALL
+  SELECT w.url, r2.dst, w.hops + 1
+  FROM walk w JOIN r r2 ON r2.src = w.cur
+  WHERE w.hops < 10
+),
+term AS (
+  SELECT w.url, w.cur FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.src = w.cur)
+),
+mapping AS (
+  SELECT pg.url,
+    CASE WHEN rr.src IS NULL THEN pg.url
+         WHEN t.url IS NOT NULL THEN t.cur
+         ELSE pg.url END AS canonical_url
+  FROM pg
+  LEFT JOIN (SELECT DISTINCT src FROM r) rr ON pg.url = rr.src
+  LEFT JOIN term t ON pg.url = t.url
+),
+cnt AS (SELECT canonical_url AS cu, CAST(count(*) AS BIGINT) AS n
+        FROM mapping GROUP BY canonical_url)
+SELECT m.url, m.canonical_url,
+  m.url = m.canonical_url AS is_canonical,
+  CAST(coalesce(c.n, 0) AS BIGINT) AS n_members
+FROM mapping m LEFT JOIN cnt c ON m.url = c.cu
 """,
         "bm25_topk": f"""
 WITH q AS ({BM25_QUERY_SQL}),

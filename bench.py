@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "soft404",
     "line_dedup_scrub",
     "bm25_topk",
+    "canonical_clusters",
     "registered_domains",
     "retrieval_pairs",
     "latency_percentiles",

@@ -119,3 +119,59 @@ def resolve_redirects(
         .cast("int")
         .alias("n_hops"),
     )
+
+
+# --- rel=canonical clustering ----------------------------------------------
+
+# <link rel="canonical" href="..."> — the attribute-ordered form the
+# overwhelming majority of CMSes emit; RE2-safe, shared with the oracle.
+CANONICAL_PATTERN = '<link rel="canonical" href="([^"]+)"'
+
+
+def canonical_clusters(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_hops: int = MAX_HOPS,
+) -> DataFrame:
+    """Cluster URL variants by their declared rel=canonical target.
+
+    Variant pages (?utm=..., /amp, paginated mirrors) declare a
+    canonical URL in <head>; chains (variant -> base -> older base) and
+    even canonical LOOPS occur in the wild. The extraction is a
+    map-only regexp over the corpus scan; chain-following reuses
+    ``resolve_redirects``'s pointer-doubling (canonical edges are just
+    another functional URL graph, O(log max_hops) shuffles of the
+    edge table). Conflicting chains that loop or run past ``max_hops``
+    fall back to self — a crawler ignores an unresolvable canonical
+    rather than dropping the page.
+
+    Output, one row per page: (url, canonical_url, is_canonical,
+    n_members) — n_members is the cluster size on canonical rows and
+    0 elsewhere, attached by joining the cluster counts back on the
+    UNIQUE url key (never on the hot canonical key: a mega-cluster's
+    count reaches its reducer as map-side partials, and the join back
+    matches exactly one row, so no skew path exists in this plan).
+    """
+    href = F.regexp_extract(F.col(html_col), CANONICAL_PATTERN, 1)
+    edges = (
+        pages.select(F.col(url_col).alias("src"), href.alias("dst"))
+        .filter((F.col("dst") != "") & (F.col("dst") != F.col("src")))
+    )
+    res = resolve_redirects(pages.select(url_col), edges, url_col, max_hops)
+    mapping = res.select(
+        "url",
+        F.when(F.col("status") == "ok", F.col("final_url"))
+        .otherwise(F.col("url"))
+        .alias("canonical_url"),
+    )
+    counts = mapping.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("_n")
+    ).select(F.col("canonical_url").alias("_cu"), "_n")
+    out = mapping.join(counts, mapping.url == counts._cu, "left").select(
+        "url",
+        "canonical_url",
+        (F.col("url") == F.col("canonical_url")).alias("is_canonical"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_members"),
+    )
+    return out

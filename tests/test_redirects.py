@@ -100,3 +100,40 @@ def test_join_count_is_logarithmic_not_per_hop(spark):
     assert n_joins(9) == n_joins(200)
     out = resolve_redirects(requests, redirects, max_hops=10)
     assert out.filter(F.col("status") == "ok").count() == 1
+
+
+def _page(url, canonical=None):
+    if canonical is None:
+        return (url, "<html><head></head><body>x</body></html>")
+    return (url, f'<html><head><link rel="canonical" href="{canonical}"></head></html>')
+
+
+def test_canonical_clusters_variants_chain_loop(spark):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.redirects import (
+        canonical_clusters,
+    )
+
+    rows = [
+        _page("base"),
+        _page("base?utm=1", "base"),
+        _page("base/amp", "base?utm=1"),  # 2-level chain -> base
+        _page("loop1", "loop2"),
+        _page("loop2", "loop1"),
+        _page("dangler", "not-in-corpus"),
+        _page("solo"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: r for r in canonical_clusters(pages).collect()}
+    assert out["base"].canonical_url == "base" and out["base"].is_canonical
+    assert out["base"].n_members == 3
+    assert out["base?utm=1"].canonical_url == "base"
+    assert out["base/amp"].canonical_url == "base"
+    assert not out["base?utm=1"].is_canonical
+    assert out["base?utm=1"].n_members == 0
+    # canonical loop: fall back to self, each its own singleton cluster
+    assert out["loop1"].canonical_url == "loop1" and out["loop1"].n_members == 1
+    assert out["loop2"].canonical_url == "loop2"
+    # dangling canonical: the mapping points off-corpus; no cluster row
+    assert out["dangler"].canonical_url == "not-in-corpus"
+    assert not out["dangler"].is_canonical and out["dangler"].n_members == 0
+    assert out["solo"].canonical_url == "solo" and out["solo"].n_members == 1
