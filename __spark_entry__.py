@@ -143,6 +143,21 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# redirect map for the redirect-aware CRAWL gate, on corpus page
+# URLs: a 2-cycle pair at doc_id%97 in (10,11) (those link targets
+# drop — net/http aborts loops) and a hop arm at doc_id%23==1 whose
+# target (7*id+3) mod N can itself chain into any arm. Seeds are
+# never resolved (entry points, not responses).
+CRAWL_REDIRECTS_SQL = f"""
+SELECT {pagesrc._url('d.doc_id')} AS src,
+  CASE WHEN d.doc_id % 97 = 10 THEN {pagesrc._url('(d.doc_id + 1)')}
+       WHEN d.doc_id % 97 = 11 THEN {pagesrc._url('(d.doc_id - 1)')}
+       WHEN d.doc_id % 23 = 1 THEN
+         {pagesrc._url('((d.doc_id * 7 + 3) % (SELECT count(*) FROM documents))')}
+       ELSE NULL END AS dst
+FROM documents d
+""".strip()
+
 # rel=canonical corpus: base pages (no canonical), ?utm / /amp
 # variants pointing at their base, a 2-level chain (d%4==3 -> the amp
 # variant of d-1 -> base), and a canonical 2-cycle pair at d%101 in
@@ -729,6 +744,26 @@ def q_crawl_frontier_bucketed(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS gate_bucketed_corpus")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_crawl_frontier_redirects(spark, sf_dir):
+    """Flagship BFS with a live REDIRECT MAP (crawl(redirects=...)):
+    every discovered link resolves through the pointer-doubled map
+    before dedup/seen — chains land on their final URL at the parent's
+    depth+1 (3xx hops are transparent, no depth cost), loops drop the
+    candidate. The oracle rewrites the closed-form edge set through
+    the same bounded recursive resolve, then runs the standard BFS."""
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    seeds = spark.sql(pagesrc.seeds_sql())
+    # inline N as a literal on the Spark side (pages.py pattern: the
+    # scalar-subquery form plans a BNLJ + SinglePartition count into
+    # every leaf of the resolver's composition tree — measured 25 s
+    # for a 500-row synth); the oracle keeps the subquery text.
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    sql = CRAWL_REDIRECTS_SQL.replace("(SELECT count(*) FROM documents)", str(n))
+    redirects = _synth(spark, sf_dir, sql).filter(F.col("dst").isNotNull())
+    res = crawl(spark, pages, seeds, CrawlConfig(), redirects=redirects)
+    return res.seen.select("url_norm", "depth")
 
 
 def q_tier2_extract_text(spark, sf_dir):
@@ -2819,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_document_url": q_is_document_url,
         "crawl_frontier_bfs": q_crawl_frontier_bfs,
         "crawl_frontier_bucketed": q_crawl_frontier_bucketed,
+        "crawl_frontier_redirects": q_crawl_frontier_redirects,
         "tier2_extract_text": q_tier2_extract_text,
         "download_state": q_download_state,
         "download_state_store": q_download_state_store,
@@ -3458,6 +3494,44 @@ bfs(id, depth) AS (
   SELECT doc_id, 0 FROM documents WHERE doc_id % {pagesrc.SEED_MOD} = 0
   UNION
   SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.id
+  WHERE b.depth < {MAX_DEPTH}
+)
+SELECT 'https://host' || (CASE WHEN id % {pagesrc.MEGA_HOST_MOD} = 0 THEN 0 ELSE id % {pagesrc.N_HOSTS} END)
+       || '.example/page/' || id AS url_norm,
+       min(depth) AS depth
+FROM bfs GROUP BY id
+""",
+        "crawl_frontier_redirects": f"""
+WITH RECURSIVE
+edges AS ({pagesrc.edges_sql()}),
+rm AS (SELECT d.doc_id AS src,
+         CASE WHEN d.doc_id % 97 = 10 THEN d.doc_id + 1
+              WHEN d.doc_id % 97 = 11 THEN d.doc_id - 1
+              WHEN d.doc_id % 23 = 1
+                THEN (d.doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+              ELSE NULL END AS dst
+       FROM documents d),
+rr AS (SELECT src, dst FROM rm WHERE dst IS NOT NULL),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM rr
+  UNION ALL
+  SELECT w.src, r2.dst, w.hops + 1
+  FROM walk w JOIN rr r2 ON r2.src = w.cur
+  WHERE w.hops < 10
+),
+term AS (SELECT w.src, w.cur FROM walk w
+         WHERE NOT EXISTS (SELECT 1 FROM rr WHERE rr.src = w.cur)),
+e2 AS (SELECT e.src,
+         CASE WHEN rs.src IS NULL THEN e.dst
+              WHEN t.src IS NOT NULL THEN t.cur END AS dst
+       FROM edges e
+       LEFT JOIN (SELECT DISTINCT src FROM rr) rs ON e.dst = rs.src
+       LEFT JOIN term t ON e.dst = t.src),
+e3 AS (SELECT src, dst FROM e2 WHERE dst IS NOT NULL),
+bfs(id, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {pagesrc.SEED_MOD} = 0
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e3 e ON e.src = b.id
   WHERE b.depth < {MAX_DEPTH}
 )
 SELECT 'https://host' || (CASE WHEN id % {pagesrc.MEGA_HOST_MOD} = 0 THEN 0 ELSE id % {pagesrc.N_HOSTS} END)

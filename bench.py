@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "line_dedup_scrub",
     "bm25_topk",
     "canonical_clusters",
+    "crawl_frontier_redirects",
     "registered_domains",
     "retrieval_pairs",
     "latency_percentiles",

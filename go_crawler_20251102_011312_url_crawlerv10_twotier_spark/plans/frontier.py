@@ -367,6 +367,7 @@ def crawl(
     host_ranks: DataFrame | None = None,
     initial_dl_log: DataFrame | None = None,
     initial_dl_pending: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> CrawlResult:
     cfg = cfg or CrawlConfig()
     store = SnapshotStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
@@ -431,6 +432,50 @@ def crawl(
                 cfg.crawl_delay_window_s,
                 cap=cfg.crawl_delay_budget_cap,
             ).localCheckpoint(eager=True)
+
+    # S2 redirect transparency (colly/net/http follow 3xx silently; the
+    # engine's corpus-lookup fetch must too): pre-resolve the ENTIRE
+    # redirect map ONCE via pointer doubling — O(log max_hops) shuffles
+    # of the (small) redirect table, off the per-superstep path — then
+    # each superstep rewrites candidate links through the resolved map
+    # with one broadcast join. Loops / >10-hop chains ("stuck", the
+    # class net/http aborts) drop the candidate, like OnError does.
+    # Seeds are taken as given (they name entry points, not responses).
+    redirect_map = None
+    if redirects is not None:
+        from ..operators.redirects import resolve_redirects
+
+        # cut the input's lineage first: the resolver's doubling tree
+        # references the edge table O(2^rounds) times, and each leaf
+        # would otherwise replay the caller's full upstream plan
+        redirects = redirects.select("src", "dst").localCheckpoint(eager=True)
+        _r = resolve_redirects(
+            redirects.select(F.col("src").alias("url")), redirects, "url"
+        )
+        redirect_map = (
+            _r.select(
+                _norm(F.col("url")).alias("src_norm"),
+                (F.col("status") == "ok").alias("r_ok"),
+                F.col("final_url").alias("r_final"),
+            )
+            .withColumn("r_final_norm", _norm(F.col("r_final")))
+            .withColumn("r_final_host", _host(F.col("r_final")))
+            # defensive determinism if two raw sources normalize alike
+            .groupBy("src_norm")
+            .agg(
+                F.min(
+                    F.struct("r_ok", "r_final", "r_final_norm", "r_final_host")
+                ).alias("m")
+            )
+            .select(
+                "src_norm",
+                F.col("m.r_ok").alias("r_ok"),
+                F.col("m.r_final").alias("r_final"),
+                F.col("m.r_final_norm").alias("r_final_norm"),
+                F.col("m.r_final_host").alias("r_final_host"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     if cfg.discover_sitemaps:
         from ..operators.sitemaps import sitemap_seeds as _sm_seeds
@@ -573,8 +618,23 @@ def crawl(
             )
             .withColumn("c_norm", _norm(F.col("href")))
             .withColumn("c_host", _host(F.col("href")))
-            .filter(host_present(F.col("c_host")))
         )
+        if redirect_map is not None:
+            cand = (
+                cand.join(
+                    F.broadcast(redirect_map),
+                    cand.c_norm == redirect_map.src_norm,
+                    "left",
+                )
+                .filter(F.col("src_norm").isNull() | F.col("r_ok"))
+                .select(
+                    F.coalesce("r_final", "href").alias("href"),
+                    (F.coalesce("r_final_norm", "c_norm")).alias("c_norm"),
+                    (F.coalesce("r_final_host", "c_host")).alias("c_host"),
+                    "cdepth",
+                )
+            )
+        cand = cand.filter(host_present(F.col("c_host")))
         deduped = (
             cand.groupBy("c_norm")
             .agg(F.min(F.struct("cdepth", "href", "c_host")).alias("m"))
@@ -794,6 +854,7 @@ def resume(
     url_col: str = "url",
     html_col: str = "html",
     as_of: int | None = None,
+    redirects: DataFrame | None = None,
 ) -> CrawlResult:
     """Resume a checkpointed crawl from its latest committed snapshot,
     or — Iceberg-style time travel — from ANY earlier committed
@@ -841,4 +902,5 @@ def resume(
         start_iter=last,
         initial_dl_log=dl0,
         initial_dl_pending=pending0,
+        redirects=redirects,
     )

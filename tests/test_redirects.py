@@ -137,3 +137,49 @@ def test_canonical_clusters_variants_chain_loop(spark):
     assert out["dangler"].canonical_url == "not-in-corpus"
     assert not out["dangler"].is_canonical and out["dangler"].n_members == 0
     assert out["solo"].canonical_url == "solo" and out["solo"].n_members == 1
+
+
+def test_crawl_follows_redirects_transparently(spark):
+    """crawl(redirects=...): a link to a redirect source lands on the
+    FINAL url at the parent's depth+1 (3xx hops cost no depth), the
+    source never enters seen, and loop targets drop like net/http's
+    redirect abort."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.plans.frontier import (
+        CrawlConfig,
+        crawl,
+    )
+
+    def page(url, *hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (url, f"<html><body>{body}</body></html>")
+
+    pages = spark.createDataFrame(
+        [
+            page(
+                "https://s.example/a",
+                "https://s.example/r1",
+                "https://s.example/loopa",
+            ),
+            page("https://s.example/b", "https://s.example/c"),
+            page("https://s.example/c"),
+            # content at a redirect source must never be fetched
+            page("https://s.example/r1", "https://s.example/poison"),
+        ],
+        "url string, html string",
+    )
+    redirects = spark.createDataFrame(
+        [
+            ("https://s.example/r1", "https://s.example/b"),
+            ("https://s.example/loopa", "https://s.example/loopb"),
+            ("https://s.example/loopb", "https://s.example/loopa"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("https://s.example/a", 0)], "url string, depth int")
+    res = crawl(spark, pages, seeds, CrawlConfig(), redirects=redirects)
+    seen = {r["url_norm"]: r["depth"] for r in res.seen.collect()}
+    assert seen == {
+        "https://s.example/a": 0,
+        "https://s.example/b": 1,  # via r1, transparent hop
+        "https://s.example/c": 2,
+    }
