@@ -1441,6 +1441,31 @@ def q_politeness_crawl_delay(spark, sf_dir):
     return scheduled.select("url_norm", "host", "depth")
 
 
+def q_fetch_schedule(spark, sf_dir):
+    """Dispatch timeline (politeness.dispatch_timeline): the budgeted
+    batch gets concrete per-host fire times — slot k of host H at
+    k * crawl_delay_ms(H) (default 1000 ms) — replacing a runtime
+    rate limiter with a precomputed table. Composes the crawl-delay
+    budget gate's exact selection; the oracle re-derives both the cut
+    and the timeline closed-form."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.politeness import (
+        dispatch_timeline,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        delay_budgets,
+        host_crawl_delays,
+    )
+
+    frontier = _synth(spark, sf_dir, FRONTIER_SYNTH_SQL)
+    robots_corpus = _synth(spark, sf_dir, CRAWLDELAY_ROBOTS_SQL)
+    delays = host_crawl_delays(robots_corpus)
+    budgets = delay_budgets(delays, window_s=10.0)
+    scheduled, _ = politeness.schedule(
+        frontier, budget_per_host=7, host_budgets=budgets
+    )
+    return dispatch_timeline(scheduled, delays, default_delay_ms=1000)
+
+
 def q_sitemap_seeds(spark, sf_dir):
     """Sitemap ingestion (operators/sitemaps.py — engine-native; the
     reference link-walks only): urlset entries + one resolved index
@@ -2875,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budget": q_politeness_budget,
         "politeness_hostrank": q_politeness_hostrank,
         "politeness_crawl_delay": q_politeness_crawl_delay,
+        "fetch_schedule": q_fetch_schedule,
         "politeness_quality": q_politeness_quality,
         "sitemap_seeds": q_sitemap_seeds,
         "robots_sitemap_urls": q_robots_sitemap_urls,
@@ -3805,6 +3831,29 @@ r AS (SELECT f.url_norm, f.host, f.depth,
         coalesce(b.budget, 7) AS budget
       FROM f LEFT JOIN b ON f.host = b.host)
 SELECT url_norm, host, depth FROM r WHERE rn <= budget
+""",
+        "fetch_schedule": f"""
+WITH f AS ({FRONTIER_SYNTH_SQL}),
+d AS (SELECT DISTINCT {pagesrc._h('doc_id')} AS h FROM documents),
+dl AS (SELECT 'host' || h || '.example' AS host,
+         CAST((h % 5 + 1) * 1000 AS BIGINT) AS dms
+       FROM d WHERE h % 3 <> 2),
+b AS (SELECT 'host' || h || '.example' AS host,
+        greatest(1, CAST(floor(10.0 / (h % 5 + 1)) AS INT)) AS budget
+      FROM d WHERE h % 3 <> 2),
+r AS (SELECT f.url_norm, f.host, f.depth, f.priority,
+        row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.depth, f.url_norm) AS rn,
+        coalesce(b.budget, 7) AS budget
+      FROM f LEFT JOIN b ON f.host = b.host),
+s AS (SELECT url_norm, host, depth, priority FROM r WHERE rn <= budget),
+t AS (SELECT url_norm, host, depth,
+        CAST(row_number() OVER (
+          PARTITION BY host ORDER BY priority DESC, depth, url_norm
+        ) - 1 AS BIGINT) AS slot
+      FROM s)
+SELECT t.url_norm, t.host, t.depth, t.slot,
+  CAST(t.slot * coalesce(dl.dms, 1000) AS BIGINT) AS fetch_at_ms
+FROM t LEFT JOIN dl ON t.host = dl.host
 """,
         "politeness_hostrank": f"""
 WITH f AS ({FRONTIER_SYNTH_SQL}),

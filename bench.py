@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "canonical_clusters",
     "crawl_frontier_redirects",
+    "fetch_schedule",
     "registered_domains",
     "retrieval_pairs",
     "latency_percentiles",

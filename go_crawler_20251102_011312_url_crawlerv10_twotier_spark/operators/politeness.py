@@ -177,3 +177,54 @@ def schedule_by_domain(
         return df.drop("host").withColumnRenamed("_orig_host", "host")
 
     return _restore(scheduled), _restore(deferred)
+
+
+def dispatch_timeline(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Assign each scheduled URL a concrete dispatch time honoring its
+    host's crawl-delay: slot k of host H fires at ``k * delay_ms(H)``
+    (ms since window start). ``delay_budgets`` answers *how many* URLs
+    a window admits; this answers *when* each one goes — the table a
+    partition-parallel fetch stage replays without any runtime rate
+    limiter (the batch engine's substitute for the reference's
+    token-bucket waits).
+
+    ``delays``: (host, crawl_delay double seconds) from
+    ``robots.host_crawl_delays`` — broadcast (≤1 row/host); hosts
+    without a row use ``default_delay_ms``. Slot order is the engine's
+    deterministic cut rule — (priority DESC,) depth ASC, url_norm ASC,
+    the priority term applying when the frontier carries the column.
+
+    Scale shape: one window partitioned BY HOST — per-host sequential
+    by definition (a timeline is a total order per host). Feed it the
+    politeness-budgeted batch, never the raw frontier: the budget caps
+    each host's rows per window, which is exactly what bounds the
+    window task. Output: (url_norm, host, depth, slot, fetch_at_ms).
+    """
+    from pyspark.sql.window import Window
+
+    if delays is not None:
+        dm = delays.select(
+            "host",
+            F.round(F.col("crawl_delay") * 1000).cast("bigint").alias("_dms"),
+        )
+        fr = frontier.join(F.broadcast(dm), "host", "left")
+    else:
+        fr = frontier.withColumn("_dms", F.lit(None).cast("bigint"))
+    order = [F.col("depth").asc(), F.col("url_norm").asc()]
+    if "priority" in frontier.columns:
+        order = [F.col("priority").desc(), *order]
+    w = Window.partitionBy("host").orderBy(*order)
+    slot = (F.row_number().over(w) - 1).cast("bigint")
+    return fr.select(
+        "url_norm",
+        "host",
+        "depth",
+        slot.alias("slot"),
+        (slot * F.coalesce(F.col("_dms"), F.lit(int(default_delay_ms))))
+        .cast("bigint")
+        .alias("fetch_at_ms"),
+    )

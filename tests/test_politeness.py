@@ -284,3 +284,32 @@ def test_host_quality_ranks_prioritize_fluent_hosts(spark):
     )
     sched, _ = schedule(frontier, budget_per_host=5, host_ranks=ranks, global_budget=1)
     assert [r.host for r in sched.collect()] == ["good.example"]
+
+
+def test_dispatch_timeline_slots_and_delays(spark):
+    """Slots are per-host 0-based in (priority DESC, depth, url) order;
+    fetch times step by the host's delay, default for unknown hosts."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.politeness import (
+        dispatch_timeline,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.x/1", "a.x", 2, False),
+            ("https://a.x/2", "a.x", 1, False),
+            ("https://a.x/3", "a.x", 3, True),  # priority wins slot 0
+            ("https://b.x/1", "b.x", 0, False),
+            ("https://b.x/2", "b.x", 0, False),
+        ],
+        "url_norm string, host string, depth int, priority boolean",
+    )
+    delays = spark.createDataFrame([("a.x", 2.5)], "host string, crawl_delay double")
+    out = {
+        r["url_norm"]: (r["slot"], r["fetch_at_ms"])
+        for r in dispatch_timeline(frontier, delays, default_delay_ms=300).collect()
+    }
+    assert out["https://a.x/3"] == (0, 0)  # priority first despite depth 3
+    assert out["https://a.x/2"] == (1, 2500)
+    assert out["https://a.x/1"] == (2, 5000)
+    assert out["https://b.x/1"] == (0, 0)  # default 300 ms for b.x
+    assert out["https://b.x/2"] == (1, 300)
