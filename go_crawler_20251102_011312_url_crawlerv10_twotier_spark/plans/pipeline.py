@@ -50,6 +50,7 @@ from ..functions.textstats import (
 )
 from ..functions.urlnorm import normalize_url_compat_col
 from ..operators import curation, dedup, fetch, sampling
+from ..operators.traps import soft404_flags
 from ..sources import shards
 from .frontier import CrawlConfig, crawl
 
@@ -203,6 +204,8 @@ def run_training_pipeline(
     html_col: str = "html",
     para_dedup: bool = False,
     mix_alpha: float | None = None,
+    drop_soft404: bool = False,
+    line_scrub: bool = False,
 ) -> PipelineResult:
     """Drive the nine-stage pipeline over a pages corpus. See module
     docstring for the stage list and checkpoint/resume semantics.
@@ -220,6 +223,16 @@ def run_training_pipeline(
     the output language shares become proportional to n_lang**alpha —
     the XLM/mT5 rebalance — with no rate table to maintain. None (the
     default) keeps the policy sampler and byte-stable manifests.
+
+    ``drop_soft404=True`` inserts a filter stage right after tier-2
+    extract (before any text rewriting): pages whose CONTENT is an
+    error page behind a 200 status (traps.soft404_flags) leave the
+    funnel entirely — the earliest point the signal exists, and every
+    later stage gets a smaller corpus. ``line_scrub=True`` inserts
+    within-doc duplicate-line removal (curation.line_dedup_scrub)
+    after the optional paragraph dedup and before normalize, whose
+    whitespace collapse would erase the line boundaries. Both default
+    off so the nine-stage manifests stay byte-stable.
 
     ``stop_after=k`` commits the first k stages then raises
     ``PipelineStopped`` — the controlled mid-pipeline-death used by
@@ -293,6 +306,19 @@ def run_training_pipeline(
     docs, n_docs = r.run("tier2_extract", n_seen, do_tier2)
     _gate()
 
+    # -- 2a (optional). soft-404 content filter ------------------------
+    if drop_soft404:
+
+        def do_soft404() -> DataFrame:
+            flags = soft404_flags(docs, id_col="doc_id", text_col="text")
+            bad = flags.filter(F.col("soft404")).select(
+                F.col("id").alias("doc_id")
+            )
+            return docs.join(bad, "doc_id", "left_anti")
+
+        docs, n_docs = r.run("soft404_filter", n_docs, do_soft404)
+        _gate()
+
     # -- 2b (optional). corpus-global paragraph dedup ------------------
     if para_dedup:
 
@@ -309,6 +335,24 @@ def run_training_pipeline(
             )
 
         docs, n_docs = r.run("paragraph_dedup", n_docs, do_para)
+        _gate()
+
+    # -- 2c (optional). within-doc duplicate-line scrub ----------------
+    if line_scrub:
+
+        def do_scrub() -> DataFrame:
+            sc = curation.line_dedup_scrub(
+                docs, keep=("url", "n_bytes", "body_xxh")
+            )
+            return sc.select(
+                "doc_id",
+                "url",
+                F.col("clean_text").alias("text"),
+                "n_bytes",
+                "body_xxh",
+            )
+
+        docs, n_docs = r.run("line_scrub", n_docs, do_scrub)
         _gate()
 
     # -- 3. normalize: rendering-independent text ---------------------

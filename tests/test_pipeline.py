@@ -264,3 +264,55 @@ def test_pipeline_temperature_mix_stage(spark, tmp_path):
     assert got == want and got
     # the rarest surviving language is kept whole: some weight == 1.0
     assert any(w == 1.0 for _, _, w in got)
+
+
+def test_pipeline_soft404_and_line_scrub_stages(spark, tmp_path):
+    """drop_soft404 + line_scrub insert their stages in order (2a
+    before 2c, both before normalize); soft404 only DROPS rows, the
+    scrub only REWRITES text; the committed line_scrub parquet equals
+    line_dedup_scrub applied to the committed stage before it; the
+    funnel still reaches a shard manifest."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        line_dedup_scrub,
+    )
+
+    pages, seeds = _inputs(spark)
+    wd = tmp_path / "s4"
+    res = run_training_pipeline(
+        spark,
+        pages,
+        seeds,
+        str(wd),
+        max_records_per_file=100,
+        drop_soft404=True,
+        line_scrub=True,
+    )
+    names = [s.name for s in res.stages]
+    assert names == [
+        "crawl", "tier2_extract", "soft404_filter", "line_scrub",
+        "normalize", "quality_filter", "exact_dedup", "dedup_clusters",
+        "corpus_refine", "sequence_pack", "training_shards",
+    ]
+    rows = {s.name: (s.rows_in, s.rows_out) for s in res.stages}
+    assert rows["soft404_filter"][1] <= rows["soft404_filter"][0]
+    # line scrub preserves every doc row
+    assert rows["line_scrub"] == (
+        rows["soft404_filter"][1], rows["soft404_filter"][1]
+    )
+    assert res.manifest.count() > 0
+    # the committed stage output IS the operator applied to its input
+    import glob
+
+    from pyspark.sql import functions as F
+
+    def stage_dir(name):
+        m = glob.glob(str(wd / f"*_{name}"))
+        assert len(m) == 1, m
+        return m[0]
+
+    prev = spark.read.parquet(stage_dir("soft404_filter"))
+    got = spark.read.parquet(stage_dir("line_scrub"))
+    want = line_dedup_scrub(prev, keep=("url", "n_bytes", "body_xxh")).select(
+        "doc_id", "url", F.col("clean_text").alias("text"), "n_bytes", "body_xxh"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
