@@ -187,6 +187,30 @@ SELECT
 FROM documents d
 """.strip()
 
+# exact-phrase queries over the documents vocabulary (2- and 3-term,
+# plus one absent phrase that must return no rows)
+PHRASE_QUERY_SQL = """
+SELECT * FROM (VALUES
+  (0, 'hash join'), (1, 'table scan'), (2, 'spark window'),
+  (3, 'key order sort'), (4, 'no such phrase')
+) AS p(phrase_id, phrase)
+""".strip()
+
+# Luhn corpus: valid PAN, invalid same-length run, too-short run,
+# a multi-number doc (valid 16 + valid 13 + invalid 19), and a 26-digit
+# timestamp whose greedy 19-digit prefix must not false-positive
+LUHN_SYNTH_SQL = """
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 7 = 0 THEN d.text || ' pay 4111111111111111 now'
+       WHEN d.doc_id % 7 = 1 THEN d.text || ' ref 4111111111111112 x'
+       WHEN d.doc_id % 7 = 2 THEN d.text || ' id 123456789012 short'
+       WHEN d.doc_id % 7 = 3 THEN
+         'cards 4532015112830366 and 7992739871300 and 1234567890123456789'
+       WHEN d.doc_id % 7 = 4 THEN d.text || ' ts 20240101120000123456789012'
+       ELSE d.text END AS text
+FROM documents d
+""".strip()
+
 # BM25 term queries over the documents vocabulary: common terms,
 # a rare term, and a multi-term mix (VALUES runs on both engines)
 BM25_QUERY_SQL = """
@@ -1621,6 +1645,33 @@ def q_canonical_clusters(spark, sf_dir):
     return canonical_clusters(s, url_col="url", html_col="html")
 
 
+def q_phrase_match(spark, sf_dir):
+    """Exact phrase search (search.phrase_match): positional postings
+    via posexplode + broadcast first-term anchor join + doc-keyed
+    array-slice verification — no BNLJ, no token-array carry through
+    the explode. Oracle replays with unnest + list_slice."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.search import (
+        phrase_match,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    phrases = _synth(spark, sf_dir, PHRASE_QUERY_SQL)
+    return phrase_match(docs, phrases)
+
+
+def q_luhn_pan(spark, sf_dir):
+    """Card-number exposure (textstats.luhn_stats): digit runs 13-19
+    Luhn-checked with nested higher-order functions — exact integer
+    checksum, no UDF, map-only. The oracle replays the identical
+    arithmetic with DuckDB list lambdas."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        luhn_stats,
+    )
+
+    s = _synth(spark, sf_dir, LUHN_SYNTH_SQL)
+    return luhn_stats(s)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 retrieval (search.bm25_topk) over the documents table for
     four term queries. Scores are integer micro-units computed from
@@ -2912,6 +2963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "line_dedup_scrub": q_line_dedup_scrub,
         "bm25_topk": q_bm25_topk,
+        "luhn_pan": q_luhn_pan,
+        "phrase_match": q_phrase_match,
         "canonical_clusters": q_canonical_clusters,
         "registered_domains": q_registered_domains,
         "politeness_domain": q_politeness_domain,
@@ -3999,6 +4052,44 @@ SELECT m.url, m.canonical_url,
   m.url = m.canonical_url AS is_canonical,
   CAST(coalesce(c.n, 0) AS BIGINT) AS n_members
 FROM mapping m LEFT JOIN cnt c ON m.url = c.cu
+""",
+        "phrase_match": f"""
+WITH ph AS ({PHRASE_QUERY_SQL}),
+pt AS (SELECT phrase_id,
+         string_split_regex(lower(phrase), '\\s+') AS terms
+       FROM ph),
+tk AS (SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents),
+occ AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+        FROM tk),
+m AS (SELECT p.phrase_id, o.doc_id
+      FROM occ o JOIN pt p ON o.toks[o.pos] = p.terms[1]
+      WHERE list_slice(o.toks, o.pos, o.pos + len(p.terms) - 1) = p.terms)
+SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM m GROUP BY phrase_id, doc_id
+""",
+        "luhn_pan": f"""
+WITH s AS ({LUHN_SYNTH_SQL}),
+c AS (SELECT doc_id,
+        regexp_extract_all(text, '{textstats.LUHN_CANDIDATE_PATTERN}')
+          AS cands
+      FROM s),
+v AS (SELECT doc_id, cands,
+        list_filter(cands, cc ->
+          (list_sum(list_transform(range(1, length(cc) + 1), p ->
+             CASE WHEN p % 2 = 1
+                    THEN CAST(cc[length(cc) - p + 1] AS INT)
+                  WHEN CAST(cc[length(cc) - p + 1] AS INT) * 2 > 9
+                    THEN CAST(cc[length(cc) - p + 1] AS INT) * 2 - 9
+                  ELSE CAST(cc[length(cc) - p + 1] AS INT) * 2 END))
+           % 10 = 0)) AS valid
+      FROM c)
+SELECT doc_id,
+  CAST(len(cands) AS BIGINT) AS n_digit_runs,
+  CAST(len(valid) AS BIGINT) AS n_luhn_valid,
+  len(valid) > 0 AS has_pan
+FROM v
 """,
         "bm25_topk": f"""
 WITH q AS ({BM25_QUERY_SQL}),

@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "soft404",
     "line_dedup_scrub",
     "bm25_topk",
+    "luhn_pan",
+    "phrase_match",
     "canonical_clusters",
     "crawl_frontier_redirects",
     "fetch_schedule",

@@ -405,3 +405,62 @@ def host_quality_ranks(
         .agg(F.sum("q").alias("s"), F.count("*").alias("c"))
     )
     return agg.select("host", (F.col("s") / F.col("c")).alias("host_rank"))
+
+
+# --- Luhn-validated card-number detection ----------------------------------
+
+# contiguous digit runs in the PAN length range; greedy leftmost on
+# both regex engines, so a 20+-digit run yields one 19-digit candidate
+LUHN_CANDIDATE_PATTERN = "[0-9]{13,19}"
+
+
+def _luhn_valid(c):
+    """Catalyst Luhn checksum over a digit-string column/lambda var:
+    from the right, double every second digit (−9 past 9), sum % 10
+    == 0. Pure integer higher-order aggregate — no UDF."""
+    n = F.length(c)
+    term = lambda p: (  # p = 1-based position from the RIGHT
+        F.when(
+            p % 2 == 1,
+            F.substring(c, (n - p + 1).cast("int"), 1).cast("int"),
+        ).otherwise(
+            F.when(
+                F.substring(c, (n - p + 1).cast("int"), 1).cast("int") * 2 > 9,
+                F.substring(c, (n - p + 1).cast("int"), 1).cast("int") * 2 - 9,
+            ).otherwise(
+                F.substring(c, (n - p + 1).cast("int"), 1).cast("int") * 2
+            )
+        )
+    )
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, p: acc + term(p),
+    )
+    return total % 10 == 0
+
+
+def luhn_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc card-number (PAN) exposure: digit runs of 13-19 chars
+    checked against the Luhn checksum — the redact_pii family's
+    highest-stakes member, where a bare \\d{13,19} regex would flag
+    order ids and timestamps ~10x over. Map-only nested higher-order
+    functions (regexp_extract_all -> filter(aggregate)), zero shuffle,
+    exact integer arithmetic on both engines.
+
+    Output: (doc_id, n_digit_runs, n_luhn_valid, has_pan).
+    """
+    cands = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(LUHN_CANDIDATE_PATTERN),
+        0,
+    )
+    valid = F.filter(cands, _luhn_valid)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(cands).cast("bigint").alias("n_digit_runs"),
+        F.size(valid).cast("bigint").alias("n_luhn_valid"),
+        (F.size(valid) > 0).alias("has_pan"),
+    )

@@ -111,3 +111,58 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "rnk", "score_micro")
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact consecutive-token phrase search: which docs contain the
+    phrase, and how many times — the positional-postings capability
+    BM25's bag-of-words scoring cannot answer.
+
+    ``phrases``: (phrase_id, phrase) — whitespace-separated terms,
+    tokenized with the same TOKEN_PATTERN as the postings build.
+
+    Plan shape (no BNLJ, no token-array blow-up): token occurrences
+    posexplode once; a BROADCAST HASH join on the phrase's FIRST term
+    prunes to candidate anchors; candidates re-join the per-doc token
+    array on the doc key (uniform, bounded by doc length) and verify
+    ``slice(toks, pos+1, len) == terms`` as one array compare. The
+    classic alternatives both fail at scale: carrying the token array
+    through the explode is quadratic bytes per doc, and a phrases
+    crossJoin is a nested-loop over the corpus.
+
+    Output: (phrase_id, doc_id, n_matches), only rows with >= 1 match.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(TOKEN_PATTERN),
+            0,
+        ).alias("toks"),
+    )
+    ph = phrases.select(
+        "phrase_id",
+        F.split(F.lower(F.col(phrase_col)), r"\s+").alias("terms"),
+    ).select(
+        "phrase_id",
+        "terms",
+        F.col("terms")[0].alias("first_term"),
+        F.size("terms").alias("plen"),
+    )
+    occ = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+    anchors = occ.join(F.broadcast(ph), occ.term == ph.first_term)
+    verified = (
+        anchors.join(toks, "doc_id")
+        .filter(F.slice(F.col("toks"), F.col("pos") + 1, F.col("plen")) == F.col("terms"))
+    )
+    return verified.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )

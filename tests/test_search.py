@@ -81,3 +81,36 @@ def test_bm25_k_bound_and_missing_term(spark):
     q1 = [r for r in out if r["query_id"] == 1]
     assert len(q0) == 2  # three matches, k=2 keeps the top two
     assert q1 == []  # absent term: no rows, no crash
+
+
+def test_phrase_match_exact_and_overlapping(spark):
+    """Consecutive-token semantics: counts, overlap, case folding,
+    punctuation tokenization, absent phrase, phrase at doc end."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.search import (
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hash Join beats nested loops; hash join wins"),
+            (2, "the hash, join of worlds"),  # punctuation splits; still adjacent tokens
+            (3, "join hash"),  # wrong order
+            (4, "ends with hash join"),
+            (5, "a a a a"),  # overlapping matches of 'a a'
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "hash join"), (1, "a a"), (2, "absent words")],
+        "phrase_id int, phrase string",
+    )
+    out = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert out[(0, 1)] == 2  # case-folded, twice
+    assert out[(0, 2)] == 1  # 'hash, join' tokenizes to adjacent terms
+    assert (0, 3) not in out
+    assert out[(0, 4)] == 1  # phrase flush at the end
+    assert out[(1, 5)] == 3  # overlapping anchors all count
+    assert not any(pid == 2 for pid, _ in out)

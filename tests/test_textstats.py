@@ -237,3 +237,35 @@ def test_script_profile_counts_and_dominant(spark):
     assert got[3].dominant == "none" and got[3].n_latin == 0
     assert got[4].dominant == "none" and got[4].n_chars == 0
     assert (got[5].n_arabic, got[5].n_greek, got[5].dominant) == (5, 4, "arabic")
+
+
+def test_luhn_stats_hand_cases(spark):
+    """Known PANs validate, off-by-one fails, short runs are not
+    candidates, a 26-digit run yields one greedy 19-digit candidate."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.functions.textstats import (
+        luhn_stats,
+    )
+
+    rows = [
+        (1, "pay 4111111111111111 now"),          # valid 16
+        (2, "ref 4111111111111112 x"),            # invalid 16
+        (3, "id 123456789012 short"),             # 12 digits: no candidate
+        (4, "cards 4532015112830366 and 7992739871300 and 1234567890123456789"),
+        (5, "ts 20240101120000123456789012"),     # one 19-digit candidate
+        (6, "no digits at all"),
+        (7, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in luhn_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert (out[1].n_digit_runs, out[1].n_luhn_valid, out[1].has_pan) == (1, 1, True)
+    assert (out[2].n_digit_runs, out[2].n_luhn_valid, out[2].has_pan) == (1, 0, False)
+    assert out[3].n_digit_runs == 0 and not out[3].has_pan
+    # valid 16 + valid 13 + invalid 19
+    assert (out[4].n_digit_runs, out[4].n_luhn_valid) == (3, 2)
+    assert out[5].n_digit_runs == 1  # greedy 19-digit prefix, not 26
+    assert out[6].n_digit_runs == 0
+    assert out[7].n_digit_runs == 0 and not out[7].has_pan
