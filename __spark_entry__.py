@@ -1659,6 +1659,19 @@ def q_phrase_match(spark, sf_dir):
     return phrase_match(docs, phrases)
 
 
+def q_compression_signal(spark, sf_dir):
+    """zlib-ratio quality signal (curation.compression_signal) over
+    documents. ROWS-ONLY gate by design: zlib exists in neither SQL
+    engine — same weaker-check class as custom stateful streaming;
+    the threshold/edge semantics are pytest-pinned instead
+    (test_curation)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        compression_signal,
+    )
+
+    return compression_signal(load(spark, sf_dir, "documents"))
+
+
 def q_luhn_pan(spark, sf_dir):
     """Card-number exposure (textstats.luhn_stats): digit runs 13-19
     Luhn-checked with nested higher-order functions — exact integer
@@ -2964,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_scrub": q_line_dedup_scrub,
         "bm25_topk": q_bm25_topk,
         "luhn_pan": q_luhn_pan,
+        "compression_signal": q_compression_signal,
         "phrase_match": q_phrase_match,
         "canonical_clusters": q_canonical_clusters,
         "registered_domains": q_registered_domains,

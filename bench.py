@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "line_dedup_scrub",
     "bm25_topk",
     "luhn_pan",
+    "compression_signal",
     "phrase_match",
     "canonical_clusters",
     "crawl_frontier_redirects",

@@ -831,3 +831,74 @@ def line_dedup_scrub(
         (n_lines - n_kept).cast("bigint").alias("n_dropped"),
         F.concat_ws("\n", kept).alias("clean_text"),
     )
+
+
+def compression_signal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    repetitive_below: float = 0.25,
+    incompressible_above: float = 0.72,
+    min_flag_bytes: int = 512,
+) -> DataFrame:
+    """zlib compression ratio per doc — the codings-based quality
+    signal the n-gram repetition stats approximate: templated/spammy
+    text compresses far below prose (flag ``repetitive``), while
+    base64 blobs / minified noise barely compress at all (flag
+    ``incompressible``). Both tails are filter candidates a 100 TB
+    curation pass wants cheap.
+
+    One Arrow-batched ``mapInPandas`` hop (zlib is not expressible in
+    either SQL engine — this is a ROWS-ONLY gate entry by design, the
+    same weaker-check class as custom stateful streaming); map-only,
+    no shuffle, and only (id, text) crosses to Python. Ratio is
+    deterministic for a fixed zlib level within one environment.
+
+    The ratio is LENGTH-CONFOUNDED below a few hundred bytes (zlib
+    header + dictionary warm-up: 114 B of clean prose measures 0.82,
+    worse than a base64 blob's 0.76), so flags only apply at
+    ``raw_bytes >= min_flag_bytes``; the thresholds themselves come
+    from measured classes (templated spam 0.014, varied prose
+    0.19-0.63, base64 0.765).
+
+    Output: (doc_id, raw_bytes, comp_bytes, ratio, repetitive,
+    incompressible); empty docs get ratio 0.0 and no flags.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas batch type)
+
+    out_schema = (
+        "doc_id long, raw_bytes long, comp_bytes long, ratio double,"
+        " repetitive boolean, incompressible boolean"
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = [t.encode("utf-8") for t in pdf["_t"].fillna("")]
+            rb = [len(b) for b in raw]
+            cb = [len(zlib.compress(b, level)) if b else 0 for b in raw]
+            ratio = [
+                round(c / r, 6) if r else 0.0 for c, r in zip(cb, rb)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["_id"],
+                    "raw_bytes": rb,
+                    "comp_bytes": cb,
+                    "ratio": ratio,
+                    "repetitive": [
+                        r >= min_flag_bytes and 0 < x < repetitive_below
+                        for x, r in zip(ratio, rb)
+                    ],
+                    "incompressible": [
+                        r >= min_flag_bytes and x > incompressible_above
+                        for x, r in zip(ratio, rb)
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).mapInPandas(batches, out_schema)

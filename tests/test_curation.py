@@ -442,3 +442,41 @@ def test_line_dedup_scrub_is_map_only(spark):
         line_dedup_scrub(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_compression_signal_tails(spark):
+    """Templated text compresses hard (repetitive), base64-ish noise
+    barely (incompressible), prose sits between; empty doc -> 0.0."""
+    import base64
+    import hashlib
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
+        compression_signal,
+    )
+
+    noise = base64.b64encode(
+        b"".join(hashlib.sha256(bytes([i])).digest() for i in range(64))
+    ).decode()
+    rows = [
+        (1, "buy now click here " * 200),
+        (2, noise),
+        (3, "The quick brown fox jumps over the lazy dog near the bank "
+            "of the river while the miller grinds his grain in peace."),
+        (4, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in compression_signal(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].repetitive and not out[1].incompressible
+    assert out[1].ratio < 0.05
+    assert out[2].incompressible and not out[2].repetitive
+    assert out[2].ratio > 0.72
+    # short prose measures ~0.82 from zlib header overhead alone —
+    # the min_flag_bytes guard is what keeps it unflagged
+    assert out[3].ratio > 0.72 and not out[3].incompressible
+    assert not out[3].repetitive
+    assert out[4].ratio == 0.0 and out[4].raw_bytes == 0
+    assert not out[4].repetitive and not out[4].incompressible
