@@ -1716,6 +1716,25 @@ def q_host_reciprocity(spark, sf_dir):
     return host_reciprocity(host_edges(pages))
 
 
+def q_host_hits(spark, sf_dir):
+    """HITS hubs & authorities (ranks.host_hits) over the E1 host
+    graph, 2 synchronized iterations, L1 normalization — the
+    directional split of host_pagerank's single scalar. Oracle unrolls
+    the same arithmetic as chained CTEs."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_edges,
+        host_hits,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    out = host_hits(host_edges(pages), n_iters=2)
+    return out.select(
+        "host",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A2 routing-split metrics over the clean corpus."""
     pages = pagesrc.synth_clean_pages(spark, sf_dir)
@@ -2971,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_params": q_clean_params,
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
+        "host_hits": q_host_hits,
         "host_reciprocity": q_host_reciprocity,
         "redirect_resolve": q_redirect_resolve,
         "soft404": q_soft404,
@@ -4197,6 +4217,36 @@ SELECT q.src AS url,
 FROM m q
 LEFT JOIN (SELECT DISTINCT src FROM r) rr ON q.src = rr.src
 LEFT JOIN term t ON q.src = t.url
+""",
+        "host_hits": f"""
+WITH e0 AS ({pagesrc.edges_sql()}),
+e AS (SELECT DISTINCT 'host' || {pagesrc._h('e0.src')} || '.example' AS s,
+                      'host' || {pagesrc._h('e0.dst')} || '.example' AS t
+      FROM e0),
+v AS (SELECT s AS host FROM e UNION SELECT t FROM e),
+h0 AS (SELECT host, 1.0 AS hub FROM v),
+a1r AS (SELECT e.t AS host, sum(h0.hub) AS x
+        FROM e JOIN h0 ON h0.host = e.s GROUP BY e.t),
+a1c AS (SELECT v.host, coalesce(a1r.x, 0.0) AS auth
+        FROM v LEFT JOIN a1r USING (host)),
+a1 AS (SELECT host, auth / (SELECT sum(auth) FROM a1c) AS auth FROM a1c),
+h1r AS (SELECT e.s AS host, sum(a1.auth) AS x
+        FROM e JOIN a1 ON a1.host = e.t GROUP BY e.s),
+h1c AS (SELECT v.host, coalesce(h1r.x, 0.0) AS hub
+        FROM v LEFT JOIN h1r USING (host)),
+h1 AS (SELECT host, hub / (SELECT sum(hub) FROM h1c) AS hub FROM h1c),
+a2r AS (SELECT e.t AS host, sum(h1.hub) AS x
+        FROM e JOIN h1 ON h1.host = e.s GROUP BY e.t),
+a2c AS (SELECT v.host, coalesce(a2r.x, 0.0) AS auth
+        FROM v LEFT JOIN a2r USING (host)),
+a2 AS (SELECT host, auth / (SELECT sum(auth) FROM a2c) AS auth FROM a2c),
+h2r AS (SELECT e.s AS host, sum(a2.auth) AS x
+        FROM e JOIN a2 ON a2.host = e.t GROUP BY e.s),
+h2c AS (SELECT v.host, coalesce(h2r.x, 0.0) AS hub
+        FROM v LEFT JOIN h2r USING (host)),
+h2 AS (SELECT host, hub / (SELECT sum(hub) FROM h2c) AS hub FROM h2c)
+SELECT h2.host, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+FROM h2 JOIN a2 ON a2.host = h2.host
 """,
         "host_pagerank": f"""
 WITH e0 AS ({pagesrc.edges_sql()}),

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "bigram_commonness",
     "anchor_profile",
     "host_reciprocity",
+    "host_hits",
     "redirect_resolve",
     "soft404",
     "line_dedup_scrub",

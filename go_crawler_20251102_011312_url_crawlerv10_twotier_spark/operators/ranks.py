@@ -352,3 +352,80 @@ def recrawl_schedule(
     return scored.withColumn("rank", F.row_number().over(wh)).filter(
         F.col("rank") <= per_host_budget
     )
+
+
+def host_hits(
+    edges: DataFrame,
+    n_iters: int = 2,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """HITS hubs & authorities over the host graph (Kleinberg 1999) —
+    the directional complement of :func:`host_pagerank`: a link FARM
+    pumps hub mass but earns no authority, a heavily-cited archive is
+    the reverse. The scheduler reads authority as "worth fetching
+    deeply" and hub as "worth mining for outlinks" — two priorities
+    one PageRank scalar conflates.
+
+    Exact semantics (mirrored by the unrolled-CTE oracle):
+
+    * edges deduplicated to distinct (src, dst); self-loops kept
+    * hub_0(u) = 1.0 on every host
+    * per iteration: auth(v) = Σ_{(u,v)} hub(u), L1-normalized over
+      all hosts; then hub(u) = Σ_{(u,v)} auth(v), L1-normalized
+    * hosts outside a sum coalesce to 0 BEFORE normalization
+
+    Scale shape: identical to host_pagerank — the deduped edge table
+    is src-partitioned and persisted once; each half-iteration is one
+    hosts-sized join + one map-side-partial aggregation; the L1 total
+    is a broadcast 1-row scalar attach (the engine's crossJoin-scalar
+    pattern); carriers are eagerly cut per iteration.
+    """
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .dropDuplicates(["s", "t"])
+        .repartition("s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hosts = (
+        e.select(F.col("s").alias("host"))
+        .unionByName(e.select(F.col("t").alias("host")))
+        .dropDuplicates(["host"])
+        .localCheckpoint(eager=True)
+    )
+
+    def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+        tot = scores.agg(F.sum(col).alias("_tot"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "host", (F.col(col) / F.col("_tot")).alias(col)
+        )
+
+    hub = hosts.select("host", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hub.select(F.col("host").alias("s"), "hub"), "s")
+            .groupBy(F.col("t").alias("host"))
+            .agg(F.sum("hub").alias("x"))
+        )
+        auth = _l1_normalize(
+            hosts.join(a_raw, "host", "left").select(
+                "host", F.coalesce("x", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auth.select(F.col("host").alias("t"), "auth"), "t")
+            .groupBy(F.col("s").alias("host"))
+            .agg(F.sum("auth").alias("x"))
+        )
+        hub = _l1_normalize(
+            hosts.join(h_raw, "host", "left").select(
+                "host", F.coalesce("x", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+    e.unpersist()
+    return hub.join(auth, "host").select("host", "hub", "auth")

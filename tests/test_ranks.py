@@ -274,3 +274,29 @@ def test_host_reciprocity_hand_case(spark):
         0,
         False,
     )
+
+
+def test_host_hits_hub_authority_split(spark):
+    """A pure-hub host (only outlinks) earns hub mass but zero
+    authority; the pure-authority target is the reverse; L1 sums are 1
+    per score; 2 iterations are deterministic."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_hits,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("hub.x", "auth.x"),
+            ("hub.x", "auth2.x"),
+            ("mid.x", "auth.x"),
+            ("auth.x", "mid.x"),  # a back-edge so auth.x isn't pure
+        ],
+        "src_host string, dst_host string",
+    )
+    out = {r["host"]: r for r in host_hits(edges, n_iters=2).collect()}
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-9
+    assert abs(sum(r["auth"] for r in out.values()) - 1.0) < 1e-9
+    assert out["hub.x"].auth == 0.0  # nothing links TO hub.x
+    assert out["auth2.x"].hub == 0.0  # auth2.x links to nothing
+    assert out["hub.x"].hub > out["auth.x"].hub
+    assert out["auth.x"].auth > out["hub.x"].auth
