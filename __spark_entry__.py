@@ -196,6 +196,19 @@ SELECT * FROM (VALUES
 ) AS p(phrase_id, phrase)
 """.strip()
 
+# v2 corpus for incremental index maintenance: ~9% of docs changed
+# (extra tokens appended), ~8% removed, a handful of brand-new ids
+V2_DOCS_SQL = """
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 11 = 0 THEN d.text || ' freshly appended revision terms'
+       ELSE d.text END AS text
+FROM documents d WHERE d.doc_id % 13 <> 5
+UNION ALL
+SELECT d.doc_id + 1000000 AS doc_id,
+  'brand new page about spark joins and window functions' AS text
+FROM documents d WHERE d.doc_id % 17 = 0
+""".strip()
+
 # Luhn corpus: valid PAN, invalid same-length run, too-short run,
 # a multi-number doc (valid 16 + valid 13 + invalid 19), and a 26-digit
 # timestamp whose greedy 19-digit prefix must not false-positive
@@ -1659,6 +1672,26 @@ def q_phrase_match(spark, sf_dir):
     return phrase_match(docs, phrases)
 
 
+def q_postings_delta(spark, sf_dir):
+    """Incremental index maintenance (search.postings_incremental):
+    v1 postings + a ~9%-changed / ~8%-removed / new-ids v2 corpus →
+    the v2 index via digest diff, unchanged postings passing through
+    a doc-keyed semi join untokenized. The oracle is the FULL REBUILD
+    over the v2 corpus — the delta path must equal it exactly."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.search import (
+        postings_incremental,
+        term_postings,
+    )
+
+    docs_v1 = load(spark, sf_dir, "documents")
+    docs_v2 = _synth(spark, sf_dir, V2_DOCS_SQL)
+    index_v1 = term_postings(docs_v1)
+    digests_v1 = docs_v1.select(
+        "doc_id", F.xxhash64("text").alias("digest")
+    )
+    return postings_incremental(index_v1, digests_v1, docs_v2)
+
+
 def q_compression_signal(spark, sf_dir):
     """zlib-ratio quality signal (curation.compression_signal) over
     documents. ROWS-ONLY gate by design: zlib exists in neither SQL
@@ -2998,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "luhn_pan": q_luhn_pan,
         "compression_signal": q_compression_signal,
+        "postings_delta": q_postings_delta,
         "phrase_match": q_phrase_match,
         "canonical_clusters": q_canonical_clusters,
         "registered_domains": q_registered_domains,
@@ -4086,6 +4120,14 @@ SELECT m.url, m.canonical_url,
   m.url = m.canonical_url AS is_canonical,
   CAST(coalesce(c.n, 0) AS BIGINT) AS n_members
 FROM mapping m LEFT JOIN cnt c ON m.url = c.cu
+""",
+        "postings_delta": f"""
+WITH v2 AS ({V2_DOCS_SQL}),
+tok AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM v2)
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY doc_id, term
 """,
         "phrase_match": f"""
 WITH ph AS ({PHRASE_QUERY_SQL}),

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "luhn_pan",
     "compression_signal",
     "phrase_match",
+    "postings_delta",
     "canonical_clusters",
     "crawl_frontier_redirects",
     "fetch_schedule",

@@ -166,3 +166,41 @@ def phrase_match(
     return verified.groupBy("phrase_id", "doc_id").agg(
         F.count("*").cast("bigint").alias("n_matches")
     )
+
+
+def postings_incremental(
+    index_v1: DataFrame,
+    digests_v1: DataFrame,
+    docs_v2: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maintain the inverted index across a recrawl WITHOUT rebuilding:
+    unchanged docs keep their v1 postings verbatim (doc-keyed semi
+    join — digests move, text doesn't), new/changed docs re-tokenize,
+    removed docs' postings drop. At a weekly 1-10 % delta this is the
+    difference between re-tokenizing 100 TB and re-tokenizing the
+    delta — the index-side twin of run_incremental_pipeline's
+    tier2_diff rule, and provably equal to a full rebuild (the gate
+    oracle IS the rebuild).
+
+    ``index_v1``: (doc_id, term, tf) from :func:`term_postings`.
+    ``digests_v1``: (doc_id, digest) — xxhash64 of the v1 text.
+    ``docs_v2``: the new corpus (id_col, text_col).
+
+    Returns the v2 postings (doc_id, term, tf).
+    """
+    d2 = docs_v2.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(F.col(text_col)).alias("_dg2"),
+        F.col(text_col).alias("_text"),
+    )
+    d1 = digests_v1.select("doc_id", F.col("digest").alias("_dg1"))
+    j = d2.join(d1, "doc_id", "left")
+    unchanged_ids = j.filter(F.col("_dg1") == F.col("_dg2")).select("doc_id")
+    fresh = j.filter(F.col("_dg1").isNull() | (F.col("_dg1") != F.col("_dg2")))
+    kept = index_v1.join(unchanged_ids, "doc_id", "left_semi")
+    rebuilt = term_postings(
+        fresh.select("doc_id", F.col("_text").alias("text")), "doc_id", "text"
+    )
+    return kept.unionByName(rebuilt)

@@ -114,3 +114,47 @@ def test_phrase_match_exact_and_overlapping(spark):
     assert out[(0, 4)] == 1  # phrase flush at the end
     assert out[(1, 5)] == 3  # overlapping anchors all count
     assert not any(pid == 2 for pid, _ in out)
+
+
+def test_postings_incremental_equals_rebuild(spark):
+    """Delta maintenance == full rebuild across all four delta classes,
+    and unchanged docs' postings pass through WITHOUT re-tokenizing
+    (verified by feeding the kept branch poisoned v1 rows: if the
+    operator re-tokenized unchanged docs the poison would vanish)."""
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.search import (
+        postings_incremental,
+        term_postings,
+    )
+
+    v1 = spark.createDataFrame(
+        [
+            (1, "alpha beta"),          # unchanged
+            (2, "gamma gamma delta"),   # changed in v2
+            (3, "epsilon"),             # removed in v2
+        ],
+        "doc_id long, text string",
+    )
+    v2 = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "zeta eta"),
+            (4, "theta theta theta"),   # new
+        ],
+        "doc_id long, text string",
+    )
+    idx1 = term_postings(v1)
+    dg1 = v1.select("doc_id", F.xxhash64("text").alias("digest"))
+    got = postings_incremental(idx1, dg1, v2)
+    want = term_postings(v2)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # pass-through proof: poison doc 1's v1 postings; delta must keep it
+    poisoned = idx1.withColumn(
+        "term",
+        F.when(F.col("doc_id") == 1, F.concat(F.col("term"), F.lit("_v1"))).otherwise(
+            F.col("term")
+        ),
+    )
+    kept = postings_incremental(poisoned, dg1, v2)
+    assert kept.filter("doc_id = 1 AND term = 'alpha_v1'").count() == 1
