@@ -2,8 +2,9 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 120 entries, all with
-DuckDB oracles. Row-by-row map: COVERAGE.md.
+SURVEY.md §2 (+ the training-data operators) — 125 entries, 124 with
+DuckDB oracles (compression_signal is rows-only by design: zlib
+exists in no SQL engine). Row-by-row map: COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
 ``documents``/``embeddings``/``events`` tables; where Spark and the
