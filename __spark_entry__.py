@@ -1693,6 +1693,109 @@ def q_postings_delta(spark, sf_dir):
     return postings_incremental(index_v1, digests_v1, docs_v2)
 
 
+def _hll_oracle_sql(src_sql: str, label: str, b: int = 10) -> str:
+    """One label's HLL audit as SQL — the register build, the exact
+    integer S-sum, the raw/linear-counting branch and the error
+    column, mirroring operators/sketches.py arithmetic 1:1."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        _alpha,
+    )
+
+    m = 1 << b
+    k = 60 - b + 1
+    alpha = _alpha(m)
+    big = float(m) * float(m) * float(1 << k)
+    return f"""
+SELECT '{label}' AS label, CAST({m} AS BIGINT) AS m, v_zero,
+  round(CASE WHEN raw <= {2.5 * m!r} AND v_zero > 0
+             THEN {float(m)!r} * ln({float(m)!r} / v_zero)
+             ELSE raw END, 4) AS est,
+  n_exact,
+  round(abs(round(CASE WHEN raw <= {2.5 * m!r} AND v_zero > 0
+             THEN {float(m)!r} * ln({float(m)!r} / v_zero)
+             ELSE raw END, 4) - n_exact) / n_exact * 100, 3) AS err_pct
+FROM (
+  SELECT (CAST({m} AS BIGINT) - nz) AS v_zero,
+    {alpha!r} * {big!r}
+      / CAST(s_ne + (CAST({m} AS BIGINT) - nz) * (CAST(1 AS BIGINT) << {k})
+             AS DOUBLE) AS raw,
+    n_exact
+  FROM (
+    SELECT count(*) AS nz,
+      coalesce(sum((CAST(1 AS BIGINT)) << ({k} - rho)), 0) AS s_ne,
+      (SELECT CAST(count(*) AS BIGINT) FROM (
+        SELECT DISTINCT _v FROM ({src_sql}) WHERE _v IS NOT NULL)) AS n_exact
+    FROM (
+      SELECT bucket,
+        max(CASE WHEN w = 0 THEN {k}
+            ELSE length(bin(w)) - length(regexp_replace(bin(w), '0+$', '')) + 1
+            END) AS rho
+      FROM (
+        SELECT h % {m} AS bucket, h >> {b} AS w FROM (
+          SELECT ('0x' || substr(md5(_v), 1, 15))::BIGINT AS h FROM (
+            SELECT DISTINCT _v FROM ({src_sql}) WHERE _v IS NOT NULL)))
+      GROUP BY bucket)))
+""".strip()
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count audit (operators/sketches.py): the
+    md5-60-bit engine-exact HLL over three cardinality classes —
+    deep linear-counting (user_id, 15), boundary linear (doc text,
+    ~500) and the raw estimator branch (lineitem key, ~6000 at
+    sf0.001) — each row carrying the true distinct count and the
+    sketch's measured error. Register build = one m-bounded shuffle
+    per column; no distinct-key shuffle anywhere in the sketch path
+    (the exact column is the AUDIT, not the product)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+    labeled = [
+        ("user_id", ev.select(F.col("user_id").cast("string").alias("v"))),
+        ("doc_text", docs.select(F.col("text").alias("v"))),
+        (
+            "lineitem_key",
+            li.select(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                ).alias("v")
+            ),
+        ),
+    ]
+    outs = []
+    for label, df in labeled:
+        est = hll_distinct(df, "v")
+        exact = (
+            df.na.drop()
+            .agg(F.countDistinct("v").cast("long").alias("n_exact"))
+        )
+        outs.append(
+            est.crossJoin(F.broadcast(exact)).select(
+                F.lit(label).alias("label"),
+                "m",
+                "v_zero",
+                "est",
+                "n_exact",
+                F.round(
+                    F.abs(F.col("est") - F.col("n_exact"))
+                    / F.col("n_exact")
+                    * 100,
+                    3,
+                ).alias("err_pct"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def q_compression_signal(spark, sf_dir):
     """zlib-ratio quality signal (curation.compression_signal) over
     documents. ROWS-ONLY gate by design: zlib exists in neither SQL
@@ -3033,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_pan": q_luhn_pan,
         "compression_signal": q_compression_signal,
         "postings_delta": q_postings_delta,
+        "hll_distinct": q_hll_distinct,
         "phrase_match": q_phrase_match,
         "canonical_clusters": q_canonical_clusters,
         "registered_domains": q_registered_domains,
@@ -4122,6 +4226,22 @@ SELECT m.url, m.canonical_url,
   CAST(coalesce(c.n, 0) AS BIGINT) AS n_members
 FROM mapping m LEFT JOIN cnt c ON m.url = c.cu
 """,
+        "hll_distinct": "\nUNION ALL\n".join(
+            [
+                _hll_oracle_sql(
+                    "SELECT CAST(user_id AS VARCHAR) AS _v FROM events",
+                    "user_id",
+                ),
+                _hll_oracle_sql(
+                    "SELECT text AS _v FROM documents", "doc_text"
+                ),
+                _hll_oracle_sql(
+                    "SELECT CAST(l_orderkey AS VARCHAR) || '-' ||"
+                    " CAST(l_linenumber AS VARCHAR) AS _v FROM lineitem",
+                    "lineitem_key",
+                ),
+            ]
+        ),
         "postings_delta": f"""
 WITH v2 AS ({V2_DOCS_SQL}),
 tok AS (SELECT doc_id,

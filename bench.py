@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "compression_signal",
     "phrase_match",
     "postings_delta",
+    "hll_distinct",
     "canonical_clusters",
     "crawl_frontier_redirects",
     "fetch_schedule",

@@ -1,0 +1,101 @@
+"""Mergeable cardinality sketches with exact audits.
+
+At 10^10 URLs, ``countDistinct`` is a full shuffle of every distinct
+key; a HyperLogLog register array is 2^b bytes per (group, column) and
+merges with ``max`` — the standard cardinality tool for frontier /
+seen-set / vocabulary dashboards (Flajolet 2007, the same estimator
+behind Spark's ``approx_count_distinct``). This implementation is the
+ENGINE-EXACT twin: the hash is the repo's md5→60-bit pattern
+(sampling.py), every register step is integer arithmetic, and the one
+estimate division happens on exact integer inputs — so the DuckDB
+oracle reproduces the sketch bit-for-bit and the gate can be an exact
+comparison, with the estimate's ERROR audited against the true
+distinct count in the same row. Production would swap the one hash
+line for xxhash64 and keep every plan shape.
+
+Register build: one map-side projection + a groupBy(bucket) max — the
+shuffle carries at most m=2^b rows per audited column. The finalize is
+a single-row aggregate (register table is m-bounded, never data-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_BITS = 10  # m = 1024 registers; ~3.25% standard error
+
+
+def _alpha(m: int) -> float:
+    # Flajolet's alpha_m for m >= 128
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, b: int = HLL_BITS) -> DataFrame:
+    """(bucket, rho) register table — max trailing-zero rank per bucket.
+
+    h = md5-60-bit(value); bucket = low ``b`` bits, payload w = the
+    remaining 60-b bits; rho = trailing zeros of w + 1 (K = 60-b+1
+    when w = 0). Distinct values first (register build only needs the
+    distinct stream; the pre-reduction is itself map-side-partialed).
+    """
+    k_max = 60 - b + 1
+    vals = df.select(F.col(col).cast("string").alias("_v")).na.drop().distinct()
+    h = F.conv(F.substring(F.md5(F.col("_v")), 1, 15), 16, 10).cast("long")
+    hashed = vals.select(h.alias("_h")).select(
+        (F.col("_h") % (1 << b)).alias("bucket"),
+        F.shiftright("_h", b).alias("_w"),
+    )
+    tz = F.length(F.bin("_w")) - F.length(
+        F.regexp_replace(F.bin("_w"), "0+$", "")
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(k_max)).otherwise(tz + 1)
+    return (
+        hashed.select("bucket", rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = HLL_BITS) -> DataFrame:
+    """One-row (m, v_zero, est) from a register table.
+
+    est = alpha_m * m^2 / Σ 2^-rho, computed from EXACT integers:
+    S = Σ 2^(K-rho) over registers + v_zero * 2^K, one double division
+    at the end. Linear counting (m * ln(m / v_zero)) below 2.5 m with
+    empty registers, per the original paper.
+    """
+    m = 1 << b
+    k_max = 60 - b + 1
+    agg = registers.agg(
+        F.count("*").cast("long").alias("nz"),
+        F.coalesce(
+            # pyspark's shiftleft() only takes a literal bit count;
+            # the SQL form accepts a column expression
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_max} - rho)")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_ne"),
+    )
+    v = (F.lit(m) - F.col("nz")).cast("long")
+    s = F.col("s_ne") + v * F.lit(1 << k_max).cast("long")
+    raw = (
+        F.lit(_alpha(m))
+        * F.lit(float(m) * float(m) * float(1 << k_max))
+        / s.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        v.alias("v_zero"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, b: int = HLL_BITS) -> DataFrame:
+    """One-row (m, v_zero, est) distinct-count sketch for ``col``."""
+    return hll_estimate(hll_registers(df, col, b), b)

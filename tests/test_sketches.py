@@ -1,0 +1,58 @@
+"""HyperLogLog distinct sketches (operators/sketches.py)."""
+
+from pyspark.sql import functions as F
+
+from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).select(F.concat(F.lit("v"), "id").alias("v"))
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """m=1024 gives ~3.25% standard error; allow 4 sigma."""
+    for n in (40, 800, 5000):
+        est = hll_distinct(_ids(spark, 0, n), "v").head()["est"]
+        assert abs(est - n) / n < 0.13, (n, est)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The sketch is MERGEABLE: register-wise max of two halves equals
+    the registers of the union — the property that makes it a
+    distributed aggregate."""
+    a = hll_registers(_ids(spark, 0, 600), "v")
+    b = hll_registers(_ids(spark, 400, 1000), "v")
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(_ids(spark, 0, 1000), "v")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    e_m = hll_estimate(merged).head()["est"]
+    e_w = hll_estimate(whole).head()["est"]
+    assert e_m == e_w
+
+
+def test_hll_duplicates_and_nulls_ignored(spark):
+    """Cardinality, not count: duplicates leave the sketch unchanged;
+    nulls drop."""
+    base = _ids(spark, 0, 300)
+    dup = base.unionByName(base).unionByName(base)
+    with_null = dup.unionByName(
+        dup.sparkSession.createDataFrame([(None,)], "v string")
+    )
+    e1 = hll_distinct(base, "v").head()["est"]
+    e2 = hll_distinct(with_null, "v").head()["est"]
+    assert e1 == e2
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinalities ride the linear-counting branch and stay
+    very accurate (not the ~3% raw-estimator band)."""
+    row = hll_distinct(_ids(spark, 0, 15), "v").head()
+    assert row["v_zero"] > 0
+    assert abs(row["est"] - 15) < 1.5
