@@ -1796,6 +1796,40 @@ def q_hll_distinct(spark, sf_dir):
     return res
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketches.py cms_*): the
+    documents token stream sketched into 4x1024 sum-mergeable
+    counters, point-queried for the true top-20 terms; each audit row
+    carries the exact count and the inflation (CMS error is strictly
+    one-sided). Counter table bounded at d*w rows; the exact side is
+    the AUDIT, not the product."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    counters = cms_counters(toks, "term")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    est = cms_estimate(counters, top.select("term"))
+    return top.join(est, "term").select(
+        "term",
+        "true_cnt",
+        "est",
+        (F.col("est") - F.col("true_cnt")).cast("long").alias("inflation"),
+    )
+
+
 def q_compression_signal(spark, sf_dir):
     """zlib-ratio quality signal (curation.compression_signal) over
     documents. ROWS-ONLY gate by design: zlib exists in neither SQL
@@ -3137,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_signal": q_compression_signal,
         "postings_delta": q_postings_delta,
         "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "phrase_match": q_phrase_match,
         "canonical_clusters": q_canonical_clusters,
         "registered_domains": q_registered_domains,
@@ -4242,6 +4277,32 @@ FROM mapping m LEFT JOIN cnt c ON m.url = c.cu
                 ),
             ]
         ),
+        "cms_heavy_hitters": f"""
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS term FROM documents),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+       FROM tok GROUP BY term),
+top AS (SELECT term, true_cnt FROM tc
+        ORDER BY true_cnt DESC, term LIMIT 20),
+fan AS (SELECT term, unnest(range(0, 4)) AS j FROM tok),
+cnt AS (SELECT j,
+          ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || term), 1, 15))::BIGINT
+            % 1024 AS bucket,
+          CAST(count(*) AS BIGINT) AS c
+        FROM fan GROUP BY 1, 2),
+probe AS (SELECT term, true_cnt, unnest(range(0, 4)) AS j FROM top),
+pk AS (SELECT term, true_cnt, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || term), 1, 15))::BIGINT
+           % 1024 AS bucket
+       FROM probe),
+e AS (SELECT pk.term, pk.true_cnt,
+        CAST(min(coalesce(cnt.c, 0)) AS BIGINT) AS est
+      FROM pk LEFT JOIN cnt USING (j, bucket)
+      GROUP BY pk.term, pk.true_cnt)
+SELECT term, true_cnt, est,
+  CAST(est - true_cnt AS BIGINT) AS inflation
+FROM e
+""",
         "postings_delta": f"""
 WITH v2 AS ({V2_DOCS_SQL}),
 tok AS (SELECT doc_id,

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "phrase_match",
     "postings_delta",
     "hll_distinct",
+    "cms_heavy_hitters",
     "canonical_clusters",
     "crawl_frontier_redirects",
     "fetch_schedule",

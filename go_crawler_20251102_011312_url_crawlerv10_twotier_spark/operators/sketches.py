@@ -99,3 +99,74 @@ def hll_estimate(registers: DataFrame, b: int = HLL_BITS) -> DataFrame:
 def hll_distinct(df: DataFrame, col: str, b: int = HLL_BITS) -> DataFrame:
     """One-row (m, v_zero, est) distinct-count sketch for ``col``."""
     return hll_estimate(hll_registers(df, col, b), b)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_counters(
+    items: DataFrame, col: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-min counter table from an OCCURRENCE stream (one row per
+    occurrence): d independent md5 hash rows x w buckets — the
+    heavy-hitter / frequency sketch (Cormode 2005) whose counters are
+    plain ``sum``-mergeable rows, bounded at d*w regardless of stream
+    size. The d-way fan-out is map-side (explode of a d-literal
+    array); the only shuffle is the (j, bucket)-keyed count with
+    map-side partials — hot tokens collapse before moving.
+
+    Output: (j, bucket, c).
+    """
+    j = F.explode(F.array([F.lit(i) for i in range(d)])).alias("j")
+    fan = items.select(F.col(col).alias("_v"), j)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("_v"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        fan.select("j", (h % w).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    terms: DataFrame,
+    col: str = "term",
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each term: min over the d counters
+    the term hashes into (collisions only ever INFLATE — the one-sided
+    error bound the audit gate checks). Terms table is broadcast; the
+    counter table is d*w rows at most.
+
+    Output: (term, est).
+    """
+    j = F.explode(F.array([F.lit(i) for i in range(d)])).alias("j")
+    probes = terms.select(F.col(col).alias("term"), j)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("term"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = probes.select("term", "j", (h % w).alias("bucket"))
+    return (
+        F.broadcast(keyed)
+        .join(counters, ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
+    )

@@ -56,3 +56,37 @@ def test_hll_linear_counting_small_range(spark):
     row = hll_distinct(_ids(spark, 0, 15), "v").head()
     assert row["v_zero"] > 0
     assert abs(row["est"] - 15) < 1.5
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """CMS never undercounts; counters from two halves SUM-merge to
+    the whole; exact for streams far below capacity."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    rows = [("hot",)] * 50 + [("warm",)] * 7 + [(f"cold{i}",) for i in range(30)]
+    items = spark.createDataFrame(rows, "term string")
+    counters = cms_counters(items, "term")
+    terms = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold3",), ("absent",)], "term string"
+    )
+    est = {r["term"]: r["est"] for r in cms_estimate(counters, terms).collect()}
+    assert est["hot"] >= 50 and est["warm"] >= 7 and est["cold3"] >= 1
+    assert est["absent"] >= 0  # may collide upward, never negative
+    # 87 occurrences into 4x1024 counters: collisions are essentially
+    # impossible, estimates are exact
+    assert est["hot"] == 50 and est["warm"] == 7 and est["cold3"] == 1
+
+    half_a = cms_counters(items.limit(40), "term")
+    import pyspark.sql.functions as F
+
+    merged = (
+        half_a.unionByName(cms_counters(items.offset(40), "term"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = cms_counters(items, "term")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
