@@ -144,6 +144,34 @@ SELECT d.doc_id,
 FROM documents d
 """.strip()
 
+# agent-group robots: hosts h%3==0 publish a layered file ('*' blocks
+# /pub, 'graft' blocks /beta, 'graftbot' blocks /gamma except
+# /gamma/ok) — for agent 'graftbot' ONLY the longest-matching group
+# applies, so /pub and /beta stay allowed; h%3==1 hosts publish a
+# '*'-only file blocking /beta; h%3==2 hosts publish nothing
+AGENT_FRONTIER_SQL = """
+SELECT 'https://host' || (d.doc_id % 20) || '.example'
+  || (CASE d.doc_id % 4 WHEN 0 THEN '/pub/x' WHEN 1 THEN '/gamma/x'
+      WHEN 2 THEN '/gamma/ok/x' ELSE '/beta/x' END) || d.doc_id AS url_norm,
+  'host' || (d.doc_id % 20) || '.example' AS host,
+  (d.doc_id % 20) AS h,
+  (d.doc_id % 4) AS shape
+FROM documents d
+""".strip()
+
+AGENT_ROBOTS_SQL = """
+SELECT 'https://host' || h || '.example/robots.txt' AS url_norm,
+  CASE WHEN h % 3 = 0 THEN
+    'User-agent: *' || chr(10) || 'Disallow: /pub' || chr(10) || chr(10)
+    || 'User-agent: graft' || chr(10) || 'Disallow: /beta' || chr(10) || chr(10)
+    || 'User-agent: graftbot' || chr(10) || 'Disallow: /gamma' || chr(10)
+    || 'Allow: /gamma/ok' || chr(10)
+  ELSE
+    'User-agent: *' || chr(10) || 'Disallow: /beta' || chr(10)
+  END AS html
+FROM (SELECT DISTINCT doc_id % 20 AS h FROM documents) WHERE h % 3 <> 2
+""".strip()
+
 # redirect map for the redirect-aware CRAWL gate, on corpus page
 # URLs: a 2-cycle pair at doc_id%97 in (10,11) (those link targets
 # drop — net/http aborts loops) and a hop arm at doc_id%23==1 whose
@@ -1064,6 +1092,24 @@ def q_robots_filter(spark, sf_dir):
         """
     )
     rules = robots_rules(robots_corpus)
+    return filter_allowed(frontier, rules).select("url_norm")
+
+
+def q_robots_agent_groups(spark, sf_dir):
+    """RFC 9309 agent-group selection (robots.select_agent_rules_py /
+    robots_rules_for_agent): crawling as 'graftbot', ONLY the
+    longest-prefix-matching group binds — the layered fixture's '*'
+    and 'graft' rules must NOT apply on hosts that also publish a
+    'graftbot' group. Oracle encodes the expected winner closed-form;
+    a wrong precedence order flips whole path classes."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        filter_allowed,
+        robots_rules_for_agent,
+    )
+
+    frontier = _synth(spark, sf_dir, AGENT_FRONTIER_SQL)
+    robots_corpus = _synth(spark, sf_dir, AGENT_ROBOTS_SQL)
+    rules = robots_rules_for_agent(robots_corpus, "graftbot")
     return filter_allowed(frontier, rules).select("url_norm")
 
 
@@ -3158,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_quality": q_politeness_quality,
         "sitemap_seeds": q_sitemap_seeds,
         "robots_sitemap_urls": q_robots_sitemap_urls,
+        "robots_agent_groups": q_robots_agent_groups,
         "clean_params": q_clean_params,
         "host_inlink_ranks": q_host_inlink_ranks,
         "host_pagerank": q_host_pagerank,
@@ -3787,6 +3834,12 @@ SELECT 'https://host' || (CASE WHEN id % {pagesrc.MEGA_HOST_MOD} = 0 THEN 0 ELSE
        || '.example/page/' || id AS url_norm,
        min(depth) AS depth
 FROM bfs GROUP BY id
+""",
+        "robots_agent_groups": f"""
+WITH f AS ({AGENT_FRONTIER_SQL})
+SELECT url_norm FROM f
+WHERE NOT (h % 3 = 0 AND shape = 1)
+  AND NOT (h % 3 = 1 AND shape = 3)
 """,
         "crawl_frontier_redirects": f"""
 WITH RECURSIVE

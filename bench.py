@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "postings_delta",
     "hll_distinct",
     "cms_heavy_hitters",
+    "robots_agent_groups",
     "canonical_clusters",
     "crawl_frontier_redirects",
     "fetch_schedule",

@@ -369,3 +369,115 @@ def strip_declared_params(
         F.concat(base, F.lit("?"), F.array_join(F.array_sort(kept), "&")),
     ).otherwise(base)
     return withr.select(u.alias("url"), canon.alias("url_canon"))
+
+
+# --- RFC 9309 agent-specific group selection --------------------------------
+
+
+def parse_robots_groups_py(
+    text: str | bytes | None,
+) -> list[tuple[list[str], list[tuple[bool, str]]]]:
+    """Parse robots.txt into [(agent_tokens, [(allow, pattern)])] —
+    EVERY group, not just ``*``. Consecutive ``User-agent`` lines
+    share one group; unknown directives end the agent-line run but
+    stay inside the group (RFC 9309 §2.2.1)."""
+    if text is None:
+        return []
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="replace")
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    collecting_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                collecting_agents = True
+            agents.append(val.lower())
+        else:
+            collecting_agents = False
+            if key in ("allow", "disallow") and val:
+                rules.append((key == "allow", val))
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def select_agent_rules_py(
+    text: str | bytes | None, agent: str
+) -> list[tuple[bool, str]]:
+    """RFC 9309 §2.2.1 group selection for a crawler product token:
+    the group(s) whose user-agent token is the LONGEST
+    case-insensitive prefix of ``agent`` win; groups tied on that
+    winning token merge; with no named match the ``*`` groups apply;
+    with neither, everything is allowed (empty rule list).
+
+    ``select_agent_rules_py(text, '*')`` reduces to the star-group
+    semantics of :func:`parse_robots_py` (pytest-pinned)."""
+    a = agent.lower()
+    groups = parse_robots_groups_py(text)
+    best_len = -1
+    for tokens, _ in groups:
+        for t in tokens:
+            if t != "*" and t and a.startswith(t) and len(t) > best_len:
+                best_len = len(t)
+    rules: list[tuple[bool, str]] = []
+    if best_len >= 0:
+        for tokens, rs in groups:
+            if any(
+                t != "*" and len(t) == best_len and a.startswith(t)
+                for t in tokens
+            ):
+                rules.extend(rs)
+    else:
+        for tokens, rs in groups:
+            if "*" in tokens:
+                rules.extend(rs)
+    return rules
+
+
+def robots_rules_for_agent(
+    corpus: DataFrame,
+    agent: str,
+    url_col: str = "url_norm",
+    body_col: str = "html",
+) -> DataFrame:
+    """Per-host rule table for a SPECIFIC crawler product token — the
+    reference randomizes its User-Agent per request
+    (crawler_twotier.go:52-55) and ignores robots entirely; a crawler
+    that identifies honestly must obey the group published for its
+    own name, which can be stricter OR looser than ``*``. Same
+    (host, rules) shape as :func:`robots_rules`, so
+    ``filter_allowed`` composes unchanged.
+    """
+
+    @F.pandas_udf(RULES_TYPE)
+    def parse_for_agent(body: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [
+                    {"allow": a, "pattern": p}
+                    for a, p in select_agent_rules_py(b, agent)
+                ]
+                if b is not None
+                else []
+                for b in body
+            ],
+            dtype=object,
+        )
+
+    robots = corpus.filter(F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$"))
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    return robots.select(
+        host.alias("host"),
+        parse_for_agent(F.col(body_col).cast("string")).alias("rules"),
+    )

@@ -259,3 +259,52 @@ def test_clean_param_rules_and_strip(spark):
     # sid scoped to /shop/: kept on the blog path; utm host-wide: gone
     assert got["https://a.example/blog/p?z=1&sid=9&utm=x"] == "https://a.example/blog/p?sid=9&z=1"
     assert got["https://other.example/shop/i?sid=9"] == "https://other.example/shop/i?sid=9"
+
+
+LAYERED = (
+    "User-agent: *\nDisallow: /private\n\n"
+    "User-agent: graft\nDisallow: /beta\n\n"
+    "User-agent: graftbot\nUser-agent: newsbot\n"
+    "Disallow: /gamma\nAllow: /gamma/ok\n"
+)
+
+
+def test_agent_group_longest_prefix_wins():
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        select_agent_rules_py,
+    )
+
+    # 'graftbot' matches both 'graft' and 'graftbot'; only the longer
+    # group binds — shared-group tokens merge (newsbot gets the same)
+    assert select_agent_rules_py(LAYERED, "graftbot") == [
+        (False, "/gamma"), (True, "/gamma/ok")
+    ]
+    assert select_agent_rules_py(LAYERED, "newsbot-images") == [
+        (False, "/gamma"), (True, "/gamma/ok")
+    ]
+    # a shorter product name only reaches the 'graft' group
+    assert select_agent_rules_py(LAYERED, "graftling") == [(False, "/beta")]
+    # unknown agents fall back to '*'
+    assert select_agent_rules_py(LAYERED, "unknown") == [(False, "/private")]
+    # case-insensitive on both sides
+    assert select_agent_rules_py(LAYERED, "GraftBot") == [
+        (False, "/gamma"), (True, "/gamma/ok")
+    ]
+
+
+def test_agent_star_reduces_to_legacy_parser():
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.robots import (
+        parse_robots_py,
+        select_agent_rules_py,
+    )
+
+    fixtures = [
+        LAYERED,
+        "User-agent: *\nDisallow: /a\nAllow: /a/b\n",
+        "User-agent: megabot\nDisallow: /x\n",
+        "Disallow: /orphan\n",  # rules before any group: ignored
+        "",
+        "User-agent: *\nUser-agent: extra\nDisallow: /both\n",
+    ]
+    for fx in fixtures:
+        assert select_agent_rules_py(fx, "*") == parse_robots_py(fx), fx
