@@ -1889,6 +1889,20 @@ def q_compression_signal(spark, sf_dir):
     return compression_signal(load(spark, sf_dir, "documents"))
 
 
+def q_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context snippets (search.kwic_snippets): every
+    exact phrase occurrence with ±5 tokens of context, cut from the
+    token array in the anchor-verify projection. Oracle: unnest +
+    list_slice + array_to_string."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.search import (
+        kwic_snippets,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    phrases = _synth(spark, sf_dir, PHRASE_QUERY_SQL)
+    return kwic_snippets(docs, phrases, context=5)
+
+
 def q_luhn_pan(spark, sf_dir):
     """Card-number exposure (textstats.luhn_stats): digit runs 13-19
     Luhn-checked with nested higher-order functions — exact integer
@@ -3220,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "phrase_match": q_phrase_match,
+        "kwic_snippets": q_kwic_snippets,
         "canonical_clusters": q_canonical_clusters,
         "registered_domains": q_registered_domains,
         "politeness_domain": q_politeness_domain,
@@ -4363,6 +4378,25 @@ tok AS (SELECT doc_id,
         FROM v2)
 SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
 FROM tok GROUP BY doc_id, term
+""",
+        "kwic_snippets": f"""
+WITH ph AS ({PHRASE_QUERY_SQL}),
+pt AS (SELECT phrase_id,
+         string_split_regex(lower(phrase), '\\s+') AS terms
+       FROM ph),
+tk AS (SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents),
+occ AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+        FROM tk),
+m AS (SELECT p.phrase_id, o.doc_id, o.pos, o.toks, len(p.terms) AS plen
+      FROM occ o JOIN pt p ON o.toks[o.pos] = p.terms[1]
+      WHERE list_slice(o.toks, o.pos, o.pos + len(p.terms) - 1) = p.terms)
+SELECT phrase_id, doc_id, CAST(pos AS BIGINT) AS match_pos,
+  array_to_string(
+    list_slice(toks, greatest(pos - 5, 1),
+               least(pos + plen - 1 + 5, len(toks))), ' ') AS snippet
+FROM m
 """,
         "phrase_match": f"""
 WITH ph AS ({PHRASE_QUERY_SQL}),

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "cms_heavy_hitters",
     "robots_agent_groups",
+    "kwic_snippets",
     "canonical_clusters",
     "crawl_frontier_redirects",
     "fetch_schedule",

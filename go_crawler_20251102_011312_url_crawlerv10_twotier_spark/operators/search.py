@@ -204,3 +204,56 @@ def postings_incremental(
         fresh.select("doc_id", F.col("_text").alias("text")), "doc_id", "text"
     )
     return kept.unionByName(rebuilt)
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    phrases: DataFrame,
+    context: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Keyword-in-context: every exact phrase occurrence with up to
+    ``context`` tokens either side — the search-results snippet (and
+    the concordance view corpus linguists read). Same plan skeleton as
+    :func:`phrase_match` (posexplode once, broadcast first-term anchor
+    join, doc-keyed array re-join), with the snippet cut from the
+    token array by pure slice arithmetic in the SAME projection — no
+    extra pass over the text.
+
+    Output: (phrase_id, doc_id, match_pos, snippet) — match_pos is the
+    1-based token position of the phrase start; one row per occurrence.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(TOKEN_PATTERN),
+            0,
+        ).alias("toks"),
+    )
+    ph = phrases.select(
+        "phrase_id",
+        F.split(F.lower(F.col(phrase_col)), r"\s+").alias("terms"),
+    ).select(
+        "phrase_id",
+        "terms",
+        F.col("terms")[0].alias("first_term"),
+        F.size("terms").alias("plen"),
+    )
+    occ = toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    anchors = occ.join(F.broadcast(ph), occ.term == ph.first_term)
+    verified = anchors.join(toks, "doc_id").filter(
+        F.slice(F.col("toks"), F.col("pos") + 1, F.col("plen")) == F.col("terms")
+    )
+    start = F.greatest(F.col("pos") + 1 - context, F.lit(1))
+    end = F.least(F.col("pos") + F.col("plen") + context, F.size("toks"))
+    return verified.select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("match_pos"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), start, end - start + 1)
+        ).alias("snippet"),
+    )

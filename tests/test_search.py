@@ -158,3 +158,24 @@ def test_postings_incremental_equals_rebuild(spark):
     )
     kept = postings_incremental(poisoned, dg1, v2)
     assert kept.filter("doc_id = 1 AND term = 'alpha_v1'").count() == 1
+
+
+def test_kwic_snippets_window_clamps(spark):
+    """Snippet = phrase ± context tokens, clamped at both doc edges;
+    match_pos is the 1-based phrase start."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.search import (
+        kwic_snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 hash join t6 t7 t8"), (2, "hash join tail")],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame([(0, "hash join")], "phrase_id int, phrase string")
+    out = {
+        r["doc_id"]: r for r in kwic_snippets(docs, phrases, context=2).collect()
+    }
+    assert out[1]["match_pos"] == 4
+    assert out[1]["snippet"] == "t2 t3 hash join t6 t7"
+    assert out[2]["match_pos"] == 1
+    assert out[2]["snippet"] == "hash join tail"
