@@ -238,6 +238,20 @@ SELECT d.doc_id + 1000000 AS doc_id,
 FROM documents d WHERE d.doc_id % 17 = 0
 """.strip()
 
+# two crawl-snapshot URL sets for the HLL overlap audit: B drops the
+# d%3==0 third of A and adds a disjoint tail (d%17==0 shifted ids)
+HLL_SET_A_SQL = f"""
+SELECT {pagesrc._url('d.doc_id', 's')} AS _v FROM documents d
+""".strip()
+
+HLL_SET_B_SQL = f"""
+SELECT {pagesrc._url('d.doc_id', 's')} AS _v FROM documents d
+WHERE d.doc_id % 3 <> 0
+UNION ALL
+SELECT {pagesrc._url('(d.doc_id + 1000000)', 's')} AS _v FROM documents d
+WHERE d.doc_id % 17 = 0
+""".strip()
+
 # Luhn corpus: valid PAN, invalid same-length run, too-short run,
 # a multi-number doc (valid 16 + valid 13 + invalid 19), and a 26-digit
 # timestamp whose greedy 19-digit prefix must not false-positive
@@ -1842,6 +1856,72 @@ def q_hll_distinct(spark, sf_dir):
     return res
 
 
+def _hll_est_sql(src_sql: str, b: int = 10) -> str:
+    """Scalar SQL subquery: the HLL estimate for a (_v) value source,
+    mirroring sketches.hll_estimate's arithmetic (shared with
+    _hll_oracle_sql's inline copy)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        _alpha,
+    )
+
+    m = 1 << b
+    k = 60 - b + 1
+    alpha = _alpha(m)
+    big = float(m) * float(m) * float(1 << k)
+    return f"""(
+SELECT round(CASE WHEN raw <= {2.5 * m!r} AND v_zero > 0
+             THEN {float(m)!r} * ln({float(m)!r} / v_zero)
+             ELSE raw END, 4)
+FROM (
+  SELECT (CAST({m} AS BIGINT) - nz) AS v_zero,
+    {alpha!r} * {big!r}
+      / CAST(s_ne + (CAST({m} AS BIGINT) - nz) * (CAST(1 AS BIGINT) << {k})
+             AS DOUBLE) AS raw
+  FROM (
+    SELECT count(*) AS nz,
+      coalesce(sum((CAST(1 AS BIGINT)) << ({k} - rho)), 0) AS s_ne
+    FROM (
+      SELECT bucket,
+        max(CASE WHEN w = 0 THEN {k}
+            ELSE length(bin(w)) - length(regexp_replace(bin(w), '0+$', '')) + 1
+            END) AS rho
+      FROM (
+        SELECT h % {m} AS bucket, h >> {b} AS w FROM (
+          SELECT ('0x' || substr(md5(_v), 1, 15))::BIGINT AS h FROM (
+            SELECT DISTINCT _v FROM ({src_sql}) WHERE _v IS NOT NULL)))
+      GROUP BY bucket))))""".strip()
+
+
+def q_hll_set_overlap(spark, sf_dir):
+    """Snapshot-overlap from sketches alone (sketches.hll_set_overlap):
+    union = register-wise MAX merge, intersection = inclusion-
+    exclusion — "how many URLs do crawls A and B share" without
+    shuffling either key set. The audit row carries the exact three
+    counts next to the estimates; the oracle recomputes union
+    registers from the UNION of the value streams (identical by
+    construction to the max-merge)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        hll_set_overlap,
+    )
+
+    a = _synth(spark, sf_dir, HLL_SET_A_SQL)
+    bdf = _synth(spark, sf_dir, HLL_SET_B_SQL)
+    ov = hll_set_overlap(a, "_v", bdf, "_v")
+    n_a = a.distinct().agg(F.count("*").cast("long").alias("n_a"))
+    n_b = bdf.distinct().agg(F.count("*").cast("long").alias("n_b"))
+    n_i = (
+        a.distinct()
+        .intersect(bdf.distinct())
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        ov.crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_i))
+        .select("n_a", "n_b", "n_inter", "est_a", "est_b", "est_union", "est_inter")
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min heavy hitters (operators/sketches.py cms_*): the
     documents token stream sketched into 4x1024 sum-mergeable
@@ -3233,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_delta": q_postings_delta,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_set_overlap": q_hll_set_overlap,
         "phrase_match": q_phrase_match,
         "kwic_snippets": q_kwic_snippets,
         "canonical_clusters": q_canonical_clusters,
@@ -4345,6 +4426,21 @@ FROM mapping m LEFT JOIN cnt c ON m.url = c.cu
                 ),
             ]
         ),
+        "hll_set_overlap": f"""
+SELECT
+  CAST((SELECT count(DISTINCT _v) FROM ({HLL_SET_A_SQL})) AS BIGINT) AS n_a,
+  CAST((SELECT count(DISTINCT _v) FROM ({HLL_SET_B_SQL})) AS BIGINT) AS n_b,
+  CAST((SELECT count(*) FROM (
+     SELECT DISTINCT _v FROM ({HLL_SET_A_SQL})
+     INTERSECT
+     SELECT DISTINCT _v FROM ({HLL_SET_B_SQL}))) AS BIGINT) AS n_inter,
+  {_hll_est_sql(HLL_SET_A_SQL)} AS est_a,
+  {_hll_est_sql(HLL_SET_B_SQL)} AS est_b,
+  {_hll_est_sql(HLL_SET_A_SQL + " UNION ALL " + HLL_SET_B_SQL)} AS est_union,
+  round({_hll_est_sql(HLL_SET_A_SQL)} + {_hll_est_sql(HLL_SET_B_SQL)}
+        - {_hll_est_sql(HLL_SET_A_SQL + " UNION ALL " + HLL_SET_B_SQL)}, 4)
+    AS est_inter
+""",
         "cms_heavy_hitters": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                AS term FROM documents),

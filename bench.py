@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "postings_delta",
     "hll_distinct",
     "cms_heavy_hitters",
+    "hll_set_overlap",
     "robots_agent_groups",
     "kwic_snippets",
     "canonical_clusters",

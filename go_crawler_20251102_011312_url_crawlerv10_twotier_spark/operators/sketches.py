@@ -170,3 +170,46 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_set_overlap(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    b: int = HLL_BITS,
+) -> DataFrame:
+    """Overlap between two key sets from their HLL registers alone —
+    how many URLs do two crawl snapshots share, without shuffling
+    either key set: union = register-wise MAX merge (the mergeability
+    the pytest pins), intersection = inclusion-exclusion over the
+    three estimates. The register tables are 2^b rows each; nothing
+    data-sized moves.
+
+    Output, one row: (est_a, est_b, est_union, est_inter) — rounded
+    like hll_estimate; est_inter can go slightly negative on tiny
+    overlaps (standard inclusion-exclusion noise; audit rows carry the
+    exact truth in the gate).
+    """
+    ra = hll_registers(df_a, col_a, b)
+    rb = hll_registers(df_b, col_b, b)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    ea = hll_estimate(ra, b).select(F.col("est").alias("est_a"))
+    eb = hll_estimate(rb, b).select(F.col("est").alias("est_b"))
+    eu = hll_estimate(ru, b).select(F.col("est").alias("est_union"))
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_inter"),
+        )
+    )

@@ -90,3 +90,19 @@ def test_cms_one_sided_and_mergeable(spark):
     whole = cms_counters(items, "term")
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_set_overlap_inclusion_exclusion(spark):
+    """Union via register max-merge; intersection via inclusion-
+    exclusion lands within the sketch error band of the true overlap."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        hll_set_overlap,
+    )
+
+    a = _ids(spark, 0, 2000)
+    b = _ids(spark, 1200, 3200)  # true overlap = 800
+    row = hll_set_overlap(a, "v", b, "v").head()
+    assert abs(row["est_a"] - 2000) / 2000 < 0.13
+    assert abs(row["est_union"] - 3200) / 3200 < 0.13
+    # inclusion-exclusion stacks three estimators' noise; band ~3x
+    assert abs(row["est_inter"] - 800) / 800 < 0.4
