@@ -1922,6 +1922,62 @@ def q_hll_set_overlap(spark, sf_dir):
     )
 
 
+def _hll_grouped_est_sql(pairs_sql: str, b: int = 10) -> str:
+    """Grouped-HLL estimate SQL: (g, est) from a (g, val) pair source —
+    sketches.hll_grouped_registers + hll_grouped_estimate mirrored."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        _alpha,
+    )
+
+    m = 1 << b
+    k = 60 - b + 1
+    alpha = _alpha(m)
+    big = float(m) * float(m) * float(1 << k)
+    return f"""(
+SELECT g, round(CASE WHEN raw <= {2.5 * m!r} AND v_zero > 0
+                THEN {float(m)!r} * ln({float(m)!r} / v_zero)
+                ELSE raw END, 4) AS est
+FROM (
+  SELECT g, (CAST({m} AS BIGINT) - nz) AS v_zero,
+    {alpha!r} * {big!r}
+      / CAST(s_ne + (CAST({m} AS BIGINT) - nz) * (CAST(1 AS BIGINT) << {k})
+             AS DOUBLE) AS raw
+  FROM (
+    SELECT g, count(*) AS nz,
+      coalesce(sum((CAST(1 AS BIGINT)) << ({k} - rho)), 0) AS s_ne
+    FROM (
+      SELECT g, bucket,
+        max(CASE WHEN w = 0 THEN {k}
+            ELSE length(bin(w)) - length(regexp_replace(bin(w), '0+$', '')) + 1
+            END) AS rho
+      FROM (
+        SELECT g, h % {m} AS bucket, h >> {b} AS w FROM (
+          SELECT g, ('0x' || substr(md5(val), 1, 15))::BIGINT AS h FROM (
+            SELECT DISTINCT g, CAST(val AS VARCHAR) AS val
+            FROM ({pairs_sql}) WHERE val IS NOT NULL)))
+      GROUP BY g, bucket)
+    GROUP BY g)))""".strip()
+
+
+def q_hyperball(spark, sf_dir):
+    """HyperBall neighborhood balls (sketches.hyperball) over the E1
+    host graph: per-host |B_1| and |B_2| estimates from iterated
+    per-node HLL registers — each radius step is one edges-vs-registers
+    join + a register-wise max, never a BFS frontier. The oracle
+    rebuilds the t=1,2 ball VALUE SETS closed-form and runs the same
+    grouped register arithmetic (register-of-union == max-merge, by
+    construction)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.ranks import (
+        host_edges,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        hyperball,
+    )
+
+    pages = pagesrc.synth_clean_pages(spark, sf_dir)
+    return hyperball(host_edges(pages), t_max=2)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min heavy hitters (operators/sketches.py cms_*): the
     documents token stream sketched into 4x1024 sum-mergeable
@@ -3314,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_set_overlap": q_hll_set_overlap,
+        "hyperball": q_hyperball,
         "phrase_match": q_phrase_match,
         "kwic_snippets": q_kwic_snippets,
         "canonical_clusters": q_canonical_clusters,
@@ -4426,6 +4483,20 @@ FROM mapping m LEFT JOIN cnt c ON m.url = c.cu
                 ),
             ]
         ),
+        "hyperball": f"""
+WITH e0 AS ({pagesrc.edges_sql()}),
+e AS (SELECT DISTINCT 'host' || {pagesrc._h('e0.src')} || '.example' AS s,
+                      'host' || {pagesrc._h('e0.dst')} || '.example' AS t
+      FROM e0),
+v AS (SELECT s AS host FROM e UNION SELECT t FROM e),
+b1 AS (SELECT host AS g, host AS val FROM v
+       UNION SELECT s AS g, t AS val FROM e),
+b2 AS (SELECT DISTINCT a.g, bb.val FROM b1 a JOIN b1 bb ON bb.g = a.val),
+e1 AS {_hll_grouped_est_sql("SELECT g, val FROM b1")},
+e2 AS {_hll_grouped_est_sql("SELECT g, val FROM b2")}
+SELECT v.host, e1.est AS est_ball_1, e2.est AS est_ball_2
+FROM v JOIN e1 ON e1.g = v.host JOIN e2 ON e2.g = v.host
+""",
         "hll_set_overlap": f"""
 SELECT
   CAST((SELECT count(DISTINCT _v) FROM ({HLL_SET_A_SQL})) AS BIGINT) AS n_a,

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "cms_heavy_hitters",
     "hll_set_overlap",
+    "hyperball",
     "robots_agent_groups",
     "kwic_snippets",
     "canonical_clusters",

@@ -213,3 +213,112 @@ def hll_set_overlap(
             ).alias("est_inter"),
         )
     )
+
+
+# --- grouped registers + HyperBall ------------------------------------------
+
+
+def hll_grouped_registers(
+    pairs: DataFrame, group_col: str, val_col: str, b: int = HLL_BITS
+) -> DataFrame:
+    """(group, bucket, rho) — one register table per group key, built
+    from (group, value) pairs; the per-node state HyperBall iterates."""
+    k_max = 60 - b + 1
+    d = pairs.select(
+        F.col(group_col).alias("g"), F.col(val_col).cast("string").alias("_v")
+    ).na.drop().distinct()
+    h = F.conv(F.substring(F.md5(F.col("_v")), 1, 15), 16, 10).cast("long")
+    hashed = d.select("g", h.alias("_h")).select(
+        "g",
+        (F.col("_h") % (1 << b)).alias("bucket"),
+        F.shiftright("_h", b).alias("_w"),
+    )
+    tz = F.length(F.bin("_w")) - F.length(
+        F.regexp_replace(F.bin("_w"), "0+$", "")
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(k_max)).otherwise(tz + 1)
+    return (
+        hashed.select("g", "bucket", rho.cast("int").alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_grouped_estimate(regs: DataFrame, b: int = HLL_BITS) -> DataFrame:
+    """(g, est) — hll_estimate's arithmetic per group key."""
+    m = 1 << b
+    k_max = 60 - b + 1
+    agg = regs.groupBy("g").agg(
+        F.count("*").cast("long").alias("nz"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_max} - rho)")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_ne"),
+    )
+    v = (F.lit(m) - F.col("nz")).cast("long")
+    s = F.col("s_ne") + v * F.lit(1 << k_max).cast("long")
+    raw = (
+        F.lit(_alpha(m))
+        * F.lit(float(m) * float(m) * float(1 << k_max))
+        / s.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select("g", F.round(est, 4).alias("est"))
+
+
+def hyperball(
+    edges: DataFrame,
+    t_max: int = 2,
+    b: int = HLL_BITS,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node neighborhood-ball
+    sizes |B_t(v)| estimated by iterating one HLL register table per
+    node — B_t = B_{t-1} ∪ (union of out-neighbors' B_{t-1}) becomes
+    a register-wise MAX, so each radius step is ONE join of the edge
+    table against m-bounded per-node registers plus a max-agg; the
+    web-scale way to ask "how much of the graph is within t clicks of
+    this host" (and, summed, the distance distribution) without any
+    BFS frontier materialization.
+
+    Output: (host, est_ball_1, ..., est_ball_{t_max}) — exact-gate
+    safe like every sketch here (md5 hashing, integer registers).
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).dropDuplicates(["s", "t"]).persist()
+    hosts = (
+        e.select(F.col("s").alias("host"))
+        .unionByName(e.select(F.col("t").alias("host")))
+        .dropDuplicates(["host"])
+    )
+    regs = hll_grouped_registers(
+        hosts.select(F.col("host").alias("g"), F.col("host").alias("v")),
+        "g",
+        "v",
+        b,
+    ).localCheckpoint(eager=True)
+    out = hosts
+    for t in range(1, t_max + 1):
+        pulled = (
+            e.join(regs.select(F.col("g").alias("t"), "bucket", "rho"), "t")
+            .select(F.col("s").alias("g"), "bucket", "rho")
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("g", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        est = hll_grouped_estimate(regs, b).select(
+            F.col("g").alias("host"), F.col("est").alias(f"est_ball_{t}")
+        )
+        out = out.join(est, "host", "left")
+    e.unpersist()
+    return out

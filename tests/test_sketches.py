@@ -106,3 +106,25 @@ def test_hll_set_overlap_inclusion_exclusion(spark):
     assert abs(row["est_union"] - 3200) / 3200 < 0.13
     # inclusion-exclusion stacks three estimators' noise; band ~3x
     assert abs(row["est_inter"] - 800) / 800 < 0.4
+
+
+def test_hyperball_on_a_path_graph(spark):
+    """On the path a->b->c->d, ball estimates track the true ball
+    sizes (tiny sets ride linear counting, so they're near-exact):
+    |B1(a)|=2, |B2(a)|=3; the sink d stays at 1 forever."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.sketches import (
+        hyperball,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src_host string, dst_host string"
+    )
+    out = {r["host"]: r for r in hyperball(edges, t_max=2).collect()}
+    truth1 = {"a": 2, "b": 2, "c": 2, "d": 1}
+    truth2 = {"a": 3, "b": 3, "c": 2, "d": 1}
+    for h in truth1:
+        assert abs(out[h]["est_ball_1"] - truth1[h]) < 0.5, (h, out[h])
+        assert abs(out[h]["est_ball_2"] - truth2[h]) < 0.5, (h, out[h])
+    # monotone: B2 >= B1 per node (register max-merge only grows)
+    for h in out:
+        assert out[h]["est_ball_2"] >= out[h]["est_ball_1"]
