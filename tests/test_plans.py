@@ -73,9 +73,15 @@ def test_no_cartesian_or_nested_loop_joins(plans):
     one row) is the scalar-subquery attach (recrawl_schedule's batch
     clock): one row shipped to every task, structurally unable to blow
     up. A plan is exempt only if EVERY BNLJ in it broadcasts a scalar.
+    Row-PRESERVING wrappers (Project / codegen markers) may sit
+    between the exchange and the aggregate — hll_set_overlap's
+    estimate frames project the rounded estimate over the scalar agg —
+    but any line that could grow rows (a join, another exchange, a
+    scan, a union, a generate) breaks the exemption.
     """
     scalar_build = re.compile(
         r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
+        r"(?:(?![^\n]*(?:Join|Exchange|Scan|Union|Generate|Expand))[^\n]*\n){0,4}?"
         r"[^\n]*(?:HashAggregate\(keys=\[\]|SortAggregate\(key=\[\])"
     )
 
