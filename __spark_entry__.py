@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 129 entries, 128 with
+SURVEY.md §2 (+ the training-data operators) — 131 entries, 130 with
 DuckDB oracles (compression_signal is rows-only by design: zlib
 exists in no SQL engine). Row-by-row map: COVERAGE.md.
 
