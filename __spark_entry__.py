@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship frontier crawl at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators) — 131 entries, 130 with
-DuckDB oracles (compression_signal is rows-only by design: zlib
-exists in no SQL engine). Row-by-row map: COVERAGE.md.
+SURVEY.md §2 (+ the training-data operators) — 131 entries, ALL 131
+with exact DuckDB oracles (compression_signal, whose zlib exists in
+no SQL engine, compares against a precomputed independent-zlib
+fixture — tools/make_compression_fixture.py). Row-by-row map:
+COVERAGE.md.
 
 Synthetic inputs are derived deterministically from the driver's
 ``documents``/``embeddings``/``events`` tables; where Spark and the
@@ -2014,9 +2016,11 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 def q_compression_signal(spark, sf_dir):
     """zlib-ratio quality signal (curation.compression_signal) over
-    documents. ROWS-ONLY gate by design: zlib exists in neither SQL
-    engine — same weaker-check class as custom stateful streaming;
-    the threshold/edge semantics are pytest-pinned instead
+    documents. zlib exists in neither SQL engine, so the oracle joins
+    a precomputed expected table (independent plain-Python zlib pass,
+    tools/make_compression_fixture.py, keyed by md5(text) so one
+    static SQL string is exact at every sf) — a full exact gate;
+    threshold/edge semantics additionally pytest-pinned
     (test_curation)."""
     from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators.curation import (
         compression_signal,
@@ -4656,13 +4660,24 @@ SELECT sp.doc_id,
   r.clean_text
 FROM sp JOIN r USING (doc_id)
 """,
+        # expected table precomputed by an INDEPENDENT plain-Python
+        # zlib pass (tools/make_compression_fixture.py) over every
+        # distinct text in the sf dirs, keyed by md5(text) so this one
+        # static string is exact at any scale factor — upgrades the
+        # formerly rows-only gate to a full rows+schema+hash compare.
+        "compression_signal": """
+SELECT d.doc_id, e.raw_bytes, e.comp_bytes, e.ratio, e.repetitive, e.incompressible
+FROM documents d
+JOIN read_parquet('/root/repo/fixtures/compression_expected.parquet') e
+  ON md5(coalesce(d.text, '')) = e.text_md5
+""",
         "soft404": f"""
 WITH s AS ({SOFT404_SYNTH_SQL}),
 c AS (
   SELECT id,
-    CASE WHEN trim(text) = '' THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
-    regexp_matches(lower(text), '{_TRAP_SOFT404_PATTERN}') AS phrase_hit
+    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_words,
+    regexp_matches(lower(coalesce(text, '')), '{_TRAP_SOFT404_PATTERN}') AS phrase_hit
   FROM s
 )
 SELECT id, CAST(n_words AS BIGINT) AS n_words, phrase_hit,

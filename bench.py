@@ -48,6 +48,17 @@ physical cores to measure the engine rather than the hyperthreads):
                                   # docs x host-vocab join vs AQE-only
                                   # vs raw hash layout, broadcast
                                   # disabled (env SPARK_GRAFT_BOILER_*)
+    python bench.py --scaling-final # round-5 headline scaling number:
+                                  # K interleaved (1w leg, 4w leg)
+                                  # rounds, full-size warm-up waves on
+                                  # the short 4x4 leg, MEDIAN-of-K
+                                  # efficiency (best-of = roofline
+                                  # only); env SPARK_GRAFT_SCALE_ROUNDS
+    python bench.py --skew-phrase # stopword-first phrase A/B:
+                                  # pre-aggregated anchor positions
+                                  # (shipped) vs per-anchor token-array
+                                  # join on a mega-doc fixture
+                                  # (env SPARK_GRAFT_PHRASE_*)
 
 Results are recorded in BENCH.md.
 """
@@ -785,6 +796,184 @@ def run_skew_para(spark, n_docs: int, skew_frac: float) -> dict:
     return out
 
 
+def run_skew_phrase(spark, n_docs: int, mega_tokens: int) -> dict:
+    """Stopword-first phrase skew A/B for phrase_match (VERDICT r04
+    "wrong" #1): the query phrase opens with a ~5 %-frequency stopword
+    and ONE mega-doc carries ``mega_tokens`` tokens. Two legs,
+    identical results (asserted):
+
+    * ``per_anchor`` — the pre-r5 plan: every first-term occurrence
+      joins the doc's FULL token array, so the mega-doc ships
+      (anchors x L) array cells through a single doc-keyed task —
+      per-doc quadratic bytes, the §7a/§7b single-task cliff.
+    * ``pre_agg``    — the shipped operator: anchor positions
+      aggregate to ONE sorted array per (doc, phrase) BEFORE the token
+      array joins in, so each doc's array crosses the join exactly
+      once and per-task state is O(L + anchors).
+
+    Reported per leg: wall, array cells through the doc-keyed verify
+    join, and max_task_share of those cells (coalescing off so shares
+    reflect the hash layout). Honest reading: on ONE box the legs are
+    wall-par (±30 % — whole-stage codegen reads the joined array
+    lazily, the slice touches plen elements, and pre_agg pays one
+    extra collect_list shuffle), so the measured win is STRUCTURAL:
+    ~300x fewer logical cells through the verify join and the hot
+    task's state dropping from ~all cells to O(L + anchors) — the
+    guarantee no longer depends on codegen laziness holding across
+    join strategy, spill, or columnar materialization changes.
+    """
+    from pyspark.sql import functions as F
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.operators import (
+        search,
+    )
+
+    tail_tokens = 200
+
+    def tok(i):
+        return (
+            F.when(i % 400 == 0, F.lit("the"))
+            .when(i % 400 == 1, F.lit("quick"))
+            .when(i % 400 == 2, F.lit("brown"))
+            .when(i % 20 == 0, F.lit("the"))
+            .otherwise(F.concat(F.lit("w"), (i % 97).cast("string")))
+        )
+
+    docs = (
+        spark.range(n_docs + 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") == 0, F.lit(mega_tokens))
+            .otherwise(F.lit(tail_tokens))
+            .alias("_n"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform(F.sequence(F.lit(0), F.col("_n") - 1), tok)
+            ).alias("text"),
+        )
+        .persist()
+    )
+    docs.count()
+    phrases = spark.createDataFrame(
+        [(0, "the quick brown")], "phrase_id long, phrase string"
+    )
+
+    def _toks_ph(d):
+        toks = d.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit(search.TOKEN_PATTERN),
+                0,
+            ).alias("toks"),
+        )
+        ph = phrases.select(
+            "phrase_id",
+            F.split(F.lower(F.col("phrase")), r"\s+").alias("terms"),
+        ).select(
+            "phrase_id",
+            "terms",
+            F.col("terms")[0].alias("first_term"),
+            F.size("terms").alias("plen"),
+        )
+        return toks, ph
+
+    def per_anchor(d):
+        toks, ph = _toks_ph(d)
+        occ = toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        anchors = occ.join(F.broadcast(ph), occ.term == ph.first_term)
+        verified = anchors.join(toks, "doc_id").filter(
+            F.slice(F.col("toks"), F.col("pos") + 1, F.col("plen"))
+            == F.col("terms")
+        )
+        return verified.groupBy("phrase_id", "doc_id").agg(
+            F.count("*").cast("bigint").alias("n_matches")
+        )
+
+    def pre_agg(d):
+        return search.phrase_match(d, phrases)
+
+    # layout probes: array cells through the doc-keyed verify join
+    def share_per_anchor(d):
+        toks, ph = _toks_ph(d)
+        occ = toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        anchors = occ.join(F.broadcast(ph), occ.term == ph.first_term)
+        joined = anchors.join(toks, "doc_id")
+        return joined.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.sum(F.size("toks")).alias("cells")
+        )
+
+    def share_pre_agg(d):
+        toks, ph = _toks_ph(d)
+        occ = toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        anchors = occ.join(
+            F.broadcast(ph.select("phrase_id", "first_term")),
+            occ.term == F.col("first_term"),
+        ).select("doc_id", "phrase_id", "pos")
+        grouped = anchors.groupBy("doc_id", "phrase_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("poss")
+        )
+        joined = grouped.join(
+            F.broadcast(ph.select("phrase_id", "terms", "plen")), "phrase_id"
+        ).join(toks, "doc_id")
+        return joined.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.sum(F.size("toks") + F.size("poss")).alias("cells")
+        )
+
+    reps = int(os.environ.get("SPARK_GRAFT_SKEW_REPEATS", "2"))
+    saved = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", None
+    )
+    out, checks = {}, {}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        for label, fn, probe in (
+            ("pre_agg", pre_agg, share_pre_agg),
+            ("per_anchor", per_anchor, share_per_anchor),
+        ):
+            walls = []
+            for _ in range(reps):
+                t0 = time.time()
+                row = fn(docs).agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_matches").alias("m"),
+                    F.sum(F.col("doc_id") * F.col("n_matches")).alias("c"),
+                ).collect()[0]
+                walls.append(time.time() - t0)
+            checks[label] = (row.n, row.m, row.c)
+            parts = probe(docs).collect()
+            total = sum(r["cells"] for r in parts)
+            out[label] = {
+                "wall_s": round(min(walls), 3),
+                "all_walls_s": [round(w, 3) for w in walls],
+                "join_cells": int(total),
+                "join_tasks": len(parts),
+                "max_task_share": round(
+                    max(r["cells"] for r in parts) / total, 3
+                ),
+            }
+        assert len(set(checks.values())) == 1, checks
+    finally:
+        docs.unpersist()
+        if saved is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", saved
+            )
+    out.update(
+        metric="phrase_anchor_join_speedup",
+        value=round(out["per_anchor"]["wall_s"] / out["pre_agg"]["wall_s"], 2),
+        unit="x",
+        n_docs=n_docs,
+        mega_tokens=mega_tokens,
+        matches=checks["pre_agg"][1],
+    )
+    return out
+
+
 def run_pipeline_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
     """End-to-end rehearsal (VERDICT r03 next-round #1): the eight-stage
     training pipeline — crawl -> tier-2 extract -> normalize -> quality
@@ -890,6 +1079,178 @@ def run_incremental_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dic
         shutil.rmtree(wd_v2, ignore_errors=True)
 
 
+def _cluster_wave_leg(
+    n_workers: int,
+    cores_per_worker: int,
+    pin_cpus: bool,
+    driver_slice: str | None,
+    zip_path: str,
+    wave_repeats: int,
+    warmup_waves: int,
+    warmup_mult: int,
+    scale_mult: int,
+    body_repeat: int,
+) -> list[dict]:
+    """One standalone-cluster leg: stand up ``n_workers`` x
+    ``cores_per_worker`` (one executor JVM per worker), run a
+    --wave-series subprocess (``warmup_waves`` untimed waves of
+    ``warmup_mult``, then ``wave_repeats`` timed waves of
+    ``scale_mult``), tear down, return the timed-run dicts."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from standalone_cluster import StandaloneCluster
+
+    with StandaloneCluster(
+        n_workers=n_workers,
+        cores_per_worker=cores_per_worker,
+        pin_cpus=pin_cpus,
+    ) as cl:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_MASTER=cl.master_url,
+            SPARK_GRAFT_EXEC_CORES=str(cores_per_worker),
+            # 6g OOMed ("GC overhead limit exceeded") partway through
+            # repeated 1M-page waves; 12g holds them comfortably and
+            # 4 workers x (12g heap + 12g direct worst-case) still
+            # fits the 125 GB box
+            SPARK_GRAFT_EXEC_MEM=env_default("SPARK_GRAFT_EXEC_MEM", "12g"),
+            SPARK_GRAFT_MAX_CORES=str(n_workers * cores_per_worker),
+            SPARK_GRAFT_PYFILES=zip_path,
+            SPARK_GRAFT_SCALE_MULT=str(scale_mult),
+            SPARK_GRAFT_BODY_REPEAT=str(body_repeat),
+            SPARK_ARROW_BATCH=env_default("SPARK_ARROW_BATCH", "2000"),
+            # driver plans + collects small metric rows only; keep it
+            # lean so executor heaps own the box's memory
+            SPARK_DRIVER_MEM=env_default("SPARK_DRIVER_MEM", "4g"),
+        )
+        env["SPARK_GRAFT_WAVE_REPEATS"] = str(wave_repeats)
+        env["SPARK_GRAFT_WARMUP_WAVES"] = str(warmup_waves)
+        env["SPARK_GRAFT_WARMUP_MULT"] = str(warmup_mult)
+        drv_pin = ["taskset", "-c", driver_slice] if driver_slice else []
+        p = subprocess.run(
+            drv_pin + [sys.executable, __file__, "--wave-series"],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-8000:])
+            raise RuntimeError(
+                f"wave-series failed at n_workers={n_workers} "
+                f"(rc={p.returncode}); stderr tail above"
+            )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def run_scaling_final(sf_dir: str) -> dict:
+    """The round-5 scaling protocol (VERDICT r04 next-round #2):
+    process-isolated 1 vs 4 executor JVMs x 4 cores as in
+    --scaling-cluster, but
+
+    * INTERLEAVED — K rounds, each standing up the 1-worker leg then
+      the 4-worker leg back-to-back, so slow box drift (page cache,
+      thermal, background load) hits both sides of every ratio;
+    * WARM-UP-AWARE — the short 4x4 waves are preceded by FULL-size
+      untimed warm-up waves (the §12a spread was the timed 4x4 wave
+      sampling the executor JIT/GC ramp; the stable 1x4 leg keeps the
+      cheap 10x-smaller warm-up);
+    * MEDIAN-reported — the headline efficiency is
+      median(hi)/median(lo)/4 across the K rounds; best-of is reported
+      alongside as the roofline claim, never as THE number.
+
+    ~10-13 min per round at mult=100 on this box; K=5 by default.
+    """
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    import statistics
+    import tempfile
+
+    import make_pyfiles
+
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
+    scale_mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "100"))
+    body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "50"))
+    cores_per_worker = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "4"))
+    w_lo, w_hi = (
+        int(w)
+        for w in os.environ.get("SPARK_GRAFT_CLUSTER_WORKERS", "1,4").split(",")
+    )
+    full_warm_hi = int(os.environ.get("SPARK_GRAFT_WARMUP_WAVES", "2"))
+    pin_cpus = os.environ.get("SPARK_GRAFT_PIN_CPUS", "") == "1"
+    tmp = tempfile.mkdtemp(prefix="scaling-final-")
+    zip_path = make_pyfiles.build(os.path.join(tmp, "engine.zip"))
+
+    n_cpus = os.cpu_count() or 32
+    driver_slice = None
+    if pin_cpus:
+        lo = w_hi * cores_per_worker
+        hi = min(n_cpus, lo + 8) - 1
+        if hi < lo:
+            raise RuntimeError("not enough CPUs to pin a driver slice")
+        driver_slice = f"{lo}-{hi}"
+
+    tps = {w_lo: [], w_hi: []}
+    rounds_out = []
+    for k in range(rounds):
+        row = {"round": k}
+        for n_workers in (w_lo, w_hi):
+            is_hi = n_workers == w_hi
+            runs = _cluster_wave_leg(
+                n_workers=n_workers,
+                cores_per_worker=cores_per_worker,
+                pin_cpus=pin_cpus,
+                driver_slice=driver_slice,
+                zip_path=zip_path,
+                wave_repeats=1,
+                # full-size warm-up for the short-wave hi leg (JIT/GC
+                # ramp); the long stable lo leg warms in its first
+                # minutes anyway — 10x-smaller suffices
+                warmup_waves=full_warm_hi if is_hi else 1,
+                warmup_mult=scale_mult if is_hi else max(1, scale_mult // 10),
+                scale_mult=scale_mult,
+                body_repeat=body_repeat,
+            )
+            tp = runs[-1]["pages_per_sec"]
+            tps[n_workers].append(tp)
+            row[f"tp_{n_workers}w"] = tp
+        row["efficiency"] = round(
+            (row[f"tp_{w_hi}w"] / row[f"tp_{w_lo}w"]) / (w_hi / w_lo), 3
+        )
+        rounds_out.append(row)
+
+    med_lo = statistics.median(tps[w_lo])
+    med_hi = statistics.median(tps[w_hi])
+    eff_med = (med_hi / med_lo) / (w_hi / w_lo)
+    eff_best = (max(tps[w_hi]) / min(tps[w_lo])) / (w_hi / w_lo)
+    c = cores_per_worker
+    return {
+        "metric": f"scaling_efficiency_median_{w_lo}x{c}_to_{w_hi}x{c}_executors",
+        "value": round(eff_med, 3),
+        "unit": "ratio",
+        "protocol": (
+            f"interleaved, K={rounds} rounds; per round: {w_lo}-worker leg "
+            f"(1 warm-up wave at mult/10) then {w_hi}-worker leg "
+            f"({full_warm_hi} FULL-size warm-up waves), 1 timed wave each; "
+            "headline = median(hi)/median(lo)/4, best-of = roofline only"
+        ),
+        "sf": _sf_of(sf_dir),
+        "scale_mult": scale_mult,
+        "body_repeat": body_repeat,
+        "pin_cpus": pin_cpus,
+        "driver_cpu_slice": driver_slice,
+        f"median_tp_{w_lo}w": med_lo,
+        f"median_tp_{w_hi}w": med_hi,
+        f"all_tp_{w_lo}w": tps[w_lo],
+        f"all_tp_{w_hi}w": tps[w_hi],
+        "efficiency_median": round(eff_med, 3),
+        "efficiency_best_over_worst": round(eff_best, 3),
+        "efficiency_per_round": [r["efficiency"] for r in rounds_out],
+        "rounds": rounds_out,
+    }
+
+
 def run_scaling_cluster(sf_dir: str) -> dict:
     """North_rule scaling evidence, process-isolated: the same wave job
     on a localhost Spark STANDALONE cluster at 1 worker (N=4 cores)
@@ -940,49 +1301,21 @@ def run_scaling_cluster(sf_dir: str) -> dict:
 
     out = {}
     for n_workers in worker_counts:
-        with StandaloneCluster(
+        runs = _cluster_wave_leg(
             n_workers=n_workers,
             cores_per_worker=cores_per_worker,
             pin_cpus=pin_cpus,
-        ) as cl:
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_MASTER=cl.master_url,
-                SPARK_GRAFT_EXEC_CORES=str(cores_per_worker),
-                # 6g OOMed ("GC overhead limit exceeded") partway through
-                # repeated 1M-page waves; 12g holds them comfortably and
-                # 4 workers x (12g heap + 12g direct worst-case) still
-                # fits the 125 GB box
-                SPARK_GRAFT_EXEC_MEM=env_default("SPARK_GRAFT_EXEC_MEM", "12g"),
-                SPARK_GRAFT_MAX_CORES=str(n_workers * cores_per_worker),
-                SPARK_GRAFT_PYFILES=zip_path,
-                SPARK_GRAFT_SCALE_MULT=str(scale_mult),
-                SPARK_GRAFT_BODY_REPEAT=str(body_repeat),
-                SPARK_ARROW_BATCH=env_default("SPARK_ARROW_BATCH", "2000"),
-                # driver plans + collects small metric rows only; keep it
-                # lean so executor heaps own the box's memory
-                SPARK_DRIVER_MEM=env_default("SPARK_DRIVER_MEM", "4g"),
-            )
-            env["SPARK_GRAFT_WAVE_REPEATS"] = str(repeats)
-            drv_pin = (
-                ["taskset", "-c", driver_slice] if driver_slice else []
-            )
-            p = subprocess.run(
-                drv_pin + [sys.executable, __file__, "--wave-series"],
-                env=env,
-                capture_output=True,
-                text=True,
-            )
-            if p.returncode != 0:
-                sys.stderr.write(p.stderr[-8000:])
-                raise RuntimeError(
-                    f"wave-series failed at n_workers={n_workers} "
-                    f"(rc={p.returncode}); stderr tail above"
-                )
-            runs = json.loads(p.stdout.strip().splitlines()[-1])
-            best = max(runs, key=lambda r: r["pages_per_sec"])
-            best["all_runs_pages_per_sec"] = [r["pages_per_sec"] for r in runs]
-            out[n_workers] = best
+            driver_slice=driver_slice,
+            zip_path=zip_path,
+            wave_repeats=repeats,
+            warmup_waves=1,
+            warmup_mult=max(1, scale_mult // 10),
+            scale_mult=scale_mult,
+            body_repeat=body_repeat,
+        )
+        best = max(runs, key=lambda r: r["pages_per_sec"])
+        best["all_runs_pages_per_sec"] = [r["pages_per_sec"] for r in runs]
+        out[n_workers] = best
     w_lo, w_hi = min(worker_counts), max(worker_counts)
     tp_lo, tp_hi = out[w_lo]["pages_per_sec"], out[w_hi]["pages_per_sec"]
     eff = (tp_hi / tp_lo) / (w_hi / w_lo)
@@ -1069,7 +1402,9 @@ def run_scaling(sf_dir: str, scale_mult: int | None = None) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    if "--scaling-cluster" in sys.argv:
+    if "--scaling-final" in sys.argv:
+        print(json.dumps(run_scaling_final(sf_dir)))
+    elif "--scaling-cluster" in sys.argv:
         print(json.dumps(run_scaling_cluster(sf_dir)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
@@ -1114,6 +1449,13 @@ def main() -> None:
         frac = float(os.environ.get("SPARK_GRAFT_SKEW_FRAC", "0.9"))
         sp = int(os.environ.get("SPARK_GRAFT_BOILER_SALTS", "64"))
         print(json.dumps(run_skew_boiler(spark, n, frac, sp)))
+    elif "--skew-phrase" in sys.argv:
+        from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
+
+        spark = get_spark(app_name="bench-skew-phrase")
+        n = int(os.environ.get("SPARK_GRAFT_PHRASE_DOCS", "20000"))
+        mt = int(os.environ.get("SPARK_GRAFT_PHRASE_MEGA", "160000"))
+        print(json.dumps(run_skew_phrase(spark, n, mt)))
     elif "--skew-para" in sys.argv:
         from go_crawler_20251102_011312_url_crawlerv10_twotier_spark import get_spark
 
@@ -1140,8 +1482,16 @@ def main() -> None:
         reps = int(os.environ.get("SPARK_GRAFT_WAVE_REPEATS", "3"))
         # warm-up must be big enough to drive every executor's JIT
         # through the hot codegen paths (a 10x-smaller wave suffices;
-        # 50x-smaller left the first timed 16-core run 2.8x slow)
-        run_wave(spark, sf_dir, max(1, mult // 10), br)
+        # 50x-smaller left the first timed 16-core run 2.8x slow).
+        # The interleaved final protocol (--scaling-final) overrides
+        # count/size: short-wave legs sample the JIT/GC ramp unless
+        # warmed with FULL-size waves (BENCH.md §12a spread).
+        n_warm = int(os.environ.get("SPARK_GRAFT_WARMUP_WAVES", "1"))
+        warm_mult = int(
+            os.environ.get("SPARK_GRAFT_WARMUP_MULT", str(max(1, mult // 10)))
+        )
+        for _ in range(n_warm):
+            run_wave(spark, sf_dir, warm_mult, br)
 
         def _reap():
             # a finished wave's localCheckpoint blocks are reaped by

@@ -850,10 +850,11 @@ def compression_signal(
     curation pass wants cheap.
 
     One Arrow-batched ``mapInPandas`` hop (zlib is not expressible in
-    either SQL engine — this is a ROWS-ONLY gate entry by design, the
-    same weaker-check class as custom stateful streaming); map-only,
-    no shuffle, and only (id, text) crosses to Python. Ratio is
-    deterministic for a fixed zlib level within one environment.
+    either SQL engine — the gate's oracle therefore compares against a
+    precomputed independent-zlib expected table,
+    tools/make_compression_fixture.py); map-only, no shuffle, and only
+    (id, text) crosses to Python. Ratio is deterministic for a fixed
+    zlib level within one environment.
 
     The ratio is LENGTH-CONFOUNDED below a few hundred bytes (zlib
     header + dictionary warm-up: 114 B of clean prose measures 0.82,

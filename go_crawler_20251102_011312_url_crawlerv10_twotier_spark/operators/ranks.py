@@ -380,8 +380,17 @@ def host_hits(
     hosts-sized join + one map-side-partial aggregation; the L1 total
     is a broadcast 1-row scalar attach (the engine's crossJoin-scalar
     pattern); carriers are eagerly cut per iteration.
+
+    Float caveat (accepted-risk class shared with host_pagerank): the
+    L1 totals are IEEE-double sums, so a gate value sitting exactly on
+    a round(.,6) boundary could flip vs the oracle at other partition
+    counts; if that ever fires, switch hub/auth mass to integer
+    micro-units (the bm25_topk pattern).
     """
     from pyspark import StorageLevel
+
+    if n_iters < 1:
+        raise ValueError(f"host_hits needs n_iters >= 1, got {n_iters}")
 
     e = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))

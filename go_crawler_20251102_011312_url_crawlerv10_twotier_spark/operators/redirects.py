@@ -65,12 +65,18 @@ def resolve_redirects(
     # at action time (measured 14 s on a 5 K-page corpus whose edge
     # extraction sat in the leaves). persist() keeps the plan lazy but
     # collapses execution to one computation per round — total work
-    # O(rounds x |redirects|), plan still fixed by max_hops.
+    # O(rounds x |redirects|), plan still fixed by max_hops. The final
+    # jump table is localCheckpoint'ed (eager, redirect-table-sized)
+    # so every intermediate cache can be RELEASED before returning —
+    # callers in a loop (crawl, canonical_clusters) would otherwise
+    # leak ~6 cached frames per call for the session lifetime.
+    cached = []
     edges = (
         redirects.select(F.col("src").alias("u"), F.col("dst").alias("cur"))
         .filter(F.col("cur").isNotNull())
         .persist()
     )
+    cached.append(edges)
     srcs = edges.select(F.col("u").alias("s")).distinct()
 
     # jump_0: one hop; done = landed on a non-redirect URL
@@ -84,6 +90,7 @@ def resolve_redirects(
         )
         .persist()
     )
+    cached.append(jump)
 
     for _ in range(_doubling_rounds(max_hops)):
         finished = jump.filter(F.col("done"))
@@ -105,6 +112,14 @@ def resolve_redirects(
             F.col("done2").alias("done"),
         )
         jump = finished.unionByName(composed).persist()
+        cached.append(jump)
+
+    # Materialize the final table (one row per redirect src — bounded
+    # by the redirect map, never the corpus), then release every
+    # intermediate so repeated calls don't accumulate cached frames.
+    jump = jump.localCheckpoint()
+    for c in cached:
+        c.unpersist()
 
     resolved = jump.select(
         F.col("u").alias("_src"),

@@ -113,30 +113,31 @@ def bm25_topk(
     )
 
 
-def phrase_match(
+def _phrase_candidates(
     docs: DataFrame,
     phrases: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    phrase_col: str = "phrase",
+    id_col: str,
+    text_col: str,
+    phrase_col: str,
 ) -> DataFrame:
-    """Exact consecutive-token phrase search: which docs contain the
-    phrase, and how many times — the positional-postings capability
-    BM25's bag-of-words scoring cannot answer.
+    """Shared plan skeleton for :func:`phrase_match` / :func:`kwic_snippets`.
 
-    ``phrases``: (phrase_id, phrase) — whitespace-separated terms,
-    tokenized with the same TOKEN_PATTERN as the postings build.
+    Plan shape (no BNLJ, no per-anchor token-array replication): token
+    occurrences posexplode once; a BROADCAST HASH join on the phrase's
+    FIRST term prunes to candidate anchors carrying only (doc_id,
+    phrase_id, pos); anchors are AGGREGATED into one sorted position
+    array per (doc_id, phrase_id) BEFORE the per-doc token array joins
+    in — so ``toks`` crosses the join exactly once per (doc, phrase)
+    pair, not once per first-term occurrence. The pre-aggregation is
+    the load-bearing step: for a stopword-first phrase, anchors are
+    ~5 % of all tokens, and joining ``toks`` per-anchor would ship
+    O(0.05·L²) bytes for an L-token doc (multi-GB for one doc at the
+    5 MB body cap). Here the shuffled anchor rows are 3 scalars each
+    and the joined state is O(L + n_anchors) per pair.
 
-    Plan shape (no BNLJ, no token-array blow-up): token occurrences
-    posexplode once; a BROADCAST HASH join on the phrase's FIRST term
-    prunes to candidate anchors; candidates re-join the per-doc token
-    array on the doc key (uniform, bounded by doc length) and verify
-    ``slice(toks, pos+1, len) == terms`` as one array compare. The
-    classic alternatives both fail at scale: carrying the token array
-    through the explode is quadratic bytes per doc, and a phrases
-    crossJoin is a nested-loop over the corpus.
-
-    Output: (phrase_id, doc_id, n_matches), only rows with >= 1 match.
+    Returns (phrase_id, doc_id, terms, plen, poss, toks) with ``poss``
+    the ascending 0-based anchor positions; verification happens in the
+    caller as one array-lambda pass over the single ``toks`` copy.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -155,16 +156,56 @@ def phrase_match(
         F.col("terms")[0].alias("first_term"),
         F.size("terms").alias("plen"),
     )
-    occ = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos", "term")
+    occ = toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    anchors = occ.join(
+        F.broadcast(ph.select("phrase_id", "first_term")),
+        occ.term == F.col("first_term"),
+    ).select("doc_id", "phrase_id", "pos")
+    grouped = anchors.groupBy("doc_id", "phrase_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("poss")
     )
-    anchors = occ.join(F.broadcast(ph), occ.term == ph.first_term)
-    verified = (
-        anchors.join(toks, "doc_id")
-        .filter(F.slice(F.col("toks"), F.col("pos") + 1, F.col("plen")) == F.col("terms"))
+    return grouped.join(
+        F.broadcast(ph.select("phrase_id", "terms", "plen")), "phrase_id"
+    ).join(toks, "doc_id")
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact consecutive-token phrase search: which docs contain the
+    phrase, and how many times — the positional-postings capability
+    BM25's bag-of-words scoring cannot answer.
+
+    ``phrases``: (phrase_id, phrase) — whitespace-separated terms,
+    tokenized with the same TOKEN_PATTERN as the postings build.
+
+    Plan shape: see :func:`_phrase_candidates` — anchors pre-aggregated
+    per (doc, phrase), the token array joined ONCE per pair, and every
+    anchor verified in a single ``filter`` array lambda
+    (``slice(toks, p+1, plen) == terms``). The classic alternatives
+    both fail at scale: carrying the token array through the explode
+    (or joining it per-anchor) is quadratic bytes per doc, and a
+    phrases crossJoin is a nested-loop over the corpus.
+
+    Output: (phrase_id, doc_id, n_matches), only rows with >= 1 match.
+    """
+    cand = _phrase_candidates(docs, phrases, id_col, text_col, phrase_col)
+    n_matches = F.size(
+        F.filter(
+            F.col("poss"),
+            lambda p: F.slice(F.col("toks"), p + F.lit(1), F.col("plen"))
+            == F.col("terms"),
+        )
     )
-    return verified.groupBy("phrase_id", "doc_id").agg(
-        F.count("*").cast("bigint").alias("n_matches")
+    return (
+        cand.select(
+            "phrase_id", "doc_id", n_matches.cast("bigint").alias("n_matches")
+        )
+        .filter(F.col("n_matches") >= 1)
     )
 
 
@@ -225,35 +266,26 @@ def kwic_snippets(
     Output: (phrase_id, doc_id, match_pos, snippet) — match_pos is the
     1-based token position of the phrase start; one row per occurrence.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.regexp_extract_all(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-            F.lit(TOKEN_PATTERN),
-            0,
-        ).alias("toks"),
+    cand = _phrase_candidates(docs, phrases, id_col, text_col, phrase_col)
+
+    def _snip(p):
+        start = F.greatest(p + F.lit(1) - F.lit(context), F.lit(1))
+        end = F.least(p + F.col("plen") + F.lit(context), F.size("toks"))
+        return F.struct(
+            (p + F.lit(1)).cast("bigint").alias("match_pos"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), start, end - start + 1)
+            ).alias("snippet"),
+        )
+
+    hits = F.transform(
+        F.filter(
+            F.col("poss"),
+            lambda p: F.slice(F.col("toks"), p + F.lit(1), F.col("plen"))
+            == F.col("terms"),
+        ),
+        _snip,
     )
-    ph = phrases.select(
-        "phrase_id",
-        F.split(F.lower(F.col(phrase_col)), r"\s+").alias("terms"),
-    ).select(
-        "phrase_id",
-        "terms",
-        F.col("terms")[0].alias("first_term"),
-        F.size("terms").alias("plen"),
-    )
-    occ = toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-    anchors = occ.join(F.broadcast(ph), occ.term == ph.first_term)
-    verified = anchors.join(toks, "doc_id").filter(
-        F.slice(F.col("toks"), F.col("pos") + 1, F.col("plen")) == F.col("terms")
-    )
-    start = F.greatest(F.col("pos") + 1 - context, F.lit(1))
-    end = F.least(F.col("pos") + F.col("plen") + context, F.size("toks"))
-    return verified.select(
-        "phrase_id",
-        "doc_id",
-        (F.col("pos") + 1).cast("bigint").alias("match_pos"),
-        F.concat_ws(
-            " ", F.slice(F.col("toks"), start, end - start + 1)
-        ).alias("snippet"),
-    )
+    return cand.select(
+        "phrase_id", "doc_id", F.explode(hits).alias("hit")
+    ).select("phrase_id", "doc_id", "hit.match_pos", "hit.snippet")

@@ -147,8 +147,10 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each term: min over the d counters
     the term hashes into (collisions only ever INFLATE — the one-sided
-    error bound the audit gate checks). Terms table is broadcast; the
-    counter table is d*w rows at most.
+    error bound the audit gate checks). The counter table — bounded at
+    d*w rows regardless of corpus size — is the broadcast side (Spark
+    cannot build-left on a left outer join, so broadcasting the probe
+    side would silently fall back to a shuffle).
 
     Output: (term, est).
     """
@@ -165,8 +167,7 @@ def cms_estimate(
     ).cast("long")
     keyed = probes.select("term", "j", (h % w).alias("bucket"))
     return (
-        F.broadcast(keyed)
-        .join(counters, ["j", "bucket"], "left")
+        keyed.join(F.broadcast(counters), ["j", "bucket"], "left")
         .groupBy("term")
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
     )

@@ -320,10 +320,13 @@ def soft404_flags(
     merely *mentioning* errors stay clean). Pure Catalyst (rlike +
     split), map-only, zero shuffle — rides the corpus scan.
 
-    Output: (id, n_words, phrase_hit, soft404).
+    Output: (id, n_words, phrase_hit, soft404) — all non-null: NULL
+    text is coalesced to '' up front (as search/curation do), so
+    consumers treating soft404 as a boolean never see a third value.
     """
-    low = F.lower(F.col(text_col))
-    trimmed = F.trim(F.col(text_col))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    trimmed = F.trim(txt)
     n_words = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
     phrase = low.rlike(SOFT404_PATTERN)
     return pages.select(
