@@ -183,6 +183,39 @@ BENCH_QUERIES = [
     "host_trap_stats",
     "fingerprint",
     "events_rollup",
+    # round 5: the formerly gate-only queries, benched once under the
+    # same noop materialization so every operator has a wall number in
+    # the final record (VERDICT r04 next-round #5). lsh_recall /
+    # ann_recall stay excluded by design: they compute exact all-pairs
+    # truth as their denominator (~28 s at sf0.1), which measures the
+    # audit, not the operator.
+    "extract_docs_slow",
+    "is_document_url",
+    "crawl_frontier_bucketed",
+    "tier2_extract_text",
+    "download_state_store",
+    "link_density",
+    "seen_anti_join",
+    "seen_anti_join_bloom",
+    "extract_filename",
+    "robots_filter",
+    "stream_host_rates",
+    "stream_host_budget_multibatch",
+    "stream_seen_dedup",
+    "simhash_neardup",
+    "politeness_crawl_delay",
+    "sitemap_seeds",
+    "cluster_reps",
+    "jaccard_pairs",
+    "embedding_neardup",
+    "corpus_pack",
+    "pack_stats",
+    "unigram_commonness",
+    "repetition_stats",
+    "mirror_cap_audit",
+    "multimodal_probe",
+    "multimodal_features",
+    "multimodal_decode",
 ]
 
 
@@ -999,10 +1032,23 @@ def run_pipeline_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
     base = pagesrc.synth_clean_pages(spark, sf_dir, body_repeat=body_repeat)
     pages = _replicate(base, ["url", "html"], scale_mult)
     seeds = _replicate(spark.sql(pagesrc.seeds_sql()), ["url"], scale_mult)
+    # SPARK_GRAFT_PIPE_OPT=1 turns the three optional curation stages
+    # ON (soft-404 filter, corpus-global paragraph dedup, within-doc
+    # line scrub) — the twelve-stage variant whose composed cost and
+    # funnel impact §9 alone could not show (VERDICT r04 #7)
+    opt = os.environ.get("SPARK_GRAFT_PIPE_OPT", "") == "1"
     wd = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
         t0 = time.time()
-        res = run_training_pipeline(spark, pages, seeds, wd)
+        res = run_training_pipeline(
+            spark,
+            pages,
+            seeds,
+            wd,
+            drop_soft404=opt,
+            para_dedup=opt,
+            line_scrub=opt,
+        )
         wall = time.time() - t0
         return {
             "metric": "pipeline_total_wall",
@@ -1011,6 +1057,7 @@ def run_pipeline_bench(sf_dir: str, scale_mult: int, body_repeat: int) -> dict:
             "sf": _sf_of(sf_dir),
             "scale_mult": scale_mult,
             "body_repeat": body_repeat,
+            "optional_stages_on": opt,
             "stages": res.stats(),
             "manifest": sorted(
                 (r.asDict() for r in res.manifest.collect()),

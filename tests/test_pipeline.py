@@ -316,3 +316,39 @@ def test_pipeline_soft404_and_line_scrub_stages(spark, tmp_path):
         "doc_id", "url", F.col("clean_text").alias("text"), "n_bytes", "body_xxh"
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_pipeline_resume_identical_with_all_optional_stages(spark, tmp_path):
+    """The twelve-stage variant (soft-404 filter + corpus-global
+    paragraph dedup + line scrub all ON): kill after stage 5
+    (paragraph_dedup committed, line_scrub never ran), resume, and the
+    shard manifest is row-identical to the uninterrupted twelve-stage
+    run — the VERDICT r04 #7 'resume still byte-identical' check for
+    the optional-stage composition."""
+    kw = dict(
+        max_records_per_file=100,
+        drop_soft404=True,
+        para_dedup=True,
+        line_scrub=True,
+    )
+    pages, seeds = _inputs(spark)
+    full = run_training_pipeline(
+        spark, pages, seeds, str(tmp_path / "opt_full"), **kw
+    )
+    assert [s.name for s in full.stages] == [
+        "crawl", "tier2_extract", "soft404_filter", "paragraph_dedup",
+        "line_scrub", "normalize", "quality_filter", "exact_dedup",
+        "dedup_clusters", "corpus_refine", "sequence_pack",
+        "training_shards",
+    ]
+
+    wd = str(tmp_path / "opt_resume")
+    with pytest.raises(PipelineStopped) as ei:
+        run_training_pipeline(spark, pages, seeds, wd, stop_after=4, **kw)
+    assert ei.value.after_stage == 4
+
+    res = run_training_pipeline(spark, pages, seeds, wd, **kw)
+    flags = [(s.name, s.resumed) for s in res.stages]
+    assert [f[1] for f in flags[:4]] == [True] * 4
+    assert [f[1] for f in flags[4:]] == [False] * 8
+    assert _manifest_rows(res) == _manifest_rows(full)
