@@ -81,6 +81,32 @@ def get_spark(
             "spark.sql.parquet.columnarReaderBatchSize",
             os.environ.get("SPARK_PARQUET_BATCH_ROWS", "512"),
         )
+        # - File-scan partitions: the default 128 MB of COMPRESSED
+        #   parquet is ~0.5-1 GB of heap once a text column
+        #   decompresses and lands as UTF-16 strings. Map-only stages
+        #   stream that through, but any string-keyed partial
+        #   aggregation RETAINS ~the task's whole decompressed input
+        #   (measured: the 1 M-page twelve-stage pipeline's
+        #   corpus-global paragraph winner agg — nearly every
+        #   paragraph unique, so the partial-agg map held each task's
+        #   full text x 32 slots and hard-OOMed the 8 g heap). 16 MB
+        #   caps per-task scan bytes so such states stay ~100 MB/task;
+        #   AQE re-coalesces small partitions after shuffles, and the
+        #   small sf fixtures are unaffected (they are below one
+        #   partition either way).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_FILES_MAX_PARTITION", str(16 << 20)),
+        )
+        #   ...and the cap only bites if files CAN split: parquet
+        #   row groups are the split unit, and the default 128 MB
+        #   block size makes every interstage file one unsplittable
+        #   row group. 16 MB row groups let the scan cap hold on the
+        #   pipeline's own stage outputs.
+        .config(
+            "spark.hadoop.parquet.block.size",
+            os.environ.get("SPARK_PARQUET_BLOCK", str(16 << 20)),
+        )
         # - In-memory-cache build vectors: above this threshold Spark
         #   reserves required*ratio instead of doubling AND releases the
         #   vector after each batch — so one 5 MB-row batch doesn't pin
