@@ -60,6 +60,14 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_spark.sources.tables impo
 
 MAX_DEPTH = 13
 
+#: expected-output fixture for the compression_signal oracle, resolved
+#: relative to this file so the gate works from any checkout path
+_COMPRESSION_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "fixtures",
+    "compression_expected.parquet",
+)
+
 
 # ---------------------------------------------------------------------------
 # shared synthetic inputs (ONE SQL text, runs on Spark SQL and DuckDB)
@@ -4663,12 +4671,14 @@ FROM sp JOIN r USING (doc_id)
         # expected table precomputed by an INDEPENDENT plain-Python
         # zlib pass (tools/make_compression_fixture.py) over every
         # distinct text in the sf dirs, keyed by md5(text) so this one
-        # static string is exact at any scale factor — upgrades the
-        # formerly rows-only gate to a full rows+schema+hash compare.
-        "compression_signal": """
+        # string is exact at any scale factor — upgrades the formerly
+        # rows-only gate to a full rows+schema+hash compare. Path
+        # derived from this file's location so the gate runs from any
+        # checkout path, not just /root/repo.
+        "compression_signal": f"""
 SELECT d.doc_id, e.raw_bytes, e.comp_bytes, e.ratio, e.repetitive, e.incompressible
 FROM documents d
-JOIN read_parquet('/root/repo/fixtures/compression_expected.parquet') e
+JOIN read_parquet('{_COMPRESSION_FIXTURE}') e
   ON md5(coalesce(d.text, '')) = e.text_md5
 """,
         "soft404": f"""

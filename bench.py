@@ -819,6 +819,8 @@ def run_skew_para(spark, n_docs: int, skew_frac: float) -> dict:
             spark.conf.set(
                 "spark.sql.adaptive.coalescePartitions.enabled", saved
             )
+        else:
+            spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
     out.update(
         metric="paragraph_dedup_hotkey_speedup",
         value=round(out["naive"]["wall_s"] / out["winner_set"]["wall_s"], 2),
@@ -939,18 +941,11 @@ def run_skew_phrase(spark, n_docs: int, mega_tokens: int) -> dict:
         )
 
     def share_pre_agg(d):
-        toks, ph = _toks_ph(d)
-        occ = toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-        anchors = occ.join(
-            F.broadcast(ph.select("phrase_id", "first_term")),
-            occ.term == F.col("first_term"),
-        ).select("doc_id", "phrase_id", "pos")
-        grouped = anchors.groupBy("doc_id", "phrase_id").agg(
-            F.sort_array(F.collect_list("pos")).alias("poss")
+        # probe the SHIPPED operator's own candidate frame, so the
+        # measured layout can never drift from what search.py plans
+        joined = search._phrase_candidates(
+            d, phrases, "doc_id", "text", "phrase"
         )
-        joined = grouped.join(
-            F.broadcast(ph.select("phrase_id", "terms", "plen")), "phrase_id"
-        ).join(toks, "doc_id")
         return joined.groupBy(F.spark_partition_id().alias("p")).agg(
             F.sum(F.size("toks") + F.size("poss")).alias("cells")
         )
@@ -996,6 +991,8 @@ def run_skew_phrase(spark, n_docs: int, mega_tokens: int) -> dict:
             spark.conf.set(
                 "spark.sql.adaptive.coalescePartitions.enabled", saved
             )
+        else:
+            spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
     out.update(
         metric="phrase_anchor_join_speedup",
         value=round(out["per_anchor"]["wall_s"] / out["pre_agg"]["wall_s"], 2),
@@ -1143,9 +1140,9 @@ def _cluster_wave_leg(
     --wave-series subprocess (``warmup_waves`` untimed waves of
     ``warmup_mult``, then ``wave_repeats`` timed waves of
     ``scale_mult``), tear down, return the timed-run dicts."""
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-    )
+    _tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if _tools not in sys.path:
+        sys.path.insert(0, _tools)
     from standalone_cluster import StandaloneCluster
 
     with StandaloneCluster(
@@ -1208,9 +1205,9 @@ def run_scaling_final(sf_dir: str) -> dict:
 
     ~10-13 min per round at mult=100 on this box; K=5 by default.
     """
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-    )
+    _tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if _tools not in sys.path:
+        sys.path.insert(0, _tools)
     import statistics
     import tempfile
 
@@ -1220,10 +1217,18 @@ def run_scaling_final(sf_dir: str) -> dict:
     scale_mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "100"))
     body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "50"))
     cores_per_worker = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "4"))
-    w_lo, w_hi = (
+    workers = [
         int(w)
         for w in os.environ.get("SPARK_GRAFT_CLUSTER_WORKERS", "1,4").split(",")
-    )
+    ]
+    if len(workers) != 2:
+        raise ValueError(
+            "--scaling-final compares exactly TWO cluster sizes; set "
+            "SPARK_GRAFT_CLUSTER_WORKERS=lo,hi (got "
+            f"{os.environ.get('SPARK_GRAFT_CLUSTER_WORKERS')!r}; the "
+            "N-value form is --scaling-cluster's)"
+        )
+    w_lo, w_hi = workers
     full_warm_hi = int(os.environ.get("SPARK_GRAFT_WARMUP_WAVES", "2"))
     pin_cpus = os.environ.get("SPARK_GRAFT_PIN_CPUS", "") == "1"
     tmp = tempfile.mkdtemp(prefix="scaling-final-")

@@ -70,6 +70,12 @@ def resolve_redirects(
     # so every intermediate cache can be RELEASED before returning —
     # callers in a loop (crawl, canonical_clusters) would otherwise
     # leak ~6 cached frames per call for the session lifetime.
+    # Trade-off (accepted engine-wide, same as host_hits/dsir_resample):
+    # eager checkpointing runs the doubling rounds at call time, and
+    # localCheckpoint blocks are non-reliable — on executor loss the
+    # caller re-calls rather than recomputing lineage. Lazy would
+    # defeat the fix: unpersisting the intermediates before the first
+    # action re-opens the O(2^rounds) leaf re-execution.
     cached = []
     edges = (
         redirects.select(F.col("src").alias("u"), F.col("dst").alias("cur"))
